@@ -1,0 +1,156 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Batched, codegen'd Catalyst expressions for the cell index — the
+  * north_star's "batched Catalyst expression" for cell encoding
+  * (≙ the reference's pluggable embedding model boundary,
+  * raptor/EmbeddingModels.py:16-53, which is the per-record hot path there).
+  * Generated code calls the static forwarders of [[GridCell]], keeping the
+  * whole projection inside one WholeStageCodegen span — no row-at-a-time UDF
+  * boxing. */
+
+/** `CELL_ENCODE(lat, lon, res) -> Long` cell id. */
+case class CellEncode(lat: Expression, lon: Expression, res: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = res
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = lat.dataType == DoubleType && lon.dataType == DoubleType &&
+      res.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cell_encode expects (double, double, int), got " +
+        s"(${lat.dataType}, ${lon.dataType}, ${res.dataType})")
+  }
+  override protected def nullSafeEval(la: Any, lo: Any, r: Any): Any =
+    GridCell.encode(la.asInstanceOf[Double], lo.asInstanceOf[Double], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, r) => s"graft.geo.GridCell.encode($la, $lo, $r)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "cell_encode"
+}
+
+/** `CELL_PARENT(cell, toRes) -> Long` ancestor cell. */
+case class CellParentAt(cell: Expression, toRes: Expression) extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = toRes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    GridCell.parentAt(c.asInstanceOf[Long], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) => s"graft.geo.GridCell.parentAt($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "cell_parent_at"
+}
+
+/** `CELL_RING(cell, k) -> Array[Long]` Chebyshev-k neighborhood (≙ H3 kRing;
+  * the kNN candidate-gathering primitive, SURVEY.md J4). Array-producing, so
+  * eval-based; the array is tiny (queries side, broadcast). */
+case class CellRing(cell: Expression, k: Expression) extends BinaryExpression
+    with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, kk: Any): Any =
+    new GenericArrayData(GridCell.ring(c.asInstanceOf[Long], kk.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "cell_ring"
+}
+
+/** `HAVERSINE_M(lat1, lon1, lat2, lon2) -> Double` meters. */
+case class HaversineM(lat1: Expression, lon1: Expression,
+                      lat2: Expression, lon2: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = lat1
+  override def second: Expression = lon1
+  override def third: Expression = lat2
+  override def fourth: Expression = lon2
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GridCell.haversineM(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.geo.GridCell.haversineM($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+  override def prettyName: String = "haversine_m"
+}
+
+/** `POINT_IN_POLY(lat, lon, lats, lons) -> Boolean` ray-casting refine
+  * (SURVEY.md J3 refine step). Vertex arrays are constant-folded per polygon
+  * (they come from the broadcast polygon side), so the per-row cost is the
+  * crossing loop only. */
+case class PointInPoly(lat: Expression, lon: Expression,
+                       lats: Expression, lons: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = lats
+  override def fourth: Expression = lons
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GridCell.pointInPolygon(
+      a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData].toDoubleArray(),
+      d.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+  override def prettyName: String = "point_in_poly"
+}
+
+/** Column-level API over the expressions, mirroring
+  * `org.apache.spark.sql.functions`. */
+object functions {
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  def cell_encode(lat: Column, lon: Column, res: Column): Column =
+    col(CellEncode(expr(lat), expr(lon), expr(res)))
+  def cell_encode(lat: Column, lon: Column, res: Int): Column =
+    cell_encode(lat, lon, org.apache.spark.sql.functions.lit(res))
+  def cell_parent_at(cell: Column, toRes: Column): Column =
+    col(CellParentAt(expr(cell), expr(toRes)))
+  def cell_parent_at(cell: Column, toRes: Int): Column =
+    cell_parent_at(cell, org.apache.spark.sql.functions.lit(toRes))
+  def cell_ring(cell: Column, k: Column): Column =
+    col(CellRing(expr(cell), expr(k)))
+  def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    col(HaversineM(expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
+  def point_in_poly(lat: Column, lon: Column, lats: Column, lons: Column): Column =
+    col(PointInPoly(expr(lat), expr(lon), expr(lats), expr(lons)))
+
+  /** Register SQL names so `spark.sql` queries can use the extensions too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cell_encode",
+      es => CellEncode(es(0), es(1), es(2)), "builtin")
+    reg.createOrReplaceTempFunction("cell_parent_at",
+      es => CellParentAt(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("cell_ring",
+      es => CellRing(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("haversine_m",
+      es => HaversineM(es(0), es(1), es(2), es(3)), "builtin")
+    reg.createOrReplaceTempFunction("point_in_poly",
+      es => PointInPoly(es(0), es(1), es(2), es(3)), "builtin")
+  }
+}

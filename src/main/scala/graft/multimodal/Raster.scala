@@ -1,0 +1,120 @@
+package graft.multimodal
+
+/** Pure byte-level raster kernels for the multimodal (image) column.
+  *
+  * The sandbox has no image codecs, so `fmt="raw"` is an uncompressed
+  * `w*h*3` RGB raster and `fmt="lossy"` is the same raster with seeded,
+  * bounded noise (|delta| <= 2 per channel), which guarantees the
+  * north-rule per-row invariant PSNR >= 40 dB by construction
+  * (MSE <= 4 -> PSNR >= 20*log10(255) - 10*log10(4) ~= 42.1 dB).
+  *
+  * A real deployment swaps [[decode]]'s lossy branch for a codec call
+  * (that call is the ONLY stubbed step — the Spark-side plumbing around it
+  * is real and tested).
+  */
+object Raster {
+
+  /** splitmix64 — deterministic per-image byte stream seed. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The ground-truth raster for image key `k`: w*h*3 PRNG bytes. */
+  def truthRaster(k: Long, w: Int, h: Int): Array[Byte] = {
+    val n = w * h * 3
+    val out = new Array[Byte](n)
+    var s = mix(k)
+    var i = 0
+    while (i < n) {
+      if ((i & 7) == 0) s = mix(s)
+      out(i) = ((s >>> ((i & 7) * 8)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Stored bytes: identical to truth for `raw`; truth + bounded noise for
+    * `lossy` (the synthetic stand-in for codec loss). */
+  def storedBytes(k: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val base = truthRaster(k, w, h)
+    if (fmt == "raw") base
+    else {
+      var s = mix(k ^ 0x5deece66dL)
+      var i = 0
+      while (i < base.length) {
+        if ((i & 7) == 0) s = mix(s)
+        val delta = (((s >>> ((i & 7) * 8)) & 0xff) % 5).toInt - 2 // -2..2
+        val v = (base(i) & 0xff) + delta
+        base(i) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        i += 1
+      }
+      base
+    }
+  }
+
+  /** Decode stored bytes to pixel bytes. `raw`/`lossy` are already raster
+    * layout; any other fmt would dispatch to a codec here (STUB boundary). */
+  def decode(bytes: Array[Byte], fmt: String): Array[Byte] = fmt match {
+    case "raw" | "lossy" => bytes
+    case other =>
+      throw new UnsupportedOperationException(
+        s"codec '$other' not available in sandbox — stubbed decode boundary")
+  }
+
+  /** PSNR in dB between two equal-length byte images; identical arrays
+    * report 99.0 (instead of +inf) so the column stays finite/comparable. */
+  def psnrDb(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length, s"psnr: length ${a.length} != ${b.length}")
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      se += d.toDouble * d
+      i += 1
+    }
+    if (se == 0.0) 99.0
+    else {
+      val mse = se / a.length
+      10.0 * math.log10(255.0 * 255.0 / mse)
+    }
+  }
+
+  /** (mean, min, max) over raw pixel bytes. */
+  def stats(bytes: Array[Byte]): (Double, Int, Int) = {
+    var sum = 0.0; var mn = 255; var mx = 0
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    (if (bytes.length == 0) 0.0 else sum / bytes.length, mn, mx)
+  }
+
+  /** Nearest-neighbor resize of a w*h*3 raster (the feature-extract /
+    * thumbnail step of a multimodal pipeline, kept codec-free). */
+  def resize(bytes: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      val sy = oy * h / oh
+      var ox = 0
+      while (ox < ow) {
+        val sx = ox * w / ow
+        var c = 0
+        while (c < 3) {
+          out((oy * ow + ox) * 3 + c) = bytes((sy * w + sx) * 3 + c)
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over the binary image column. Binary-producing /
+  * binary-consuming, so eval-based (CodegenFallback) — they are not on the
+  * spatial hot path; heavy pixel work belongs in [[Raster]] statics either
+  * way. (≙ the reference's embedding-model device boundary,
+  * raptor/EmbeddingModels.py:26-53 — opaque per-record kernel.) */
+
+/** `SYNTHETIC_RASTER(k, w, h, fmt) -> binary` stored image bytes. */
+case class SyntheticRaster(k: Expression, w: Expression, h: Expression, fmt: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = k
+  override def second: Expression = w
+  override def third: Expression = h
+  override def fourth: Expression = fmt
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(kk: Any, ww: Any, hh: Any, f: Any): Any =
+    Raster.storedBytes(kk.asInstanceOf[Long], ww.asInstanceOf[Int],
+      hh.asInstanceOf[Int], f.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(a, b, c, d)
+  override def prettyName: String = "synthetic_raster"
+}
+
+/** `RASTER_STATS(bytes) -> struct<mean_px double, min_px int, max_px int,
+  * n_bytes int>` — the codec-free "feature extract" step. */
+case class RasterStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mean_px", DoubleType, nullable = false),
+    StructField("min_px", IntegerType, nullable = false),
+    StructField("max_px", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val (mean, mn, mx) = Raster.stats(bytes)
+    InternalRow(mean, mn, mx, bytes.length)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "raster_stats"
+}
+
+/** `PSNR_DB(a, b) -> double` per-row fidelity (north-rule invariant:
+  * >= 40 dB for lossy, 99 for byte-identical). */
+case class PsnrDb(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Raster.psnrDb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "psnr_db"
+}
+
+object functions {
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  def synthetic_raster(k: Column, w: Column, h: Column, fmt: Column): Column =
+    col(SyntheticRaster(expr(k), expr(w), expr(h), expr(fmt)))
+  def raster_stats(bytes: Column): Column = col(RasterStats(expr(bytes)))
+  def psnr_db(a: Column, b: Column): Column = col(PsnrDb(expr(a), expr(b)))
+}
