@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.PhashCentroid
 import graft.operators._
-import graft.sources.Images
+import graft.sources.{Fixtures, Images}
 
 /** Registry of every named operator query the engine exposes (SURVEY.md §2
   * inventory → SparkEntry contract). Each entry carries the Spark plan
@@ -63,9 +63,122 @@ object Queries {
          |FROM (SELECT ${cellSql(5)} AS cell, * FROM images) t
          |GROUP BY cell""".stripMargin))
 
+  // --------------------------------------------------------- spatial queries
+
+  /** Point-in-polygon join: broadcast covering-cell prefilter + ray-casting
+    * refine (SURVEY.md J3/M3). Oracle: per-polygon half-plane/range SQL. */
+  private val qPipJoin = Q(
+    "q_pip_join",
+    (s, dir) => SpatialJoin.pipJoin(Images.images(s, dir), s),
+    Some(Fixtures.pipOracleSql(cte)))
+
+  /** Raster<->vector assignment: per-(polygon, tile) image counts. */
+  private val qPolyTileCov = Q(
+    "q_poly_tile_cov",
+    (s, dir) => SpatialJoin.polyTileCoverage(Images.images(s, dir), s),
+    Some(Fixtures.polyTileCovOracleSql(cte, cellSql(SpatialJoin.CoverRes))))
+
+  private val KnnK = 10
+
+  private def knnBruteOracle(extra: String): String =
+    s"""$cte,
+       |${Fixtures.knnOracleCte},
+       |ranked AS (
+       |  SELECT qid, image_id, dist_sq, CAST(rnk AS INTEGER) AS rnk, bytes FROM (
+       |    SELECT q.qid, i.image_id,
+       |      ((i.lat - q.qlat) * (i.lat - q.qlat)
+       |        + (i.lon - q.qlon) * (i.lon - q.qlon)) AS dist_sq,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ((i.lat - q.qlat) * (i.lat - q.qlat)
+       |          + (i.lon - q.qlon) * (i.lon - q.qlon)), i.image_id) AS rnk,
+       |      CAST(i.w * i.h * 3 AS BIGINT) AS bytes
+       |    FROM images i CROSS JOIN queries q
+       |  ) WHERE rnk <= $KnnK
+       |)
+       |$extra""".stripMargin
+
+  /** Exact kNN: ring expansion + window top-k; the oracle is the brute-force
+    * cross join — equality proves ring pruning is lossless (≙ reference's
+    * prefilter-vs-brute-force overlap harness at overlap=100%,
+    * raptor `merge_distance&tree_exam.py`:334-446). */
+  private val qKnn = Q(
+    "q_knn",
+    (s, dir) => Knn.knnExact(Images.images(s, dir), Fixtures.knnQueries(s), KnnK),
+    Some(knnBruteOracle("SELECT * FROM ranked")))
+
+  private val BudgetBytes = 2000L
+
+  /** Budgeted top-k, stop-before-overflow (raptor/tree_retriever.py:197-209). */
+  private val qKnnBudget = Q(
+    "q_knn_budget",
+    (s, dir) => Knn.budgetStopBefore(
+      Knn.knnExact(Images.images(s, dir), Fixtures.knnQueries(s), KnnK), BudgetBytes),
+    Some(knnBruteOracle(
+      s"""SELECT qid, image_id, dist_sq, rnk, bytes FROM (
+         |  SELECT *, sum(bytes) OVER (PARTITION BY qid ORDER BY rnk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ranked) WHERE cum <= $BudgetBytes""".stripMargin)))
+
+  /** Budgeted top-k, include-first-overflow (FaissRetriever.py:195-199 quirk,
+    * pinned per SURVEY.md W3). */
+  private val qKnnBudgetIncl = Q(
+    "q_knn_budget_incl",
+    (s, dir) => Knn.budgetIncludeOverflow(
+      Knn.knnExact(Images.images(s, dir), Fixtures.knnQueries(s), KnnK), BudgetBytes),
+    Some(knnBruteOracle(
+      s"""SELECT qid, image_id, dist_sq, rnk, bytes FROM (
+         |  SELECT *, sum(bytes) OVER (PARTITION BY qid ORDER BY rnk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ranked) WHERE cum - bytes < $BudgetBytes""".stripMargin)))
+
+  // ------------------------------------------------------------ skew handling
+
+  /** Hot-cell histogram top-20 (≙ index_count hotness ranking,
+    * raptor/merge_tree_builder.py:320-323) — the skew-detection signal. */
+  private val qHotCells = Q(
+    "q_hot_cells",
+    (s, dir) => TilePyramid.leafTiles(Images.images(s, dir), 12)
+      .select(col("cell"), col("cnt"))
+      .orderBy(col("cnt").desc, col("cell")).limit(20),
+    Some(
+      s"""$cte
+         |SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT ${cellSql(12)} AS cell FROM images) t
+         |GROUP BY cell ORDER BY cnt DESC, cell LIMIT 20""".stripMargin))
+
+  /** Salted two-phase aggregation over the skewed leaf cells — provably
+    * identical to the direct groupBy (the oracle IS the direct form). At
+    * cluster scale the salt splits the hot cell across 16 reducers
+    * (SURVEY.md X10 skew handling). */
+  private val qSkewSalted = Q(
+    "q_skew_salted",
+    (s, dir) => {
+      val withCell = TilePyramid.withCell(Images.images(s, dir), 12)
+      withCell
+        .withColumn("salt", pmod(hash(col("image_id")), lit(16)))
+        .groupBy(col("cell"), col("salt"))
+        .agg(count(lit(1)).as("c1"),
+          sum((col("w") * col("h") * 3).cast("long")).as("b1"))
+        .groupBy(col("cell"))
+        .agg(sum(col("c1")).as("cnt"), sum(col("b1")).as("bytes_sum"))
+    },
+    Some(
+      s"""$cte
+         |SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+         |FROM (SELECT ${cellSql(12)} AS cell, w, h FROM images) t
+         |GROUP BY cell""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qTileAssign,
-    qPyramidRes5)
+    qPyramidRes5,
+    qPipJoin,
+    qPolyTileCov,
+    qKnn,
+    qKnnBudget,
+    qKnnBudgetIncl,
+    qHotCells,
+    qSkewSalted)
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.geo.{GridCell, functions => G}
+
+/** Exact kNN via ring expansion + window refine — the graft of the
+  * reference's hierarchical retrieval (raptor/tree_retriever.py:168-273,
+  * kmeans_retriever.py:52-154): coarse candidate gathering (≙ top clusters)
+  * then brute-force refine + top-k (≙ argsort slice, raptor/utils.py:209-219).
+  *
+  * Metric: squared planar degree distance ([[GridCell.planarDist2]]) — same
+  * closed form as the SQL oracle, so ranks match bit-for-bit.
+  *
+  * EXACTNESS: a point outside ring r of the query's cell is at planar
+  * distance >= r * min(cellW, cellH). A query is settled once it has k
+  * candidates and its k-th distance² < (r*minDim)²; otherwise the ring
+  * doubles (driver loop, ≙ the retriever's layer-descent loop). Unsettled
+  * stragglers after maxIter fall back to brute force (never happens at sane
+  * density; the fallback keeps the operator total).
+  *
+  * Scale design: the query side is tiny and BROADCAST after ring explosion;
+  * the image side is scanned (pruned to 5 columns), never shuffled — only
+  * the candidate rows (|ring| cells' worth per query) shuffle into the
+  * per-query window. Iterations touch disjoint leftover queries only.
+  */
+object Knn {
+
+  val DefaultRes = 8
+
+  /** images -> pruned leaf projection with cell at `res`. */
+  private def leaves(images: DataFrame, res: Int): DataFrame =
+    images.select(col("image_id"), col("lat"), col("lon"), col("w"), col("h"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+
+  /** Exact kNN join: queries (qid, qlat, qlon) × images -> top-k rows
+    * (qid, image_id, dist_sq, rnk, bytes). Deterministic tiebreak on
+    * (dist_sq, image_id). */
+  def knnExact(images: DataFrame, queries: DataFrame, k: Int,
+               res: Int = DefaultRes, maxIter: Int = 6): DataFrame = {
+    val lv = leaves(images, res).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val minDim = math.min(GridCell.cellHeightDeg(res), GridCell.cellWidthDeg(res))
+      val q0 = queries.select(col("qid"), col("qlat"), col("qlon"))
+        .withColumn("qcell", G.cell_encode(col("qlat"), col("qlon"), res))
+
+      var remaining = q0
+      var settled: DataFrame = null
+      var r = 2
+      var iter = 0
+      var nRemaining = remaining.count()
+      while (iter < maxIter && nRemaining > 0) {
+        val ranked = rankCandidates(lv, remaining, r, k)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val bound = r * minDim
+        val status = ranked.groupBy(col("qid"))
+          .agg(count(lit(1)).as("n"), max(col("dist_sq")).as("dk"))
+          .filter(col("n") === k && col("dk") < bound * bound)
+          .select(col("qid"))
+        val okQids = status.collect().map(_.getInt(0)).toSet
+        if (okQids.nonEmpty) {
+          val done = ranked.filter(col("qid").isin(okQids.toSeq: _*))
+          settled = if (settled == null) done else settled.unionByName(done)
+          remaining = remaining.filter(!col("qid").isin(okQids.toSeq: _*))
+        }
+        nRemaining -= okQids.size
+        r *= 2
+        iter += 1
+      }
+      val result =
+        if (nRemaining == 0) settled
+        else {
+          // brute-force stragglers (guaranteed exact, trivially small q side)
+          val brute = bruteRank(lv, remaining, k)
+          if (settled == null) brute else settled.unionByName(brute)
+        }
+      // materialize before unpersisting the input
+      result.persist(StorageLevel.MEMORY_AND_DISK).count()
+      result
+    } finally lv.unpersist(blocking = false)
+  }
+
+  private def distSq = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+    (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+
+  private def topK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_sq"), col("image_id"))
+    cand.withColumn("dist_sq", distSq)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("image_id"), col("dist_sq"), col("rnk"),
+        (col("w") * col("h") * 3).cast("long").as("bytes"))
+  }
+
+  private def rankCandidates(lv: DataFrame, qs: DataFrame, r: Int, k: Int): DataFrame = {
+    val cand = qs.withColumn("cell", explode(G.cell_ring(col("qcell"), lit(r))))
+    topK(lv.join(broadcast(cand), Seq("cell")), k)
+  }
+
+  private def bruteRank(lv: DataFrame, qs: DataFrame, k: Int): DataFrame =
+    topK(lv.crossJoin(broadcast(qs.select(col("qid"), col("qlat"), col("qlon")))), k)
+
+  /** Brute-force oracle variant (SURVEY.md J2) over all images. */
+  def knnBrute(images: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteRank(images.select(col("image_id"), col("lat"), col("lon"),
+      col("w"), col("h")), queries, k)
+
+  /** Budgeted top-k, reference semantics (SURVEY.md W3): rank ascending by
+    * distance, keep rows while the RUNNING byte total stays <= budget and
+    * STOP at the first overflow (raptor/tree_retriever.py:197-209). */
+  def budgetStopBefore(ranked: DataFrame, budget: Long): DataFrame =
+    withCum(ranked).filter(col("cum_bytes") <= budget).drop("cum_bytes")
+
+  /** FaissRetriever variant: the overflowing row is INCLUDED (append before
+    * check — raptor/FaissRetriever.py:195-199; pinned quirk). */
+  def budgetIncludeOverflow(ranked: DataFrame, budget: Long): DataFrame =
+    withCum(ranked).filter(col("cum_bytes") - col("bytes") < budget).drop("cum_bytes")
+
+  private def withCum(ranked: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.withColumn("cum_bytes", sum(col("bytes")).over(w))
+  }
+}

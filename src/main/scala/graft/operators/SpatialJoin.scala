@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geo.{GridCell, functions => G}
+import graft.sources.Fixtures
+
+/** Point-in-polygon spatial join — the canonical prefilter + refine shape
+  * (SURVEY.md J3): a broadcast covering-cell index prunes the big side to
+  * candidate cells, then the codegen ray-casting predicate refines. This is
+  * the graft of the reference's cluster-prefiltered NN search
+  * (raptor/merge_tree_builder.py:247-304, kmeans_retriever.py:76-124):
+  * centroid table ≙ covering index, brute-force member refine ≙ ray cast.
+  *
+  * Scale design: polygons × covering cells is tiny (thousands of rows) ->
+  * broadcast hash join, ZERO shuffle of the image side; the scan prunes to
+  * (image_id, lat, lon) columns only (never `bytes`). Output pairs stream
+  * straight out of the probe side. At 10^12 rows this is a map-only job.
+  */
+object SpatialJoin {
+
+  /** Default covering resolution: cells comparable to fixture polygon size.
+    * Coarser -> more refine work; finer -> bigger broadcast index. */
+  val CoverRes = 6
+
+  /** Build the covering index rows (cell, poly_id, lats, lons) driver-side
+    * (polygon count is small by assumption; a huge polygon set would build
+    * this distributed with an explode over a cover() expression). */
+  def coverIndex(spark: SparkSession, polys: Seq[Fixtures.Poly], res: Int): DataFrame = {
+    import spark.implicits._
+    val rows = polys.flatMap { p =>
+      val (laMin, laMax, loMin, loMax) = GridCell.polyBounds(p.lats, p.lons)
+      GridCell.cover(laMin, laMax, loMin, loMax, res).map { cell =>
+        (cell, p.polyId, p.lats.toSeq, p.lons.toSeq)
+      }
+    }
+    rows.toDF("cell", "poly_id", "lats", "lons")
+  }
+
+  /** Prefilter + refine join: emits (poly_id, image_id) containment pairs. */
+  def pipJoin(images: DataFrame, spark: SparkSession,
+              polys: Seq[Fixtures.Poly] = Fixtures.polys,
+              res: Int = CoverRes): DataFrame = {
+    val idx = coverIndex(spark, polys, res)
+    val pts = images.select(col("image_id"), col("lat"), col("lon"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+    pts.join(broadcast(idx), Seq("cell"))
+      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select(col("poly_id"), col("image_id"))
+  }
+
+  /** Brute-force oracle variant (SURVEY.md J2): cross join + refine. Used by
+    * tests to prove the prefilter loses/adds nothing. */
+  def pipBrute(images: DataFrame, spark: SparkSession,
+               polys: Seq[Fixtures.Poly] = Fixtures.polys): DataFrame = {
+    val polyDf = Fixtures.polygonsDf(spark).where(
+      col("poly_id").isin(polys.map(_.polyId): _*))
+    images.select(col("image_id"), col("lat"), col("lon"))
+      .crossJoin(broadcast(polyDf))
+      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select(col("poly_id"), col("image_id"))
+  }
+
+  /** Raster↔vector assignment: per (polygon, tile) coverage counts at `res`
+    * — which tiles does each polygon touch and how many images fall in each
+    * (≙ node→cluster assignment counts, raptor/kmeans_tree_builder.py:
+    * 104-120). */
+  def polyTileCoverage(images: DataFrame, spark: SparkSession,
+                       polys: Seq[Fixtures.Poly] = Fixtures.polys,
+                       res: Int = CoverRes): DataFrame =
+    pipJoinWithCell(images, spark, polys, res)
+      .groupBy(col("poly_id"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def pipJoinWithCell(images: DataFrame, spark: SparkSession,
+                              polys: Seq[Fixtures.Poly], res: Int): DataFrame = {
+    val idx = coverIndex(spark, polys, res)
+    val pts = images.select(col("image_id"), col("lat"), col("lon"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+    pts.join(broadcast(idx), Seq("cell"))
+      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select(col("poly_id"), col("cell"), col("image_id"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.GridCell
+
+/** Property-style checks use a seeded deterministic sweep (no scalatestplus
+  * bridge in the offline cache). */
+class GridCellSpec extends AnyFunSuite {
+  private def sweep(n: Int)(f: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).foreach(_ => f(rnd))
+  }
+  private def rndLat(r: scala.util.Random) = -89.999 + r.nextDouble() * 179.998
+  private def rndLon(r: scala.util.Random) = -179.999 + r.nextDouble() * 359.998
+
+  test("encode known vectors") {
+    // (0,0) res 4: x = floor(180/360*16) = 8, y = floor(90/180*16) = 8
+    assert(GridCell.encode(0.0, 0.0, 4) == ((4L << 58) | (8L << 4) | 8L))
+    // southwest corner cell
+    assert(GridCell.encode(-90.0, -180.0, 4) == (4L << 58))
+    // clamping at the far edge
+    assert(GridCell.encode(90.0, 180.0, 4) == ((4L << 58) | (15L << 4) | 15L))
+  }
+
+  test("res/x/y extraction roundtrip") {
+    val c = GridCell.encode(37.0, -122.0, 12)
+    assert(GridCell.resOf(c) == 12)
+    assert(GridCell.pack(12, GridCell.xOf(c), GridCell.yOf(c)) == c)
+  }
+
+  test("parentAt(encode(res12), k) == encode(res k) — nested floor property") {
+    sweep(500) { r =>
+      val lat = rndLat(r); val lon = rndLon(r); val k = r.nextInt(13)
+      val fine = GridCell.encode(lat, lon, 12)
+      assert(GridCell.parentAt(fine, k) == GridCell.encode(lat, lon, k))
+    }
+  }
+
+  test("children inverse of parent") {
+    sweep(200) { r =>
+      val c = GridCell.encode(rndLat(r), rndLon(r), 8)
+      GridCell.children(c).foreach(ch => assert(GridCell.parent(ch) == c))
+    }
+  }
+
+  test("ring contains center, same res, wraps longitude") {
+    val c = GridCell.encode(10.0, -179.9, 8) // x == 0 at res 8
+    val r = GridCell.ring(c, 1)
+    assert(r.contains(c))
+    assert(r.length == 9)
+    assert(r.forall(GridCell.resOf(_) == 8))
+    // wrap: must contain a cell with x == 2^8 - 1
+    assert(r.exists(GridCell.xOf(_) == 255L))
+  }
+
+  test("ring clamps at poles") {
+    val c = GridCell.encode(89.9, 0.0, 8) // y == 255
+    val r = GridCell.ring(c, 1)
+    assert(r.length == 6) // top row dropped
+  }
+
+  test("cover contains the cell of any point inside the box") {
+    sweep(200) { r =>
+      val lat = rndLat(r); val lon = rndLon(r)
+      val cells = GridCell.cover(lat - 1.0, lat + 1.0, lon - 1.0, lon + 1.0, 7)
+      assert(cells.contains(GridCell.encode(lat, lon, 7)))
+    }
+  }
+
+  test("cover splits across the antimeridian") {
+    val cells = GridCell.cover(0.0, 1.0, 178.0, -178.0, 6)
+    assert(cells.contains(GridCell.encode(0.5, 179.5, 6)))
+    assert(cells.contains(GridCell.encode(0.5, -179.5, 6)))
+  }
+
+  test("pointInPolygon unit square + concave L") {
+    val sqLats = Array(0.0, 0.0, 1.0, 1.0)
+    val sqLons = Array(0.0, 1.0, 1.0, 0.0)
+    assert(GridCell.pointInPolygon(0.5, 0.5, sqLats, sqLons))
+    assert(!GridCell.pointInPolygon(0.5, 1.5, sqLats, sqLons))
+    assert(!GridCell.pointInPolygon(-0.5, 0.5, sqLats, sqLons))
+    // L-shape: [0,1]x[0,2] U [1,2]x[0,1]
+    val lLats = Array(0.0, 0.0, 1.0, 1.0, 2.0, 2.0)
+    val lLons = Array(0.0, 2.0, 2.0, 1.0, 1.0, 0.0)
+    assert(GridCell.pointInPolygon(0.5, 1.5, lLats, lLons))
+    assert(GridCell.pointInPolygon(1.5, 0.5, lLats, lLons))
+    assert(!GridCell.pointInPolygon(1.5, 1.5, lLats, lLons)) // notch
+  }
+
+  test("pointInPolygon invariant under vertex rotation") {
+    val lats = Array(0.0, 0.0, 1.0, 1.0, 2.0, 2.0)
+    val lons = Array(0.0, 2.0, 2.0, 1.0, 1.0, 0.0)
+    sweep(500) { r =>
+      val lat = -0.5 + r.nextDouble() * 3.0
+      val lon = -0.5 + r.nextDouble() * 3.0
+      val rot = r.nextInt(6)
+      val rl = lats.drop(rot) ++ lats.take(rot)
+      val ro = lons.drop(rot) ++ lons.take(rot)
+      assert(GridCell.pointInPolygon(lat, lon, rl, ro) ==
+        GridCell.pointInPolygon(lat, lon, lats, lons))
+    }
+  }
+
+  test("haversine sanity: 1 deg lon at equator ~ 111.19 km") {
+    val d = GridCell.haversineM(0.0, 0.0, 0.0, 1.0)
+    assert(math.abs(d - 111195.0) < 200.0)
+  }
+}

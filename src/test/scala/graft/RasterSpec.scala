@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Raster
+import graft.agg.PhashCentroid
+
+class RasterSpec extends AnyFunSuite {
+
+  test("storedBytes deterministic and fmt-sized") {
+    val a = Raster.storedBytes(12345L, 8, 9, "raw")
+    val b = Raster.storedBytes(12345L, 8, 9, "raw")
+    assert(a.sameElements(b))
+    assert(a.length == 8 * 9 * 3)
+  }
+
+  test("raw decode is identity; psnr(identical) == 99") {
+    val a = Raster.storedBytes(7L, 8, 8, "raw")
+    assert(Raster.decode(a, "raw") eq a)
+    assert(Raster.psnrDb(a, a) == 99.0)
+  }
+
+  test("lossy bytes hold the north-rule PSNR >= 40 dB invariant") {
+    (1L to 200L).foreach { k =>
+      val truth = Raster.truthRaster(k, 12, 10)
+      val lossy = Raster.storedBytes(k, 12, 10, "lossy")
+      val p = Raster.psnrDb(truth, lossy)
+      assert(p >= 40.0, s"k=$k psnr=$p")
+      assert(p < 99.0) // noise actually applied
+    }
+  }
+
+  test("unknown codec is a clearly-marked stub boundary") {
+    intercept[UnsupportedOperationException](Raster.decode(Array[Byte](1), "jpeg"))
+  }
+
+  test("resize nearest-neighbor preserves corners") {
+    val src = Raster.truthRaster(3L, 8, 8)
+    val dst = Raster.resize(src, 8, 8, 4, 4)
+    assert(dst.length == 4 * 4 * 3)
+    // top-left pixel preserved
+    assert(dst(0) == src(0) && dst(1) == src(1) && dst(2) == src(2))
+  }
+
+  test("phash centroid: strict bit majority, ties -> 0") {
+    // three hashes: bit0 set in 2/3 -> majority; bit1 set in 1/3 -> not;
+    // with 4 hashes bit2 set in 2/4 -> tie -> 0
+    val bits3 = Seq.fill(65)(0L).updated(0, 2L).updated(1, 1L).updated(64, 3L)
+    assert(PhashCentroid.centroidOf(bits3) == 1L)
+    val bits4 = Seq.fill(65)(0L).updated(2, 2L).updated(64, 4L)
+    assert(PhashCentroid.centroidOf(bits4) == 0L)
+  }
+}

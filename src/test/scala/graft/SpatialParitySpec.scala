@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, SpatialJoin, TilePyramid}
+import graft.sources.{Fixtures, Images}
+
+/** Oracle-equivalence suite (SURVEY.md §5.2): every pruned/prefiltered
+  * operator must equal its brute-force form EXACTLY (row-set equality, not
+  * overlap ratio — ≙ reference overlap_calculate at forced 100%,
+  * raptor `merge_distance&tree_exam.py`:334-446). */
+class SpatialParitySpec extends SparkFunSuite {
+
+  private lazy val images = Images.images(spark, SparkSpec.Sf).cache()
+
+  test("pip prefilter+refine == brute force (incl. concave polygons)") {
+    val fast = SpatialJoin.pipJoin(images, spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = SpatialJoin.pipBrute(images, spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast.nonEmpty)
+    assert(fast == brute)
+    // every polygon kind matched something
+    Seq("rect_", "hex_", "l_").foreach { kind =>
+      assert(fast.exists(_._1.startsWith(kind)), s"no matches for $kind*")
+    }
+  }
+
+  test("ring-expansion kNN == brute-force kNN") {
+    val qs = Fixtures.knnQueries(spark)
+    val fast = Knn.knnExact(images, qs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    val brute = Knn.knnBrute(images, qs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    assert(fast.size == 48 * 10)
+    assert(fast == brute)
+  }
+
+  test("knn(k) is a prefix of knn(k+5)") {
+    val qs = Fixtures.knnQueries(spark).limit(8)
+    val k10 = Knn.knnExact(images, qs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    val k15 = Knn.knnExact(images, qs, 15).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    assert(k10.subsetOf(k15))
+  }
+
+  test("budget semantics: stop-before vs include-overflow quirk (W3)") {
+    import spark.implicits._
+    // one query, 4 ranked rows of 500/600/700/800 bytes, budget 2000:
+    // stop-before keeps cum<=2000 -> 3 rows; include keeps prev-cum<2000 -> 4
+    val ranked = Seq(
+      (1, "a", 0.1, 1, 500L), (1, "b", 0.2, 2, 600L),
+      (1, "c", 0.3, 3, 700L), (1, "d", 0.4, 4, 800L))
+      .toDF("qid", "image_id", "dist_sq", "rnk", "bytes")
+    assert(Knn.budgetStopBefore(ranked, 2000L).count() == 3)
+    assert(Knn.budgetIncludeOverflow(ranked, 2000L).count() == 4)
+    // exact-fit boundary: budget exactly at cum of row 3
+    assert(Knn.budgetStopBefore(ranked, 1800L).count() == 3)
+    assert(Knn.budgetIncludeOverflow(ranked, 1800L).count() == 3)
+  }
+
+  test("pyramid invariants: counts monotone, totals invariant, parent linkage") {
+    val (pyr, counts) = TilePyramid.build(images, 4, 12)
+    val levels = counts.toSeq.sortBy(_._1)
+    // cell counts nondecreasing with res
+    levels.sliding(2).foreach { case Seq((_, c1), (_, c2)) => assert(c1 <= c2) }
+    // n_images and bytes_total identical at every level
+    val m = TilePyramid.levelMetrics(pyr).collect()
+    assert(m.map(_.getAs[Long]("n_images")).toSet.size == 1)
+    assert(m.map(_.getAs[Long]("bytes_total")).toSet.size == 1)
+    // every res-5 cell is the parentAt of its res-6 children; children sum -> parent cnt
+    val l6 = pyr.filter(col("res") === 6)
+      .select(col("cell"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val l5 = pyr.filter(col("res") === 5)
+      .select(col("cell"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rolled = l6.groupBy { case (c, _) => graft.geo.GridCell.parentAt(c, 5) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(rolled == l5)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
