@@ -178,7 +178,7 @@ object Queries {
     qKnnBudget,
     qKnnBudgetIncl,
     qHotCells,
-    qSkewSalted)
+    qSkewSalted) ++ text.QueriesText.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

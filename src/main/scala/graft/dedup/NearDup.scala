@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+import graft.text.TextOps.SparkD
+
+/** Near-duplicate detection over the `documents` table — the dedup family a
+  * training-data pipeline needs at 100 TB, built from the same
+  * prefilter + verify join shape as the spatial queries (SURVEY.md J3; ≙ the
+  * reference's cluster-prefiltered NN search,
+  * raptor/merge_tree_builder.py:247-304, validated against brute force like
+  * raptor `merge_distance&tree_exam.py`:334-446).
+  *
+  * Three candidate-generation strategies over word-3-gram shingle sets:
+  *  - [[jaccardPairsExact]]: PREFIX FILTERING (AllPairs/PPJoin family,
+  *    Bayardo et al. WWW'07) — provably lossless, output == brute force;
+  *  - [[lshNearDupPairs]]: MinHash + LSH banding — probabilistic recall,
+  *    tunable (m=16, r=2, b=8), verified candidates only;
+  *  - [[simhashPairs]]: 32-bit SimHash + 4-band pigeonhole blocking —
+  *    lossless for hamming <= 3.
+  *
+  * Scale design: no crossJoin anywhere. Candidates come from equi-joins on
+  * exploded keys (shingle / band / simhash-band) — shuffle-partitioned by
+  * key, AQE-splittable when a shingle is hot. Verification joins fetch the
+  * two shingle sets by doc_id (sort-merge on a high-cardinality key).
+  */
+object NearDup {
+
+  import TextOps.{LshB, LshR, MinHashM, ShingleN, SimBands, SimHammingMax}
+
+  /** documents -> (doc_id, toks, sh): tokenized + distinct word-3-gram
+    * shingle set; drops docs too short to shingle. */
+  def docShingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+      .withColumn("sh", expr(TextOps.shingles(SparkD, "toks")))
+
+  /** (doc_id, sh, hs): shingle set + 32-bit shingle hashes. */
+  def docHashed(docs: DataFrame): DataFrame =
+    docShingled(docs).withColumn("hs", expr(TextOps.shingleHashes(SparkD, "sh")))
+
+  // ------------------------------------------------- exact set-similarity join
+
+  /** All pairs (a < b) with shingle-Jaccard >= t — EXACT, via prefix
+    * filtering: order every doc's shingles by (global document frequency
+    * asc, shingle), keep the first |s| - ceil(t*|s|) + 1 as the prefix; any
+    * qualifying pair must collide on >= 1 prefix shingle, so the equi-join
+    * on prefix shingles is a lossless candidate generator. Rare-first
+    * ordering keeps candidate fan-out minimal (the frequent-shingle skew
+    * never enters the join). */
+  def jaccardPairsExact(docs: DataFrame, t: Double): DataFrame = {
+    val s = docShingled(docs).select(col("doc_id"), col("sh"))
+    val ex = s.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s1"))
+    val dfreq = ex.groupBy(col("s1")).agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("s1"))
+    val prefix = ex.join(dfreq, "s1")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("s1"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s1") === col("b.s1") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, s, t)
+  }
+
+  /** Join candidate (doc_a, doc_b) pairs back to shingle sets and keep
+    * pairs with exact Jaccard >= t. Output (doc_a, doc_b, jac). */
+  private def verifyJaccard(cand: DataFrame, s: DataFrame, t: Double): DataFrame =
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac", expr(TextOps.jaccard(SparkD, "sh_a", "sh_b")))
+      .filter(col("jac") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+
+  // ------------------------------------------------------------ MinHash + LSH
+
+  /** (doc_id, mh_0..mh_{m-1}) MinHash signatures. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val base = docHashed(docs)
+    (0 until MinHashM).foldLeft(base) { (d, j) =>
+      d.withColumn(s"mh_$j", expr(TextOps.minhash(SparkD, "hs", j)))
+    }.drop("toks", "hs")
+  }
+
+  /** LSH banding: near-dup pairs whose signatures collide on >= 1 of the b
+    * bands (r rows each), then verified against exact Jaccard >= t.
+    * Probabilistic recall ~ 1-(1-j^r)^b (j=0.5, r=2, b=8 -> ~0.90); the
+    * DuckDB oracle replicates the banding, so outputs still match exactly. */
+  def lshNearDupPairs(docs: DataFrame, t: Double): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bandStructs = (0 until LshB).map { b =>
+      struct(lit(b).as("band"),
+        col(s"mh_${b * LshR}").as("v0"), col(s"mh_${b * LshR + 1}").as("v1"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"),
+        col("bv.v0").as("v0"), col("bv.v1").as("v1"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v0") === col("b.v0") &&
+          col("a.v1") === col("b.v1") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, docShingled(docs).select(col("doc_id"), col("sh")), t)
+  }
+
+  // ----------------------------------------------------------------- SimHash
+
+  /** (doc_id, simhash): 32-bit SimHash over token hashes with multiplicity. */
+  def simhashDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+      .withColumn("hs", expr("transform(toks, w -> " +
+        SparkD.hash32("w") + ")"))
+      .withColumn("simhash", expr(TextOps.simhash(SparkD, "hs")))
+      .select(col("doc_id"), col("simhash"))
+
+  /** Pairs with SimHash hamming distance <= 3 — EXACT via pigeonhole
+    * blocking: 4 disjoint 8-bit bands; <= 3 flipped bits leave >= 1 band
+    * identical, so the band equi-join misses nothing. Refine =
+    * `bit_count(a ^ b) <= 3` (built-in, codegen'd). */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sims = simhashDocs(docs)
+    val bandCols = (0 until SimBands).map { k =>
+      struct(lit(k).as("band"), expr(TextOps.simBand(SparkD, "simhash", k)).as("bv"))
+    }
+    val bands = sims.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHammingMax)
+  }
+}

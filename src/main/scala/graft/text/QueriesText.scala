@@ -1,0 +1,249 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.dedup.NearDup
+import graft.text.TextOps._
+
+/** Text-analysis + dedup query registry over the `documents` table — the
+  * training-data-pipeline operator family (language-ID, quality scoring,
+  * token stats, fingerprinting, exact/near dedup). Every oracle replicates
+  * the engine's exact algorithm in DuckDB SQL (dialect pair in [[TextOps]]),
+  * so the driver's value-hash compare is a full algorithmic parity check,
+  * not a smoke test. */
+object QueriesText {
+
+  private val JaccardT = 0.5
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Oracle base CTEs: tokenized docs (d), shingle-eligible docs (f),
+    * shingle sets (s), shingle hashes (h). */
+  private val oracleBase: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, ${DuckD.splitToks("text")} AS toks FROM documents
+       |), f AS (
+       |  SELECT * FROM d WHERE ${DuckD.size("toks")} >= $ShingleN
+       |), s AS (
+       |  SELECT doc_id, ${shingles(DuckD, "toks")} AS sh FROM f
+       |), h AS (
+       |  SELECT doc_id, sh, ${shingleHashes(DuckD, "sh")} AS hs FROM s
+       |)""".stripMargin
+
+  // ------------------------------------------------------------- token stats
+
+  private val qDocStats = Q(
+    "q_doc_stats",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        expr(SparkD.sumFold(SparkD.transform("toks", "w", "length(w)")))
+          .as("tok_chars"))
+      .withColumn("avg_tok_len",
+        col("tok_chars").cast("double") / col("n_tokens").cast("double")),
+    Some(
+      s"""WITH d AS (SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents)
+         |SELECT doc_id, n_tokens, n_distinct, tok_chars,
+         |  CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tok_len
+         |FROM (
+         |  SELECT doc_id,
+         |    ${DuckD.size("toks")} AS n_tokens,
+         |    ${DuckD.size(DuckD.arrDistinct("toks"))} AS n_distinct,
+         |    ${DuckD.sumFold(DuckD.transform("toks", "w", "length(w)"))} AS tok_chars
+         |  FROM d)""".stripMargin))
+
+  // -------------------------------------------------------------- language ID
+
+  private val qLangId = Q(
+    "q_doc_langid",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+      val scored = LangProfiles.foldLeft(base) { case (d, (name, words)) =>
+        d.withColumn(s"s_$name", expr(langScore(SparkD, "toks", words)))
+      }
+      scored.withColumn("lang_pred",
+          expr(langArgmax(LangProfiles.map { case (n, _) => (n, s"s_$n") })))
+        .drop("toks")
+    },
+    Some {
+      val scores = LangProfiles.map { case (n, words) =>
+        s"${langScore(DuckD, "toks", words)} AS s_$n"
+      }.mkString(",\n    ")
+      s"""WITH d AS (SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM d)
+         |SELECT doc_id, ${LangProfiles.map { case (n, _) => s"s_$n" }.mkString(", ")},
+         |  ${langArgmax(LangProfiles.map { case (n, _) => (n, s"s_$n") })} AS lang_pred
+         |FROM sc""".stripMargin
+    })
+
+  // ---------------------------------------------------------- quality scoring
+
+  private val qQuality = Q(
+    "q_doc_quality",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        expr(langScore(SparkD, "toks", StopWords)).as("n_stop"))
+      .withColumn("score",
+        expr(qualityScore(SparkD, "n_tokens", "n_distinct", "n_stop")))
+      .withColumn("bucket", expr(qualityBucket("score")))
+      .select("doc_id", "n_tokens", "score", "bucket"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    ${DuckD.size("toks")} AS n_tokens,
+         |    ${DuckD.size(DuckD.arrDistinct("toks"))} AS n_distinct,
+         |    ${langScore(DuckD, "toks", StopWords)} AS n_stop
+         |  FROM d),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${qualityScore(DuckD, "n_tokens", "n_distinct", "n_stop")} AS score
+         |  FROM m)
+         |SELECT doc_id, n_tokens, score, ${qualityBucket("score")} AS bucket FROM q""".stripMargin))
+
+  // ----------------------------------------------------------- fingerprinting
+
+  private val MinWinnowToks = WinnowK + WinnowW - 1
+
+  private val qFingerprint = Q(
+    "q_doc_fingerprint",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), col("text"), expr(SparkD.splitToks("text")).as("toks"))
+      .filter(size(col("toks")) >= MinWinnowToks)
+      .withColumn("hs", expr(kgramHashes(SparkD, "toks")))
+      .select(col("doc_id"), md5(col("text")).as("fp_md5"),
+        expr(winnowFromHashes(SparkD, "hs")).as("fp_winnow")),
+    Some(
+      s"""WITH d AS (SELECT doc_id, text, ${DuckD.splitToks("text")} AS toks FROM documents),
+         |f AS (SELECT * FROM d WHERE ${DuckD.size("toks")} >= $MinWinnowToks),
+         |k AS (SELECT doc_id, text, ${kgramHashes(DuckD, "toks")} AS hs FROM f)
+         |SELECT doc_id, md5(text) AS fp_md5,
+         |  ${winnowFromHashes(DuckD, "hs")} AS fp_winnow
+         |FROM k""".stripMargin))
+
+  // ------------------------------------------------------------- exact dedup
+
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, dir) => docs(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper")),
+    Some(
+      """SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin))
+
+  /** Normalized (bag-of-words) dedup: key = sorted distinct tokens. Groups
+    * docs that are permutations/repetitions of the same vocabulary —
+    * the normalize-then-hash exact-dedup a text pipeline runs first. */
+  private val qDedupNorm = Q(
+    "q_dedup_norm",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+      .groupBy(expr(SparkD.arrJoin(SparkD.arrSort(SparkD.arrDistinct("toks")), " "))
+        .as("normkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper")),
+    Some(
+      s"""WITH d AS (SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents)
+         |SELECT ${DuckD.arrJoin(DuckD.arrSort(DuckD.arrDistinct("toks")), " ")} AS normkey,
+         |  CAST(count(*) AS BIGINT) AS cnt, min(doc_id) AS keeper
+         |FROM d GROUP BY 1""".stripMargin))
+
+  // -------------------------------------------------- exact set-similarity join
+
+  private val qJaccardPairs = Q(
+    "q_jaccard_pairs",
+    (s, dir) => NearDup.jaccardPairsExact(docs(s, dir), JaccardT),
+    Some(
+      s"""$oracleBase
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ${jaccard(DuckD, "a.sh", "b.sh")} AS jac
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |) WHERE jac >= $JaccardT""".stripMargin))
+
+  // ------------------------------------------------------------ MinHash + LSH
+
+  private def mhSelect(d: Dialect): String =
+    (0 until MinHashM).map(j => s"${minhash(d, "hs", j)} AS mh_$j").mkString(",\n    ")
+
+  private val qMinhashSig = Q(
+    "q_minhash_sig",
+    (s, dir) => NearDup.minhashSignatures(docs(s, dir))
+      .select(col("doc_id") +: (0 until MinHashM).map(j => col(s"mh_$j")): _*),
+    Some(
+      s"""$oracleBase
+         |SELECT doc_id,
+         |    ${mhSelect(DuckD)}
+         |FROM h""".stripMargin))
+
+  private val qLshNearDup = Q(
+    "q_lsh_neardup",
+    (s, dir) => NearDup.lshNearDupPairs(docs(s, dir), JaccardT),
+    Some {
+      val bandEq = (0 until LshB).map { b =>
+        val j0 = b * LshR; val j1 = j0 + 1
+        s"(a.mh_$j0 = b.mh_$j0 AND a.mh_$j1 = b.mh_$j1)"
+      }.mkString("(", " OR ", ")")
+      s"""$oracleBase,
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${mhSelect(DuckD)}
+         |  FROM h),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $bandEq)
+         |SELECT doc_a, doc_b, jac FROM (
+         |  SELECT c.doc_a, c.doc_b, ${jaccard(DuckD, "sa.sh", "sb.sh")} AS jac
+         |  FROM cand c
+         |  JOIN s sa ON sa.doc_id = c.doc_a
+         |  JOIN s sb ON sb.doc_id = c.doc_b
+         |) WHERE jac >= $JaccardT""".stripMargin
+    })
+
+  // ----------------------------------------------------------------- SimHash
+
+  private def simhashCte(d: Dialect): String = d match {
+    case DuckD =>
+      s"""WITH d AS (SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents),
+         |f AS (SELECT * FROM d WHERE ${DuckD.size("toks")} >= $ShingleN),
+         |ht AS (SELECT doc_id, ${DuckD.transform("toks", "w", DuckD.hash32("w"))} AS hs FROM f),
+         |sim AS (SELECT doc_id, ${simhash(DuckD, "hs")} AS simhash FROM ht)""".stripMargin
+    case SparkD => sys.error("spark side built via DataFrame API")
+  }
+
+  private val qSimhash = Q(
+    "q_simhash",
+    (s, dir) => NearDup.simhashDocs(docs(s, dir)),
+    Some(s"${simhashCte(DuckD)}\nSELECT doc_id, simhash FROM sim"))
+
+  private val qSimhashPairs = Q(
+    "q_simhash_pairs",
+    (s, dir) => NearDup.simhashPairs(docs(s, dir)),
+    Some(
+      s"""${simhashCte(DuckD)}
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ${DuckD.bitCount(DuckD.xor("a.simhash", "b.simhash"))} AS hamming
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |) WHERE hamming <= $SimHammingMax""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    qDocStats, qLangId, qQuality, qFingerprint,
+    qDedupExact, qDedupNorm,
+    qJaccardPairs, qMinhashSig, qLshNearDup,
+    qSimhash, qSimhashPairs)
+}
