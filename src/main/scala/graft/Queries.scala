@@ -178,7 +178,7 @@ object Queries {
     qKnnBudget,
     qKnnBudgetIncl,
     qHotCells,
-    qSkewSalted) ++ text.QueriesText.all
+    qSkewSalted) ++ text.QueriesText.all ++ similarity.QueriesAnn.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

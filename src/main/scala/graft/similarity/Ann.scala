@@ -1,0 +1,152 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps.{Dialect, DuckD, SparkD}
+import graft.similarity.{functions => V}
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * list<float>, label) — the vector analog of the spatial kNN (SURVEY.md
+  * J2-J4) and the direct graft of the reference's dense-vector retrieval
+  * (raptor/tree_retriever.py:185-195 brute-force distances;
+  * FaissRetriever.py:125-145 flat-IP index; kmeans_retriever.py:76-124
+  * cluster-prefiltered search).
+  *
+  * Two paths, mirroring the reference's brute-vs-prefiltered pair:
+  *  - [[cosineTopK]]: exact brute-force cosine top-k (the oracle /
+  *    small-query-set path; at scale the query side is broadcast and the
+  *    scan is map-only);
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing (sign-bit signature,
+  *    deterministic planes) -> candidates share the query's bucket ->
+  *    refine top-k inside the bucket. At 10^12 rows the bucket join is an
+  *    equi-join on `sig` — shuffle-partitioned, skew-handled by AQE.
+  *
+  * Parity strategy: every float op is a fixed-order fold generated for both
+  * Spark and DuckDB (same IEEE-754 op sequence), and the LSH planes are
+  * ±1 literals baked into both plans from one Scala-side seeded derivation.
+  */
+object Ann {
+
+  val Dim = 64
+  val SigBits = 6
+
+  /** Deterministic ±1 hyperplane entries: md5 of "plane:p:i" parity.
+    * Driver-side only — the values are embedded as literals in BOTH the
+    * Spark plan and the oracle SQL (no cross-engine hash needed). */
+  def planeSign(p: Int, i: Int): Int = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$i".getBytes(StandardCharsets.UTF_8))
+    if ((d(0) & 1) == 1) 1 else -1
+  }
+
+  /** Sequential dot product of two vector column expressions — identical
+    * fold order in both dialects (left-to-right over dims 1..64). */
+  def dot(d: Dialect, a: String, b: String): String = d match {
+    case SparkD =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    case DuckD =>
+      s"list_reduce(list_transform(range(1, ${d.size(a)} + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  }
+
+  /** cosine(a, b) given precomputed self-dot columns na, nb. */
+  def cosine(d: Dialect, a: String, b: String, na: String, nb: String): String =
+    s"(${dot(d, a, b)} / (sqrt($na) * sqrt($nb)))"
+
+  /** Engine-side cosine Column over the codegen'd [[VecDot]] kernel —
+    * bit-identical to [[cosine]] (same sequential fold). */
+  private def cosCol(a: String, b: String, na: String, nb: String) =
+    V.vec_dot(col(a), col(b)) / (sqrt(col(na)) * sqrt(col(nb)))
+
+  /** Signed projection onto plane p, unrolled to a left-assoc ±v[i] chain
+    * (no lambdas, exact same op order in both engines). */
+  def proj(d: Dialect, v: String, p: Int): String = {
+    val terms = (1 to Dim).map { i =>
+      val e = d.at(v, i.toString)
+      (planeSign(p, i - 1), e)
+    }
+    val head = if (terms.head._1 > 0) terms.head._2 else s"(0 - ${terms.head._2})"
+    terms.tail.foldLeft(head) { case (acc, (s, e)) =>
+      if (s > 0) s"($acc + $e)" else s"($acc - $e)"
+    }
+  }
+
+  /** Bucket signature: sign bits of the projections onto SigBits planes. */
+  def signature(d: Dialect, v: String): String =
+    (0 until SigBits).map { p =>
+      s"(CASE WHEN ${proj(d, v, p)} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ----------------------------------------------------------------- engine
+
+  /** embeddings -> (vec_id, label, v: array<double>, nrm: self-dot). */
+  def vecs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", V.vec_dot(col("v"), col("v")))
+
+  private def ranked(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rnk"))
+  }
+
+  /** Exact brute-force cosine top-k for query vectors `qids`. The query
+    * side is tiny -> broadcast; the base scan is map-only (SURVEY.md J2). */
+  def cosineTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val w = vecs(spark, dir)
+    val q = w.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = w.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosCol("qv", "v", "qn", "nrm"))
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+    ranked(pairs, k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates limited to the query's
+    * hyperplane-signature bucket; refine = exact cosine + window top-k.
+    * ≙ the reference's top-clusters-then-members search
+    * (raptor/kmeans_retriever.py:76-124). */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val w = vecs(spark, dir).withColumn("sig", expr(signature(SparkD, "v")))
+    val q = w.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("sig"))
+    val pairs = w.join(broadcast(q), Seq("sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosCol("qv", "v", "qn", "nrm"))
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+    ranked(pairs, k)
+  }
+
+  /** All pairs (a < b) with cosine >= t — exact. Quadratic verify; the
+    * scale path replaces the pair generator with the LSH bucket join (same
+    * verify), trading recall for linearity. */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, t: Double): DataFrame = {
+    val w = vecs(spark, dir)
+    val a = w.select(col("vec_id").as("ai"), col("v").as("av"), col("nrm").as("an"))
+    val b = w.select(col("vec_id").as("bi"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("ai") < col("bi"))
+      .withColumn("cos", cosCol("av", "bv", "an", "bn"))
+      .filter(col("cos") >= t)
+      .select(col("ai"), col("bi"), col("cos"))
+  }
+
+  /** Per-label exact centroid facts: count + floor-quantized per-dim sums
+    * (integer micro-units -> associative, order-free, bit-exact under any
+    * shuffle order — the float-sum nondeterminism trap avoided). */
+  def labelCentroidFacts(spark: SparkSession, dir: String, dims: Int): DataFrame = {
+    val w = vecs(spark, dir)
+    val sums = (1 to dims).map { i =>
+      sum(expr(s"cast(floor(element_at(v, $i) * 1000000) as bigint)")).as(s"s_$i")
+    }
+    w.groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+  }
+}

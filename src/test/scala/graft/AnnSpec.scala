@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+/** Embedding-similarity family: engine results vs an independent
+  * driver-side recomputation (plain Scala loops — same fold order as the
+  * engine's sequential aggregate, so doubles compare exactly). */
+class AnnSpec extends SparkFunSuite {
+
+  private val dir = SparkSpec.Sf
+
+  private def collected: Map[Long, Array[Double]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  private def dotL(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def cosL(a: Array[Double], b: Array[Double]): Double =
+    dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+
+  test("brute cosine top-k matches driver-side recomputation exactly") {
+    val vs = collected
+    val got = Ann.cosineTopK(spark, dir, nQueries = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    (0L until 4L).foreach { q =>
+      val want = vs.keys.filter(_ != q).toSeq
+        .map(n => (n, cosL(vs(q), vs(n))))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(3)
+      want.zipWithIndex.foreach { case ((n, c), i) =>
+        val (gc, gr) = got((q, n))
+        assert(gr == i + 1 && gc == c, s"q=$q n=$n")
+      }
+    }
+  }
+
+  test("LSH top-k only pairs same-signature vectors, cosine exact") {
+    val vs = collected
+    def sig(v: Array[Double]): Int =
+      (0 until Ann.SigBits).map { p =>
+        val proj = v.indices.map(i => Ann.planeSign(p, i) * v(i)).sum
+        if (proj > 0) 1 << p else 0
+      }.sum
+    val sigs = vs.map { case (k, v) => k -> sig(v) }
+    Ann.lshTopK(spark, dir, nQueries = 8, k = 3).collect().foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(sigs(q) == sigs(n), s"bucket mismatch $q/$n")
+      assert(math.abs(c - cosL(vs(q), vs(n))) < 1e-12)
+    }
+  }
+
+  test("near-dup pairs are symmetric-free and above threshold") {
+    val rows = Ann.cosineNearDupPairs(spark, dir, 0.4).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+
+  test("label centroid facts: counts sum to table size") {
+    val df = Ann.labelCentroidFacts(spark, dir, 4)
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(df.agg(sum(col("cnt"))).first().getLong(0) == total)
+  }
+}
