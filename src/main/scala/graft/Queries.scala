@@ -131,6 +131,36 @@ object Queries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM ranked) WHERE cum - bytes < $BudgetBytes""".stripMargin)))
 
+  // -------------------------------------------------------- snapshot / resume
+
+  /** Checkpoint the leaf level to an Iceberg-style snapshot, then RESUME
+    * from it: re-read only the leaves, rebuild the rollup chain to res 6,
+    * emit the rebuilt level (≙ raptor/transform_tree.py:24-142 — reload
+    * pickle, keep layer 0, reconstruct upper layers). The oracle aggregates
+    * the raw images directly, so equality proves the write -> partition-
+    * pruned read -> rebuild path loses nothing. */
+  private val qResumeRes6 = Q(
+    "q_resume_res6",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+      val leaves = TilePyramid.leafTiles(Images.images(s, dir), 12)
+      Snapshot.write(leaves, root, snapshotId = "s1", buildTs = 42L)
+      Snapshot.rebuildFromLeaves(s, root, leafRes = 12, minRes = 6)
+        .filter(col("res") === 6)
+        .select("cell", "cnt", "bytes_sum", "lat_min", "lat_max",
+          "lon_min", "lon_max", "phash_centroid")
+    },
+    Some(
+      s"""$cte
+         |SELECT cell,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum,
+         |  min(lat) AS lat_min, max(lat) AS lat_max,
+         |  min(lon) AS lon_min, max(lon) AS lon_max,
+         |  ${PhashCentroid.oracleCentroidSql("phash")} AS phash_centroid
+         |FROM (SELECT ${cellSql(6)} AS cell, * FROM images) t
+         |GROUP BY cell""".stripMargin))
+
   // ------------------------------------------------------------ skew handling
 
   /** Hot-cell histogram top-20 (≙ index_count hotness ranking,
@@ -178,7 +208,8 @@ object Queries {
     qKnnBudget,
     qKnnBudgetIncl,
     qHotCells,
-    qSkewSalted) ++ text.QueriesText.all ++ similarity.QueriesAnn.all
+    qSkewSalted,
+    qResumeRes6) ++ text.QueriesText.all ++ similarity.QueriesAnn.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

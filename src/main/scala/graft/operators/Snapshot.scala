@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot checkpointing + resume for the tile pyramid — the graft of the
+  * reference's pickle save/load + rebuild-from-leaves maintenance path
+  * (raptor/RetrievalAugmentation.py:435-440 save, 260-268 load;
+  * transform_tree.py:24-142 — load tree, keep layer 0, rebuild upper
+  * layers). Iceberg-style semantics on plain parquet (the sandbox has no
+  * Iceberg runtime; the layout mirrors it: snapshot id + manifest +
+  * partition-pruned data files):
+  *
+  *   <root>/tiles/res=<r>/part-*.parquet     (partitioned by level)
+  *   <root>/MANIFEST-<snapshot_id>.json      (levels, counts, build_ts)
+  *
+  * Every row carries lineage columns (north rule "per-partition lineage +
+  * metrics"): `snapshot_id`, `build_ts`, `src_partition` (the shuffle
+  * partition that produced the row — groupBy(cell) hashes by cell, so this
+  * is reproducible and identifies the reducer for skew forensics).
+  *
+  * Scale notes: the write is partitioned by `res` so any later read of one
+  * level is partition-pruned (≙ `layer_to_nodes`, SURVEY.md §1.2); resume
+  * reads ONLY the leaf partition and re-runs the rollup chain — upper
+  * levels are never re-read, matching transform_tree's discard-and-rebuild.
+  */
+object Snapshot {
+
+  val LineageCols: Seq[String] = Seq("snapshot_id", "build_ts", "src_partition")
+
+  /** Write a pyramid DataFrame (schema of [[TilePyramid.build]]) as a new
+    * snapshot under `root`. Returns the per-level row counts recorded in
+    * the manifest. */
+  def write(pyramid: DataFrame, root: String, snapshotId: String,
+            buildTs: Long): Map[Int, Long] = {
+    val withLineage = pyramid
+      .withColumn("snapshot_id", lit(snapshotId))
+      .withColumn("build_ts", lit(buildTs))
+      .withColumn("src_partition", spark_partition_id())
+    withLineage.write.mode("overwrite").partitionBy("res")
+      .parquet(s"$root/tiles")
+    val counts = withLineage.sparkSession.read.parquet(s"$root/tiles")
+      .groupBy(col("res")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val levels = counts.keys.toSeq.sorted
+    val json = levels.map(r => s""""$r": ${counts(r)}""").mkString(
+      s"""{"snapshot_id": "$snapshotId", "build_ts": $buildTs, "levels": {""",
+      ", ", "}}")
+    Files.write(Paths.get(s"$root/MANIFEST-$snapshotId.json"),
+      json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    counts
+  }
+
+  /** Read a snapshot (all levels). `res` is a partition column — filters on
+    * it prune at the file-listing level. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/tiles")
+
+  /** Read exactly one level (partition-pruned scan). */
+  def level(spark: SparkSession, root: String, res: Int): DataFrame =
+    read(spark, root).filter(col("res") === res)
+
+  /** Resume: read ONLY the leaf level of a snapshot and rebuild all upper
+    * levels `minRes..leafRes-1` with the same rollup chain
+    * (≙ transform_tree.py:58-119: keep layer 0, reconstruct the rest).
+    * Returns the rebuilt pyramid INCLUDING the leaves. */
+  def rebuildFromLeaves(spark: SparkSession, root: String, leafRes: Int,
+                        minRes: Int): DataFrame = {
+    val leaves = level(spark, root, leafRes).drop(LineageCols: _*)
+    var all = leaves
+    var cur = leaves
+    var res = leafRes
+    while (res > minRes) {
+      cur = TilePyramid.rollupOnce(cur, res)
+      all = all.unionByName(cur)
+      res -= 1
+    }
+    all
+  }
+
+  /** Per-partition lineage metrics of a snapshot: rows and cells produced
+    * by each (level, source shuffle partition) — the metrics sink of the
+    * north rule (≙ per-layer stats, raptor/utils.py:222-271). */
+  def lineageMetrics(spark: SparkSession, root: String): DataFrame =
+    read(spark, root)
+      .groupBy(col("res"), col("snapshot_id"), col("src_partition"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_images"))
+      .orderBy(col("res"), col("src_partition"))
+}
