@@ -209,7 +209,8 @@ object Queries {
     qKnnBudgetIncl,
     qHotCells,
     qSkewSalted,
-    qResumeRes6) ++ text.QueriesText.all ++ similarity.QueriesAnn.all
+    qResumeRes6) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
+    QueriesMisc.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

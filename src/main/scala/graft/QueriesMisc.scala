@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.multimodal.{functions => M}
+import graft.operators.{Knn, TilePyramid}
+import graft.sources.{Fixtures, Images}
+
+/** Breadth queries: multimodal fidelity invariants, event-time windowing /
+  * sessionization, deterministic sampling, per-level metrics, and the
+  * prefilter-vs-brute recall harness (SURVEY.md §2 families S7/A8/A9/O5/W3,
+  * plus the events table for event-time operators). */
+object QueriesMisc {
+
+  private val cte = Images.oracleCte
+  private def cellSql(res: Int) = Images.oracleCellSql("lat", "lon", res)
+
+  // ------------------------------------------------------ multimodal fidelity
+
+  /** North-rule per-row invariant (BASELINE.json input_hint): decode every
+    * stored image, check PSNR vs the ground-truth raster (>= 40 dB for
+    * lossy, lossless for raw), caption byte-equality vs the generation
+    * template, and byte-length consistency — aggregated per fmt. The oracle
+    * states the invariant: every row must pass (n_pass == n_rows), so any
+    * decode/PSNR/caption regression breaks the count compare.
+    * (≙ raptor/FaissRetriever.py:147-164 sanity_check: re-embed and
+    * allclose-compare stored vectors.) */
+  private val qImageFidelity = Q(
+    "q_image_fidelity",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .withColumn("px", M.raster_decode(col("bytes"), col("fmt")))
+      .withColumn("truth",
+        M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")))
+      .withColumn("psnr", M.psnr_db(col("px"), col("truth")))
+      .withColumn("ok",
+        col("psnr") >= 40.0 &&
+          col("caption") === concat(lit("caption for img"),
+            lpad(col("k").cast("string"), 12, "0")) &&
+          length(col("bytes")) === col("w") * col("h") * 3)
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass")),
+    Some(
+      s"""$cte
+         |SELECT fmt, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_pass
+         |FROM images GROUP BY fmt""".stripMargin))
+
+  /** Thumbnail pipeline (decode -> resize 4x4 -> stats): exercises the
+    * binary-column plumbing end-to-end. Pixel stats are not derivable in
+    * SQL -> no oracle (driver records the weaker rows-only check);
+    * RasterSpec pins the resize math. */
+  private val qThumbStats = Q(
+    "q_thumb_stats",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .withColumn("thumb", M.raster_resize(
+        M.raster_decode(col("bytes"), col("fmt")),
+        col("w"), col("h"), lit(4), lit(4)))
+      .withColumn("st", M.raster_stats(col("thumb")))
+      .select(col("image_id"), col("st.n_bytes").as("n_bytes"),
+        col("st.mean_px").as("mean_px")),
+    None)
+
+  // ------------------------------------------------------- event-time windows
+
+  private val HourUs = 3600000000L
+  private val GapUs = 1800000000L // 30 min session gap
+
+  /** Tumbling 1h event-time windows per event type. Value sums are
+    * floor-quantized to integer milli-units — exact under any aggregation
+    * order (the float-sum nondeterminism trap at 1000-executor scale). */
+  private val qEventsWindow = Q(
+    "q_events_window",
+    (s, dir) => s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(HourUs)).cast("long").as("win"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(floor(value * 1000) as bigint)")).as("value_milli")),
+    Some(
+      s"""SELECT event_type,
+         |  CAST(floor(epoch_us(ts) / $HourUs) AS BIGINT) AS win,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+         |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Sessionization: per-user sessions split on >30min gaps (lag + running
+    * break-count — the W-family stateful pattern in pure window algebra). */
+  private val qEventsSessions = Q(
+    "q_events_sessions",
+    (s, dir) => {
+      val o = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      o.withColumn("pt", lag(col("t"), 1).over(w))
+        .withColumn("brk",
+          when(col("pt").isNull || col("t") - col("pt") > GapUs, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t")).as("start_us"), max(col("t")).as("end_us"))
+    },
+    Some(
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+         |), l AS (
+         |  SELECT user_id, t,
+         |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+         |  FROM o
+         |), f AS (
+         |  SELECT user_id, t,
+         |    CASE WHEN pt IS NULL OR t - pt > $GapUs THEN 1 ELSE 0 END AS brk
+         |  FROM l
+         |), se AS (
+         |  SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM f)
+         |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(t) AS start_us, max(t) AS end_us
+         |FROM se GROUP BY 1, 2""".stripMargin))
+
+  // ------------------------------------------------- sampling / level metrics
+
+  /** Deterministic seeded sample (SURVEY.md O5): order by a content hash,
+    * not rand() — reproducible across engines and re-runs. */
+  private val qSampleTopN = Q(
+    "q_sample_topn",
+    (s, dir) => Images.images(s, dir)
+      .orderBy(md5(col("image_id")), col("image_id"))
+      .limit(50)
+      .select(col("image_id"), col("lat"), col("lon")),
+    Some(
+      s"""$cte
+         |SELECT image_id, lat, lon FROM images
+         |ORDER BY md5(image_id), image_id LIMIT 50""".stripMargin))
+
+  /** Per-level pyramid metrics (≙ log_tree_structure,
+    * raptor/utils.py:222-271): cells, images, avg/max occupancy per level —
+    * the skew dashboard. */
+  private val qLevelMetrics = Q(
+    "q_level_metrics",
+    (s, dir) => {
+      val (pyr, _) = TilePyramid.build(Images.images(s, dir), 10, 12)
+      pyr.groupBy(col("res"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_images"),
+          max(col("cnt")).as("max_per_cell"))
+        .withColumn("avg_per_cell",
+          col("n_images").cast("double") / col("n_cells").cast("double"))
+    },
+    Some {
+      val lvls = (10 to 12).map { r =>
+        s"""SELECT $r AS res, cell, count(*) AS c
+           |  FROM (SELECT ${cellSql(r)} AS cell FROM images) GROUP BY cell""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$cte, lv AS (
+         |$lvls
+         |)
+         |SELECT res, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(c) AS BIGINT) AS n_images,
+         |  CAST(max(c) AS BIGINT) AS max_per_cell,
+         |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_per_cell
+         |FROM lv GROUP BY res""".stripMargin
+    })
+
+  // ------------------------------------------------------ recall harness (A9)
+
+  private val K = 10
+
+  /** Prefilter-vs-brute overlap harness (≙ raptor
+    * `merge_distance&tree_exam.py`:334-446 overlap_calculate): intersection
+    * size of ring-kNN and brute-kNN per query. The engine computes a REAL
+    * intersection of the two methods; the oracle knows the answer must be
+    * k for every query (the ring expansion is provably exact), so any
+    * pruning bug shows up as a count mismatch. */
+  private val qKnnOverlap = Q(
+    "q_knn_overlap",
+    (s, dir) => {
+      val imgs = Images.images(s, dir)
+      val qs = Fixtures.knnQueries(s)
+      val ring = Knn.knnExact(imgs, qs, K).select(col("qid"), col("image_id"))
+      val brute = Knn.knnBrute(imgs, qs, K).select(col("qid"), col("image_id"))
+      ring.join(brute, Seq("qid", "image_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+    },
+    Some(
+      s"""$cte,
+         |${Fixtures.knnOracleCte}
+         |SELECT qid, CAST(count(*) AS BIGINT) AS n_common FROM (
+         |  SELECT q.qid, i.image_id,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      ((i.lat - q.qlat) * (i.lat - q.qlat)
+         |        + (i.lon - q.qlon) * (i.lon - q.qlon)), i.image_id) AS rnk
+         |  FROM images i CROSS JOIN queries q
+         |) WHERE rnk <= $K GROUP BY qid""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    qImageFidelity, qThumbStats,
+    qEventsWindow, qEventsSessions,
+    qSampleTopN, qLevelMetrics, qKnnOverlap)
+}

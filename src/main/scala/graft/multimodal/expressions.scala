@@ -63,6 +63,44 @@ case class PsnrDb(left: Expression, right: Expression)
   override def prettyName: String = "psnr_db"
 }
 
+/** `RASTER_DECODE(bytes, fmt) -> binary` decoded pixel bytes — the codec
+  * boundary (STUB for real codecs per Raster.decode; raw/lossy are raster
+  * layout already). Keeping it an explicit plan node makes the decode step
+  * visible/pluggable, mirroring the reference's model-dispatch boundary. */
+case class RasterDecode(bytes: Expression, fmt: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = bytes
+  override def right: Expression = fmt
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, f: Any): Any =
+    Raster.decode(b.asInstanceOf[Array[Byte]], f.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "raster_decode"
+}
+
+/** `RASTER_RESIZE(bytes, w, h, ow, oh) -> binary` nearest-neighbor
+  * thumbnail (the feature-extract step of the multimodal pipeline). */
+case class RasterResize(bytes: Expression, w: Expression, h: Expression,
+                        ow: Expression, oh: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(bytes, w, h, ow, oh)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else Raster.resize(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int],
+      vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(cs(0), cs(1), cs(2), cs(3), cs(4))
+  override def prettyName: String = "raster_resize"
+}
+
 object functions {
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def expr(c: Column): Expression = GraftBridge.expression(c)
@@ -71,4 +109,8 @@ object functions {
     col(SyntheticRaster(expr(k), expr(w), expr(h), expr(fmt)))
   def raster_stats(bytes: Column): Column = col(RasterStats(expr(bytes)))
   def psnr_db(a: Column, b: Column): Column = col(PsnrDb(expr(a), expr(b)))
+  def raster_decode(bytes: Column, fmt: Column): Column =
+    col(RasterDecode(expr(bytes), expr(fmt)))
+  def raster_resize(bytes: Column, w: Column, h: Column, ow: Column, oh: Column): Column =
+    col(RasterResize(expr(bytes), expr(w), expr(h), expr(ow), expr(oh)))
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{functions => M, Raster}
+import graft.sources.Images
+
+/** The Spark-side multimodal plumbing (decode -> fidelity / resize -> stats
+  * expressions over the binary column) — the north-rule per-row invariant
+  * end-to-end (PSNR >= 40 dB + caption equality, BASELINE.json input_hint). */
+class MultimodalPipelineSpec extends SparkFunSuite {
+
+  private def withBytes = Images.imagesWithBytes(spark, SparkSpec.Sf)
+
+  test("every row passes the fidelity invariant (psnr + caption + length)") {
+    val checked = withBytes
+      .withColumn("px", M.raster_decode(col("bytes"), col("fmt")))
+      .withColumn("truth",
+        M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")))
+      .withColumn("psnr", M.psnr_db(col("px"), col("truth")))
+    val n = checked.count()
+    assert(n > 0)
+    assert(checked.filter(col("psnr") < 40.0).count() == 0)
+    // lossy rows really are lossy (noise applied), raw rows are lossless
+    assert(checked.filter(col("fmt") === "lossy" && col("psnr") === 99.0).count() == 0)
+    assert(checked.filter(col("fmt") === "raw" && col("psnr") =!= 99.0).count() == 0)
+  }
+
+  test("thumbnail expression matches the driver-side kernel") {
+    val row = withBytes.select(col("k"), col("w"), col("h"), col("fmt"),
+        M.raster_resize(M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(4), lit(4)).as("thumb"))
+      .orderBy(col("k")).first()
+    val want = Raster.resize(
+      Raster.decode(Raster.storedBytes(row.getLong(0), row.getInt(1),
+        row.getInt(2), row.getString(3)), row.getString(3)),
+      row.getInt(1), row.getInt(2), 4, 4)
+    assert(row.getAs[Array[Byte]]("thumb").sameElements(want))
+  }
+
+  test("raster_stats mean/min/max agree with the kernel") {
+    val row = withBytes
+      .withColumn("st", M.raster_stats(col("bytes")))
+      .select(col("k"), col("w"), col("h"), col("fmt"),
+        col("st.mean_px"), col("st.min_px"), col("st.max_px"), col("st.n_bytes"))
+      .orderBy(col("k")).first()
+    val bytes = Raster.storedBytes(row.getLong(0), row.getInt(1),
+      row.getInt(2), row.getString(3))
+    val (mean, mn, mx) = Raster.stats(bytes)
+    assert(row.getDouble(4) == mean && row.getInt(5) == mn &&
+      row.getInt(6) == mx && row.getInt(7) == bytes.length)
+  }
+}
