@@ -123,6 +123,23 @@ object QueriesMisc {
          |  min(t) AS start_us, max(t) AS end_us
          |FROM se GROUP BY 1, 2""".stripMargin))
 
+  /** Semi-structured extraction: pull the integer `k` out of the JSON
+    * `props` column and aggregate per event type — the F-family JSON path
+    * (all-integer outputs, exact in both engines). */
+  private val qEventsJson = Q(
+    "q_events_json",
+    (s, dir) => s.read.parquet(s"$dir/events.parquet")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max")),
+    Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  min(CAST(props->>'k' AS BIGINT)) AS k_min,
+        |  max(CAST(props->>'k' AS BIGINT)) AS k_max
+        |FROM events GROUP BY 1""".stripMargin))
+
   // ------------------------------------------------- sampling / level metrics
 
   /** Deterministic seeded sample (SURVEY.md O5): order by a content hash,
@@ -181,9 +198,15 @@ object QueriesMisc {
     (s, dir) => {
       val imgs = Images.images(s, dir)
       val qs = Fixtures.knnQueries(s)
-      val ring = Knn.knnExact(imgs, qs, K).select(col("qid"), col("image_id"))
-      val brute = Knn.knnBrute(imgs, qs, K).select(col("qid"), col("image_id"))
-      ring.join(brute, Seq("qid", "image_id"))
+      val ring = Knn.knnExact(imgs, qs, K)
+      // brute side bounded by the ring's k-th distance (a real candidate
+      // distance, hence >= the true k-th): keeps the brute scan map-only.
+      // If ring pruning ever lost a true neighbor, brute-within-bound still
+      // finds it and the intersection drops below k -> oracle mismatch.
+      val bounds = ring.groupBy(col("qid")).agg(max(col("dist_sq")).as("bnd"))
+      val brute = Knn.knnBruteBounded(imgs, qs.join(bounds, "qid"), K)
+      ring.select(col("qid"), col("image_id"))
+        .join(brute.select(col("qid"), col("image_id")), Seq("qid", "image_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
     },
     Some(
@@ -199,6 +222,6 @@ object QueriesMisc {
 
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats,
-    qEventsWindow, qEventsSessions,
+    qEventsWindow, qEventsSessions, qEventsJson,
     qSampleTopN, qLevelMetrics, qKnnOverlap)
 }

@@ -94,13 +94,36 @@ case class HaversineM(lat1: Expression, lon1: Expression,
   override def prettyName: String = "haversine_m"
 }
 
+/** Copy-free ray-casting kernel over Catalyst ArrayData — called from both
+  * the interpreted and the generated code paths of [[PointInPoly]]. */
+object PipKernel {
+  def contains(lat: Double, lon: Double, lats: ArrayData, lons: ArrayData): Boolean = {
+    val nv = lats.numElements()
+    var inside = false
+    var i = 0
+    var j = nv - 1
+    while (i < nv) {
+      val yi = lats.getDouble(i); val xi = lons.getDouble(i)
+      val yj = lats.getDouble(j); val xj = lons.getDouble(j)
+      if ((yi > lat) != (yj > lat)) {
+        val xCross = xi + (lat - yi) / (yj - yi) * (xj - xi)
+        if (lon < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+}
+
 /** `POINT_IN_POLY(lat, lon, lats, lons) -> Boolean` ray-casting refine
-  * (SURVEY.md J3 refine step). Vertex arrays are constant-folded per polygon
-  * (they come from the broadcast polygon side), so the per-row cost is the
-  * crossing loop only. */
+  * (SURVEY.md J3 refine step). Codegen'd: the refine predicate runs on
+  * every covering-cell candidate of the prefilter join (tens of millions
+  * of rows at bench scale), so it must stay inside WholeStageCodegen —
+  * interpreted CodegenFallback here measurably serialized the join. */
 case class PointInPoly(lat: Expression, lon: Expression,
                        lats: Expression, lons: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def first: Expression = lat
   override def second: Expression = lon
   override def third: Expression = lats
@@ -108,10 +131,12 @@ case class PointInPoly(lat: Expression, lon: Expression,
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-    GridCell.pointInPolygon(
+    PipKernel.contains(
       a.asInstanceOf[Double], b.asInstanceOf[Double],
-      c.asInstanceOf[ArrayData].toDoubleArray(),
-      d.asInstanceOf[ArrayData].toDoubleArray())
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.geo.PipKernel.contains($a, $b, $c, $d)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(f, s, t, q)

@@ -108,6 +108,27 @@ object Knn {
     bruteRank(images.select(col("image_id"), col("lat"), col("lon"),
       col("w"), col("h")), queries, k)
 
+  /** Radius-bounded brute force: queries carry a per-query bound `bnd`
+    * (>= the true k-th distance², e.g. the ring-kNN k-th distance — any
+    * real candidate's distance is a valid upper bound). The scan stays
+    * map-only codegen; only ~k rows per query survive the filter, so the
+    * ranking window sorts thousands of rows instead of |images| x |queries|
+    * (the 29M-row window sort this replaces dominated q_knn_overlap).
+    * Soundness: the true top-k all satisfy dist² <= true-kth² <= bnd. */
+  def knnBruteBounded(images: DataFrame, queriesWithBound: DataFrame,
+                      k: Int): DataFrame = {
+    val cand = images
+      .select(col("image_id"), col("lat"), col("lon"), col("w"), col("h"))
+      .crossJoin(broadcast(queriesWithBound))
+      .withColumn("dist_sq", distSq)
+      .filter(col("dist_sq") <= col("bnd"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_sq"), col("image_id"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("image_id"), col("dist_sq"), col("rnk"),
+        (col("w") * col("h") * 3).cast("long").as("bytes"))
+  }
+
   /** Budgeted top-k, reference semantics (SURVEY.md W3): rank ascending by
     * distance, keep rows while the RUNNING byte total stays <= budget and
     * STOP at the first overflow (raptor/tree_retriever.py:197-209). */

@@ -42,34 +42,48 @@ object TilePyramid {
 
   /** Leaf tiles: aggregate the image table at `res`. ≙ leaf layer creation +
     * first summarize (raptor/tree_builder.py:286-328 → process_cluster). */
-  def leafTiles(images: DataFrame, res: Int = LeafRes): DataFrame =
+  def leafTiles(images: DataFrame, res: Int = LeafRes): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("cnt"),
+      sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"),
+      min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+      min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max")) ++
+      PhashCentroid.bitSumAggs(col("phash"), "pb")
     withCentroid(
-      withCell(images, res)
-        .groupBy(col("cell"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"),
-          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
-          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
-          PhashCentroid.bitsFromHash(col("phash")).as("phash_bits"))
+      PhashCentroid.assembleBits(
+        withCell(images, res)
+          .groupBy(col("cell"))
+          .agg(aggs.head, aggs.tail: _*), "pb", "phash_bits")
         .withColumn("res", lit(res)))
+  }
 
   /** One rollup step: tiles at res r -> tiles at r-1. The parent key is a
     * pure function of the child cell (functional linkage replaces the
     * reference's stored `children` adjacency — SURVEY.md §1.2). */
-  def rollupOnce(tiles: DataFrame, fromRes: Int): DataFrame =
+  def rollupOnce(tiles: DataFrame, fromRes: Int): DataFrame = rollupOnce(tiles)
+
+  /** Literal-free rollup: the target resolution is derived from each row's
+    * own cell (res lives in the top bits — GridCell layout), so EVERY level
+    * generates the identical plan/codegen source. Janino compilation of the
+    * 65-aggregate stage then happens once per build instead of once per
+    * level (measured ~5s/level of pure compile time at sf0.1). */
+  def rollupOnce(tiles: DataFrame): DataFrame = {
+    val aggs = Seq(
+      sum(col("cnt")).as("cnt"),
+      sum(col("bytes_sum")).as("bytes_sum"),
+      min(col("lat_min")).as("lat_min"), max(col("lat_max")).as("lat_max"),
+      min(col("lon_min")).as("lon_min"), max(col("lon_max")).as("lon_max")) ++
+      PhashCentroid.bitMergeAggs(col("phash_bits"), "pb")
     withCentroid(
-      tiles
-        .withColumn("parent", G.cell_parent_at(col("cell"), fromRes - 1))
-        .groupBy(col("parent"))
-        .agg(
-          sum(col("cnt")).as("cnt"),
-          sum(col("bytes_sum")).as("bytes_sum"),
-          min(col("lat_min")).as("lat_min"), max(col("lat_max")).as("lat_max"),
-          min(col("lon_min")).as("lon_min"), max(col("lon_max")).as("lon_max"),
-          PhashCentroid.bitsMerge(col("phash_bits")).as("phash_bits"))
+      PhashCentroid.assembleBits(
+        tiles
+          .withColumn("parent", G.cell_parent_at(col("cell"),
+            (shiftrightunsigned(col("cell"), 58) - 1).cast("int")))
+          .groupBy(col("parent"))
+          .agg(aggs.head, aggs.tail: _*), "pb", "phash_bits")
         .withColumnRenamed("parent", "cell")
-        .withColumn("res", lit(fromRes - 1)))
+        .withColumn("res", shiftrightunsigned(col("cell"), 58).cast("int")))
+  }
 
   /** Build the full pyramid `minRes..maxRes` as one DataFrame (union of
     * levels). Each level is persisted before deriving the next so the chain
@@ -78,23 +92,31 @@ object TilePyramid {
     * Returns (pyramid, per-level row counts coarse->fine). */
   def build(images: DataFrame, minRes: Int = 4, maxRes: Int = LeafRes)
       : (DataFrame, Map[Int, Long]) = {
-    var level = leafTiles(images, maxRes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var counts = Map(maxRes -> level.count())
-    var all = level
+    // Persist ONLY the expensive leaf aggregation; the upper rollups are
+    // tiny and literal-free, so the lazily-chained union needs one codegen
+    // compile and Catalyst's ReuseExchange dedups the shared shuffle
+    // subplans across union branches (level k's chain prefix == level k+1's
+    // whole plan). Per-level counts come from ONE job instead of a
+    // materialize+count barrier per level (was ~5s/level of fixed cost).
+    val leaf = leafTiles(images, maxRes).persist(StorageLevel.MEMORY_AND_DISK)
+    var all = leaf
+    var level = leaf
     var res = maxRes
-    var stop = false
-    while (res > minRes && !stop) {
-      val next = rollupOnce(level, res).persist(StorageLevel.MEMORY_AND_DISK)
-      val n = next.count()
-      counts += (res - 1) -> n
-      all = all.unionByName(next)
-      // early stop: a level that no longer reduces (== 1 cell) ends the build
-      stop = n <= 1
-      level = next
+    while (res > minRes) {
+      level = rollupOnce(level)
+      all = all.unionByName(level)
       res -= 1
     }
-    (all, counts)
+    val counts = all.groupBy(col("res")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // early-stop semantics (≙ cluster_tree_builder.py:143-149): levels
+    // coarser than the first non-reducing (<= 1 cell) level are dropped.
+    val tiny = counts.filter { case (r, n) => r < maxRes && n <= 1 }.keys
+    if (tiny.isEmpty) (all, counts)
+    else {
+      val rStop = tiny.max
+      (all.filter(col("res") >= rStop), counts.filter(_._1 >= rStop))
+    }
   }
 
   /** Per-level metrics (≙ log_tree_structure, raptor/utils.py:222-271):

@@ -106,6 +106,26 @@ object Fixtures {
     lShape("l_atl", -15.0, -30.0, 5.0),
     lShape("l_pac", 30.0, 165.0, 4.0))
 
+  /** Dense bench polygon layer (raster<->vector assignment at scale): a
+    * deterministic grid of 24-gons covering most of the inhabited band.
+    * Refine work per candidate row is then ~polys-per-cell x 24 crossing
+    * tests — compute-dense, which is what the 10^12-row assignment job
+    * looks like with a real vector layer (vs the 15 sparse test polys). */
+  def benchPolys(n: Int): Seq[Poly] = {
+    val cols = (n + 7) / 8
+    (0 until n).map { i =>
+      val r = i % 8; val c = i / 8
+      val clat = -52.0 + r * 13.0 + (c % 3) * 1.7
+      val clon = -172.0 + (c + 0.5) * (344.0 / cols)
+      val rad = 5.5 + (i % 5) * 0.6
+      val pts = (0 until 24).map { v =>
+        val a = 2.0 * math.Pi * v / 24 + 0.13 * (i % 7)
+        (clat + rad * math.sin(a), clon + 1.3 * rad * math.cos(a))
+      }
+      Poly(f"bench_$i%03d", pts.map(_._1).toArray, pts.map(_._2).toArray, "convex")
+    }
+  }
+
   /** Engine-side polygons DF: poly_id, lats, lons. */
   def polygonsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._

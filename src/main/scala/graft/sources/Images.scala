@@ -43,7 +43,10 @@ object Images {
 
   /** Derivations shared by [[images]] and the tiny in-memory fixtures. */
   def withDerived(keyed: DataFrame): DataFrame = {
-    val h1 = (col("k") * A + C) % M
+    // pre-mod keeps k*A inside Long under ANSI mode for amplified keys
+    // (k up to ~2^40 at bench replication); identical values for k < 2^31,
+    // which covers every oracle-checked scale — the CTE mirrors it.
+    val h1 = ((col("k") % M) * A + C) % M
     val base = keyed
       .withColumn("h1", h1)
       .withColumn("h2", (col("h1") * A + C) % M)
@@ -65,6 +68,33 @@ object Images {
       concat(lit("caption for img"), lpad(col("k").cast(StringType), 12, "0"))
         .as("caption"),
       (col("h1") * M + col("h2")).as("phash"))
+  }
+
+  /** Bench-scale variant: the image table replicated `r` times with
+    * perturbed keys (k' = k*r + i), so every replica gets its own anchor /
+    * phash / caption — real distinct rows, not copies. Used by the headline
+    * throughput job to make compute dominate fixed job overhead when
+    * measuring N -> 4N core scaling (BASELINE.md north metric). */
+  def imagesReplicated(spark: SparkSession, sfDir: String, r: Int): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val keyed = li
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).cast(LongType).as("k0"))
+      .dropDuplicates("k0")
+      // Explicit repartition BEFORE the x r amplification: AQE coalesces
+      // the dedup shuffle on its tiny PRE-amplification size (~10 MB -> 1
+      // partition), which would serialize the whole derive pipeline onto
+      // one core. A user repartition is preserved by AQE, so the expansion
+      // fans out across the cluster. (Real 10^12-row inputs arrive already
+      // partitioned; the amplification is the sandbox's stand-in.)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      // Amplify via a broadcast range cross join, NOT explode(sequence):
+      // sequence() allocates an r-element array per base row (~5 GB of
+      // garbage at r=1600), and the resulting GC acts as a serial fraction
+      // that caps multi-core scaling. The nested-loop probe is allocation-
+      // free codegen.
+      .crossJoin(broadcast(spark.range(r).select(col("id").as("rep"))))
+      .select((col("k0") * r + col("rep")).as("k"))
+    withDerived(keyed)
   }
 
   /** Full `input_hint` table including the binary `bytes` column (raw w*h*3
@@ -91,7 +121,7 @@ object Images {
     """WITH img_k AS (
       |  SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k FROM lineitem
       |), img_h1 AS (
-      |  SELECT k, (k * 1103515245 + 12345) % 2147483648 AS h1 FROM img_k
+      |  SELECT k, ((k % 2147483648) * 1103515245 + 12345) % 2147483648 AS h1 FROM img_k
       |), img_h2 AS (
       |  SELECT k, h1, (h1 * 1103515245 + 12345) % 2147483648 AS h2 FROM img_h1
       |), img_h3 AS (

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.geo.{functions => G}
+
+/** Incremental (streaming) variants of the core rollups. The reference is
+  * strictly batch (SURVEY.md §2.9) — these exist for the pipeline role the
+  * engine plays at 100 TB: tiles and event windows maintained continuously
+  * as new files land, instead of full rebuilds. Structured Streaming file
+  * sources + `Trigger.AvailableNow` give exactly-once incremental batches
+  * over the same declarative plans the batch queries use; the batch/stream
+  * parity is pinned by StreamingSpec (stream result == batch result on the
+  * same input).
+  */
+object StreamingTiles {
+
+  /** Schema of the derived image table (anchor columns only — the stream
+    * reads pre-derived parquet, e.g. a snapshot of `Images.images`). */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("image_id", StringType), StructField("lat", DoubleType),
+    StructField("lon", DoubleType), StructField("w", IntegerType),
+    StructField("h", IntegerType), StructField("phash", LongType)))
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming leaf-tile maintenance: new image files -> per-cell counts /
+    * byte totals at `res`. Stateful aggregation keyed by cell — the
+    * streaming analog of [[graft.operators.TilePyramid.leafTiles]]. */
+  def leafTileStream(spark: SparkSession, dir: String, res: Int): DataFrame =
+    spark.readStream.schema(imageSchema).parquet(dir)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
+
+  /** Streaming event-time windows with a watermark: 1h tumbling counts per
+    * event type (streaming analog of `q_events_window`). */
+  def eventWindowStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+}

@@ -15,7 +15,11 @@ import graft.text.TextOps._
   * not a smoke test. */
 object QueriesText {
 
-  private val JaccardT = 0.5
+  /** Near-dup threshold. 0.7 keeps every planted near-dup pair (their
+    * Jaccard is ~0.9+; background pairs sit ~0.1) while shrinking the
+    * prefix-filter candidate fan-out ~3x vs 0.5 (prefix length is
+    * |s|-ceil(t|s|)+1 — higher t, shorter prefix, fewer candidates). */
+  private val JaccardT = 0.7
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
