@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, SpatialJoin, TilePyramid}
+import graft.sources.{Fixtures, Images}
+
+/** Physical-plan audits (SURVEY.md §4 / BENCH.md "plan audits"): the scale
+  * properties are invariants of the PLAN, not accidents of the data —
+  * column pruning reaches the scan, small sides broadcast, aggregates are
+  * partial+final, and the hot paths stay inside WholeStageCodegen. */
+class PlanSpec extends SparkFunSuite {
+
+  private def imgs = Images.images(spark, SparkSpec.Sf)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE materializes WholeStageCodegen spans only in the FINAL plan —
+    * run the query, then read the adapted plan. */
+  private def finalPlanOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("images scan prunes to the two key columns of lineitem") {
+    val plan = planOf(imgs)
+    // ReadSchema in the FileScan must mention only orderkey/linenumber
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("l_orderkey") && scanLine.contains("l_linenumber"))
+    val readSchema = scanLine.substring(scanLine.indexOf("ReadSchema"))
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
+      s"scan reads more than the key columns: $readSchema")
+  }
+
+  test("pip join: broadcast prefilter + codegen refine, no image-side shuffle") {
+    val df = SpatialJoin.pipJoin(imgs, spark)
+    val plan = finalPlanOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "covering index must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "image side must not shuffle-join")
+    assert(plan.contains("point_in_poly"), "refine predicate present")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), "hot path must be codegen'd")
+  }
+
+  test("tile rollup: partial + final hash aggregation around one exchange") {
+    val plan = planOf(TilePyramid.leafTiles(imgs, 10))
+    val partials = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partials > 0, "map-side combine missing")
+    assert(plan.contains("Exchange hashpartitioning(cell"),
+      "rollup must shuffle on the cell key")
+  }
+
+  test("kNN candidate join broadcasts the exploded query side") {
+    // Build just the candidate-join stage the iterative loop uses.
+    val qs = Fixtures.knnQueries(spark)
+      .withColumn("qcell", graft.geo.functions.cell_encode(
+        col("qlat"), col("qlon"), 8))
+    val cand = qs.withColumn("cell",
+      explode(graft.geo.functions.cell_ring(col("qcell"), lit(2))))
+    val lv = imgs.select(col("image_id"), col("lat"), col("lon"))
+      .withColumn("cell", graft.geo.functions.cell_encode(col("lat"), col("lon"), 8))
+    val joined = lv.join(broadcast(cand), Seq("cell"))
+    assert(planOf(joined).contains("BroadcastHashJoin"))
+  }
+
+  test("cell_encode stays inside codegen (no fallback marker)") {
+    val df = imgs.select(graft.geo.functions.cell_encode(
+      col("lat"), col("lon"), 8).as("cell"))
+    val plan = finalPlanOf(df)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("))
+  }
+}
