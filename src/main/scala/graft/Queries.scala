@@ -161,6 +161,17 @@ object Queries {
          |FROM (SELECT ${cellSql(6)} AS cell, * FROM images) t
          |GROUP BY cell""".stripMargin))
 
+  /** Exclusive greedy pair-merge (J6, ≙ raptor/merge_tree_builder.py:
+    * 320-408): deterministic hotness-ordered 1-to-1 tile pairing within
+    * res-6 neighborhoods. Sequential matching is not SQL-expressible ->
+    * no oracle (driver rows-only check); GreedyPairSpec proves the
+    * distributed operator equals a driver-side recomputation. */
+  private val qPairMerge = Q(
+    "q_pair_merge",
+    (s, dir) => PairMerge.greedyPairMerge(
+      TilePyramid.leafTiles(Images.images(s, dir), 8), 6),
+    None)
+
   // ------------------------------------------------------------ skew handling
 
   /** Hot-cell histogram top-20 (≙ index_count hotness ranking,
@@ -209,6 +220,7 @@ object Queries {
     qKnnBudgetIncl,
     qHotCells,
     qSkewSalted,
+    qPairMerge,
     qResumeRes6) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all
 
