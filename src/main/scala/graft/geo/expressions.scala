@@ -122,7 +122,8 @@ object PipKernel {
   * of rows at bench scale), so it must stay inside WholeStageCodegen —
   * interpreted CodegenFallback here measurably serialized the join. */
 case class PointInPoly(lat: Expression, lon: Expression,
-                       lats: Expression, lons: Expression)
+                       lats: Expression, lons: Expression,
+                       refineOnly: Boolean = false)
     extends QuaternaryExpression {
   override def first: Expression = lat
   override def second: Expression = lon
@@ -139,8 +140,9 @@ case class PointInPoly(lat: Expression, lon: Expression,
       (a, b, c, d) => s"graft.geo.PipKernel.contains($a, $b, $c, $d)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
-    copy(f, s, t, q)
-  override def prettyName: String = "point_in_poly"
+    copy(f, s, t, q, refineOnly)
+  override def prettyName: String =
+    if (refineOnly) "point_in_poly_refine" else "point_in_poly"
 }
 
 /** Column-level API over the expressions, mirroring
