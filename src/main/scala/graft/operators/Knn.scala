@@ -49,7 +49,11 @@ object Knn {
 
       var remaining = q0
       var settled: DataFrame = null
-      var r = 2
+      // r=4 settles typical densities in ONE round: candidates grow with
+      // ring area (cheap — still a few hundred rows/query) while each
+      // extra ROUND costs a full job cycle (rank + settle-check + filter),
+      // which dominates at any scale. Stragglers still double the ring.
+      var r = 4
       var iter = 0
       var nRemaining = remaining.count()
       while (iter < maxIter && nRemaining > 0) {
