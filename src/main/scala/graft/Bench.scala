@@ -20,7 +20,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "100").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus * 2)
@@ -43,6 +43,11 @@ object Bench {
         val (_, sec) = time {
           try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         }
+        // Operators persist intermediates (kNN leaves, pyramid levels);
+        // dropping them between queries keeps each measurement independent
+        // instead of letting storage-memory pressure evict/spill later
+        // queries (measured 5x distortion on the set-similarity join).
+        spark.catalog.clearCache()
         name -> sec
       }
 
