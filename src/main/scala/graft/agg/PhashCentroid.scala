@@ -104,12 +104,41 @@ object PhashCentroid {
     out
   }
 
+  /** Codegen collapse kernel over the raw ArrayData (no per-element
+    * boxing; Spark's `aggregate` HOF is interpreted CodegenFallback and
+    * cost seconds per pyramid level on the tile rows). */
+  def centroidOfBits(bits: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = bits.getLong(64)
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (2 * bits.getLong(i) > n) out |= 1L << i; i += 1 }
+    out
+  }
+
   /** Column collapse of a 65-slot bits vector to the centroid hash —
-    * built-in higher-order functions, stays in codegen. */
-  def centroidCol(bits: String): Column = org.apache.spark.sql.functions.expr(
-    s"aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc | " +
-      s"(CASE WHEN element_at($bits, i + 1) * 2 > element_at($bits, 65) " +
-      s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END))")
+    * a native codegen'd expression calling [[centroidOfBits]]. */
+  def centroidCol(bits: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CentroidFromBits(org.apache.spark.sql.GraftBridge.expression(
+        org.apache.spark.sql.functions.col(bits))))
+
+  import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  /** `CENTROID_FROM_BITS(bits) -> Long`: strict bit-majority collapse of
+    * the 65-slot count vector (bit i set iff 2*ones(i) > n). */
+  case class CentroidFromBits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      centroidOfBits(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.agg.PhashCentroid.centroidOfBits($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+    override def prettyName: String = "centroid_from_bits"
+  }
 
   /** The equivalent 64-term ANSI SQL (DuckDB oracle): bit-majority directly
     * over grouped leaf phashes. */
