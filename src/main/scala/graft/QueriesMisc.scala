@@ -183,6 +183,46 @@ object QueriesMisc {
          |FROM lv GROUP BY res""".stripMargin
     })
 
+  /** Multi-granularity aggregation via GROUPING SETS (the §2.4 note: the
+    * pyramid IS an unrolled rollup; this exposes the one-query form). */
+  private val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      Images.images(s, dir).createOrReplaceTempView("imgs_gs")
+      s.sql(
+        """SELECT fmt, w, count(*) AS cnt,
+          |  cast(grouping(fmt) AS INT) AS g_fmt, cast(grouping(w) AS INT) AS g_w
+          |FROM imgs_gs
+          |GROUP BY GROUPING SETS ((fmt), (fmt, w), ())""".stripMargin)
+    },
+    Some(
+      s"""$cte
+         |SELECT fmt, w, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(grouping(fmt) AS INT) AS g_fmt, CAST(grouping(w) AS INT) AS g_w
+         |FROM images
+         |GROUP BY GROUPING SETS ((fmt), (fmt, w), ())""".stripMargin))
+
+  /** Anti join (U5/P6 exclusion semantics as a first-class query): res-8
+    * cells holding images but containing NO kNN query point. */
+  private val qOrphanCells = Q(
+    "q_orphan_cells",
+    (s, dir) => {
+      val cells = TilePyramid.leafTiles(Images.images(s, dir), 8)
+        .select(col("cell"), col("cnt"))
+      val qcells = Fixtures.knnQueries(s)
+        .select(graft.geo.functions.cell_encode(col("qlat"), col("qlon"), 8)
+          .as("cell"))
+      cells.join(qcells, Seq("cell"), "left_anti")
+    },
+    Some(
+      s"""$cte,
+         |${Fixtures.knnOracleCte}
+         |SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT ${cellSql(8)} AS cell FROM images) t
+         |WHERE cell NOT IN (
+         |  SELECT ${Images.oracleCellSql("qlat", "qlon", 8)} FROM queries)
+         |GROUP BY cell""".stripMargin))
+
   // ------------------------------------------------------ recall harness (A9)
 
   private val K = 10
@@ -223,5 +263,6 @@ object QueriesMisc {
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats,
     qEventsWindow, qEventsSessions, qEventsJson,
-    qSampleTopN, qLevelMetrics, qKnnOverlap)
+    qSampleTopN, qLevelMetrics, qKnnOverlap,
+    qGroupingSets, qOrphanCells)
 }
