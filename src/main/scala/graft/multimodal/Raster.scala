@@ -96,6 +96,22 @@ object Raster {
     (if (bytes.length == 0) 0.0 else sum / bytes.length, mn, mx)
   }
 
+  /** Rectangular patch extraction (the frame/patch-sample step of a
+    * multimodal pipeline: video frame-sampling degenerates to this for
+    * single-frame rasters — pick a sub-rectangle deterministically). */
+  def crop(bytes: Array[Byte], w: Int, h: Int,
+           x0: Int, y0: Int, cw: Int, ch: Int): Array[Byte] = {
+    require(x0 >= 0 && y0 >= 0 && x0 + cw <= w && y0 + ch <= h,
+      s"crop out of bounds: ($x0,$y0)+($cw x $ch) in ($w x $h)")
+    val out = new Array[Byte](cw * ch * 3)
+    var y = 0
+    while (y < ch) {
+      System.arraycopy(bytes, ((y0 + y) * w + x0) * 3, out, y * cw * 3, cw * 3)
+      y += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resize of a w*h*3 raster (the feature-extract /
     * thumbnail step of a multimodal pipeline, kept codec-free). */
   def resize(bytes: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {

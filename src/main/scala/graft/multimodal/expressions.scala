@@ -101,6 +101,28 @@ case class RasterResize(bytes: Expression, w: Expression, h: Expression,
   override def prettyName: String = "raster_resize"
 }
 
+/** `RASTER_CROP(bytes, w, h, x0, y0, cw, ch) -> binary` patch sample. */
+case class RasterCrop(bytes: Expression, w: Expression, h: Expression,
+                      x0: Expression, y0: Expression,
+                      cw: Expression, ch: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(bytes, w, h, x0, y0, cw, ch)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else Raster.crop(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int],
+      vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int],
+      vs(5).asInstanceOf[Int], vs(6).asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6))
+  override def prettyName: String = "raster_crop"
+}
+
 object functions {
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def expr(c: Column): Expression = GraftBridge.expression(c)
@@ -113,4 +135,8 @@ object functions {
     col(RasterDecode(expr(bytes), expr(fmt)))
   def raster_resize(bytes: Column, w: Column, h: Column, ow: Column, oh: Column): Column =
     col(RasterResize(expr(bytes), expr(w), expr(h), expr(ow), expr(oh)))
+  def raster_crop(bytes: Column, w: Column, h: Column, x0: Column, y0: Column,
+                  cw: Column, ch: Column): Column =
+    col(RasterCrop(expr(bytes), expr(w), expr(h), expr(x0), expr(y0),
+      expr(cw), expr(ch)))
 }

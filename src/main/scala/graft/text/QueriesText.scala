@@ -39,27 +39,34 @@ object QueriesText {
 
   // ------------------------------------------------------------- token stats
 
+  /** BPE-ish subword segmentation regex (letter runs / digit runs / single
+    * punctuation) — identical RE2-safe class syntax in both engines. */
+  private val PiecePat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
   private val qDocStats = Q(
     "q_doc_stats",
     (s, dir) => docs(s, dir)
-      .select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+      .select(col("doc_id"), col("text"), expr(SparkD.splitToks("text")).as("toks"))
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         expr(SparkD.sumFold(SparkD.transform("toks", "w", "length(w)")))
-          .as("tok_chars"))
+          .as("tok_chars"),
+        size(expr(s"regexp_extract_all(lower(text), '$PiecePat', 0)"))
+          .as("n_pieces"))
       .withColumn("avg_tok_len",
         col("tok_chars").cast("double") / col("n_tokens").cast("double")),
     Some(
-      s"""WITH d AS (SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents)
-         |SELECT doc_id, n_tokens, n_distinct, tok_chars,
+      s"""WITH d AS (SELECT doc_id, text, ${DuckD.splitToks("text")} AS toks FROM documents)
+         |SELECT doc_id, n_tokens, n_distinct, tok_chars, n_pieces,
          |  CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tok_len
          |FROM (
          |  SELECT doc_id,
          |    ${DuckD.size("toks")} AS n_tokens,
          |    ${DuckD.size(DuckD.arrDistinct("toks"))} AS n_distinct,
-         |    ${DuckD.sumFold(DuckD.transform("toks", "w", "length(w)"))} AS tok_chars
+         |    ${DuckD.sumFold(DuckD.transform("toks", "w", "length(w)"))} AS tok_chars,
+         |    len(regexp_extract_all(lower(text), '$PiecePat')) AS n_pieces
          |  FROM d)""".stripMargin))
 
   // -------------------------------------------------------------- language ID

@@ -38,6 +38,20 @@ class MultimodalPipelineSpec extends SparkFunSuite {
     assert(row.getAs[Array[Byte]]("thumb").sameElements(want))
   }
 
+  test("patch sample (crop) matches the driver-side kernel") {
+    val row = withBytes.filter(col("w") >= 6 && col("h") >= 6)
+      .select(col("k"), col("w"), col("h"), col("fmt"),
+        M.raster_crop(M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(1), lit(2), lit(4), lit(3)).as("patch"))
+      .orderBy(col("k")).first()
+    val want = Raster.crop(
+      Raster.decode(Raster.storedBytes(row.getLong(0), row.getInt(1),
+        row.getInt(2), row.getString(3)), row.getString(3)),
+      row.getInt(1), row.getInt(2), 1, 2, 4, 3)
+    assert(row.getAs[Array[Byte]]("patch").sameElements(want))
+    assert(want.length == 4 * 3 * 3)
+  }
+
   test("raster_stats mean/min/max agree with the kernel") {
     val row = withBytes
       .withColumn("st", M.raster_stats(col("bytes")))
