@@ -46,12 +46,9 @@ object Queries {
     * chain is exactly associative (partial+final == single pass). */
   private val qPyramidRes5 = Q(
     "q_pyramid_res5",
-    (s, dir) => {
-      val (pyr, _) = TilePyramid.build(Images.images(s, dir), 5, 12)
-      pyr.filter(col("res") === 5)
-        .select("cell", "cnt", "bytes_sum", "lat_min", "lat_max",
-          "lon_min", "lon_max", "phash_centroid")
-    },
+    (s, dir) => TilePyramid.levelAt(Images.images(s, dir), 5)
+      .select("cell", "cnt", "bytes_sum", "lat_min", "lat_max",
+        "lon_min", "lon_max", "phash_centroid"),
     Some(
       s"""$cte
          |SELECT cell,

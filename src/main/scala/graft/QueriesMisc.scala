@@ -161,7 +161,7 @@ object QueriesMisc {
   private val qLevelMetrics = Q(
     "q_level_metrics",
     (s, dir) => {
-      val (pyr, _) = TilePyramid.build(Images.images(s, dir), 10, 12)
+      val pyr = TilePyramid.pyramidLazy(Images.images(s, dir), 10, 12)
       pyr.groupBy(col("res"))
         .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_images"),
           max(col("cnt")).as("max_per_cell"))

@@ -119,6 +119,32 @@ object TilePyramid {
     }
   }
 
+  /** Single level at `res`: straight rollup chain from the leaves, no
+    * union, no per-level materialization — one linear job. The query-side
+    * fast path when only one (or a contiguous slice of) level is needed;
+    * [[build]] remains the instrumented path (counts + early stop). */
+  def levelAt(images: DataFrame, res: Int, maxRes: Int = LeafRes): DataFrame = {
+    var level = leafTiles(images, maxRes)
+    var r = maxRes
+    while (r > res) { level = rollupOnce(level); r -= 1 }
+    level
+  }
+
+  /** Lazy union of levels minRes..maxRes (no counts, no persist): the
+    * leaf aggregation subplan is identical across branches, so Catalyst's
+    * ReuseExchange computes it once. */
+  def pyramidLazy(images: DataFrame, minRes: Int, maxRes: Int = LeafRes): DataFrame = {
+    var level = leafTiles(images, maxRes)
+    var all = level
+    var r = maxRes
+    while (r > minRes) {
+      level = rollupOnce(level)
+      all = all.unionByName(level)
+      r -= 1
+    }
+    all
+  }
+
   /** Per-level metrics (≙ log_tree_structure, raptor/utils.py:222-271):
     * cells, images, avg/max images per cell, bbox spread. The max/avg ratio
     * is the skew signal (≙ index_count hotness) that drives salting. */
