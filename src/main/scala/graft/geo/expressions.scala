@@ -145,6 +145,40 @@ case class PointInPoly(lat: Expression, lon: Expression,
     if (refineOnly) "point_in_poly_refine" else "point_in_poly"
 }
 
+/** `S2_ENCODE(lat, lon, level) -> Long` S2-style cell id (cube-face +
+  * Hilbert; [[S2Cell]]) — the alternate `TilingStrategy` index. */
+case class S2Encode(lat: Expression, lon: Expression, level: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = level
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(la: Any, lo: Any, l: Any): Any =
+    S2Cell.fromLatLng(la.asInstanceOf[Double], lo.asInstanceOf[Double],
+      l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, l) => s"graft.geo.S2Cell.fromLatLng($la, $lo, $l)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "s2_encode"
+}
+
+/** `S2_PARENT_AT(id, level) -> Long` ancestor cell (bit truncation). */
+case class S2ParentAt(id: Expression, toLevel: Expression) extends BinaryExpression {
+  override def left: Expression = id
+  override def right: Expression = toLevel
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    S2Cell.parentAt(c.asInstanceOf[Long], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.geo.S2Cell.parentAt($c, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "s2_parent_at"
+}
+
 /** Column-level API over the expressions, mirroring
   * `org.apache.spark.sql.functions`. */
 object functions {
@@ -165,6 +199,12 @@ object functions {
     col(HaversineM(expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
   def point_in_poly(lat: Column, lon: Column, lats: Column, lons: Column): Column =
     col(PointInPoly(expr(lat), expr(lon), expr(lats), expr(lons)))
+  def s2_encode(lat: Column, lon: Column, level: Int): Column =
+    col(S2Encode(expr(lat), expr(lon),
+      expr(org.apache.spark.sql.functions.lit(level))))
+  def s2_parent_at(id: Column, toLevel: Int): Column =
+    col(S2ParentAt(expr(id),
+      expr(org.apache.spark.sql.functions.lit(toLevel))))
 
   /** Register SQL names so `spark.sql` queries can use the extensions too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

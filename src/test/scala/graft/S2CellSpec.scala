@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.S2Cell
+
+/** Structural properties of the S2-style index (seeded deterministic
+  * sweeps, same style as GridCellSpec): hierarchical consistency is the
+  * property the tile pyramid depends on. */
+class S2CellSpec extends AnyFunSuite {
+
+  private def sweep(n: Int)(f: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).foreach(_ => f(rnd))
+  }
+  private def rndLat(r: scala.util.Random) = -89.9 + r.nextDouble() * 179.8
+  private def rndLon(r: scala.util.Random) = -179.9 + r.nextDouble() * 359.8
+
+  test("level and face extraction") {
+    sweep(300) { r =>
+      val lat = rndLat(r); val lon = rndLon(r)
+      val lvl = r.nextInt(S2Cell.MaxLevel + 1)
+      val id = S2Cell.fromLatLng(lat, lon, lvl)
+      assert(S2Cell.level(id) == lvl)
+      assert(S2Cell.face(id) >= 0 && S2Cell.face(id) <= 5)
+    }
+  }
+
+  test("hierarchical consistency: encode at k == parentAt(leaf, k)") {
+    sweep(500) { r =>
+      val lat = rndLat(r); val lon = rndLon(r)
+      val leaf = S2Cell.fromLatLng(lat, lon, S2Cell.MaxLevel)
+      val k = r.nextInt(S2Cell.MaxLevel)
+      assert(S2Cell.parentAt(leaf, k) == S2Cell.fromLatLng(lat, lon, k),
+        s"($lat, $lon) level $k")
+    }
+  }
+
+  test("children: 4 distinct, one level finer, parent round-trip, contained") {
+    sweep(300) { r =>
+      val id = S2Cell.fromLatLng(rndLat(r), rndLon(r), r.nextInt(S2Cell.MaxLevel))
+      val cs = S2Cell.children(id)
+      assert(cs.distinct.length == 4)
+      val l = S2Cell.level(id)
+      cs.foreach { c =>
+        assert(S2Cell.level(c) == l + 1)
+        assert(S2Cell.parentAt(c, l) == id)
+        assert(S2Cell.contains(id, c))
+      }
+    }
+  }
+
+  test("containment ranges: a point's cells nest; unrelated cells don't contain") {
+    sweep(300) { r =>
+      val lat = rndLat(r); val lon = rndLon(r)
+      val coarse = S2Cell.fromLatLng(lat, lon, 5)
+      val fine = S2Cell.fromLatLng(lat, lon, 20)
+      assert(S2Cell.contains(coarse, fine))
+      // antipodal point is on another face -> never contained
+      val far = S2Cell.fromLatLng(-lat, if (lon > 0) lon - 180 else lon + 180, 20)
+      assert(!S2Cell.contains(coarse, far))
+    }
+  }
+
+  test("same-level cells of nearby points share parents (Hilbert locality)") {
+    sweep(200) { r =>
+      val lat = math.max(-89.0, math.min(89.0, rndLat(r)))
+      val lon = math.max(-179.0, math.min(179.0, rndLon(r)))
+      val a = S2Cell.fromLatLng(lat, lon, 10)
+      val b = S2Cell.fromLatLng(lat + 1e-9, lon + 1e-9, 10)
+      // an epsilon move stays in the same level-10 cell except exactly on
+      // a boundary (measure zero for the seeded sweep)
+      assert(a == b || S2Cell.parentAt(a, 8) == S2Cell.parentAt(b, 8) ||
+        S2Cell.face(a) != S2Cell.face(b))
+    }
+  }
+}
