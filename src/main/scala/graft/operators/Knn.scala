@@ -41,8 +41,11 @@ object Knn {
     * (dist_sq, image_id). */
   def knnExact(images: DataFrame, queries: DataFrame, k: Int,
                res: Int = DefaultRes, maxIter: Int = 6): DataFrame = {
-    val lv = leaves(images, res).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // No cache: with r0=4 the loop almost always finishes in one round, so
+    // the leaf projection is scanned once either way; caching it cost more
+    // (600k-row cache write) than the rare straggler recompute it saved.
+    val lv = leaves(images, res)
+    locally {
       val minDim = math.min(GridCell.cellHeightDeg(res), GridCell.cellWidthDeg(res))
       val q0 = queries.select(col("qid"), col("qlat"), col("qlon"))
         .withColumn("qcell", G.cell_encode(col("qlat"), col("qlon"), res))
@@ -74,17 +77,13 @@ object Knn {
         r *= 2
         iter += 1
       }
-      val result =
-        if (nRemaining == 0) settled
-        else {
-          // brute-force stragglers (guaranteed exact, trivially small q side)
-          val brute = bruteRank(lv, remaining, k)
-          if (settled == null) brute else settled.unionByName(brute)
-        }
-      // materialize before unpersisting the input
-      result.persist(StorageLevel.MEMORY_AND_DISK).count()
-      result
-    } finally lv.unpersist(blocking = false)
+      if (nRemaining == 0) settled
+      else {
+        // brute-force stragglers (guaranteed exact, trivially small q side)
+        val brute = bruteRank(lv, remaining, k)
+        if (settled == null) brute else settled.unionByName(brute)
+      }
+    }
   }
 
   private def distSq = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
