@@ -60,9 +60,15 @@ object NearDup {
     val prefix = ex.join(dfreq, "s1")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("doc_id"), col("s1"))
+      .select(col("doc_id"), col("sz"), col("s1"))
+    // AllPairs size filter: J >= t implies min(|a|,|b|) >= t*max(|a|,|b|)
+    // (|∩| <= min, |∪| >= max) — culls candidates before the expensive
+    // verification join. The 1e-9 slack keeps the bound conservative under
+    // double rounding so no qualifying pair is ever dropped.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s1") === col("b.s1") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s1") === col("b.s1") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") * (1.0 + 1e-9) >=
+            lit(t) * greatest(col("a.sz"), col("b.sz")).cast("double"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, s, t)
