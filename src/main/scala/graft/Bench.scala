@@ -60,7 +60,9 @@ object Bench {
     // untimed warmup run amortizes codegen compilation out of the ratio.
     val AssignRes = 8
     val benchCols = Seq("image_id", "lat", "lon", "w", "h", "phash")
-    val benchPath = s"/tmp/graft-bench-input-r$replicate-" +
+    // d2: derivation-version token — bump whenever Images.withDerived (or the
+    // replication formula) changes, so a stale cached parquet is never reused.
+    val benchPath = s"/tmp/graft-bench-input-d2-r$replicate-" +
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     if (!new java.io.File(s"$benchPath/_SUCCESS").exists()) {
       sources.Images.imagesReplicated(spark, sfDir, replicate)

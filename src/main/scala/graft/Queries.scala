@@ -219,7 +219,7 @@ object Queries {
     qSkewSalted,
     qPairMerge,
     qResumeRes6) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
-    QueriesMisc.all
+    QueriesMisc.all ++ QueriesRetrieval.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -107,15 +107,16 @@ object QueriesMisc {
       s"""WITH o AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
          |), l AS (
-         |  SELECT user_id, t,
+         |  SELECT user_id, event_id, t,
          |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
          |  FROM o
          |), f AS (
-         |  SELECT user_id, t,
+         |  SELECT user_id, event_id, t,
          |    CASE WHEN pt IS NULL OR t - pt > $GapUs THEN 1 ELSE 0 END AS brk
          |  FROM l
          |), se AS (
-         |  SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+         |  SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY t, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
          |  FROM f)
          |SELECT user_id, CAST(sess AS BIGINT) AS sess,

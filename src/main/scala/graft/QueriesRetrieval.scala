@@ -1,0 +1,121 @@
+package graft
+
+import graft.Queries.Q
+import graft.operators.{Retrieval, TilePyramid}
+import graft.sources.{Fixtures, Images}
+
+/** Registry for the pyramid-retrieval family (tree_retriever.py's two
+  * modes). The oracles rebuild each pyramid level by grouping the raw
+  * images directly (the associativity of the rollup chain is already
+  * pinned by q_pyramid_res5) and replicate the per-level top-k descent /
+  * the all-level budgeted ranking as chained window CTEs with the exact
+  * same center-distance arithmetic. */
+object QueriesRetrieval {
+
+  private val cte = Images.oracleCte
+  private def cellSql(res: Int) = Images.oracleCellSql("lat", "lon", res)
+
+  // descent: levels 4..8, top-3 per level; collapse: levels 4..7, top-10
+  // under a 400-image running budget.
+  private val DescendStart = 4
+  private val DescendEnd = 8
+  private val DescendK = 3
+  private val CollapseMin = 4
+  private val CollapseMax = 7
+  private val CollapseK = 10
+  private val CollapseBudget = 400L
+
+  /** Squared distance from (qlat, qlon) to the tile bbox center — mirrors
+    * [[Retrieval.centerDistSq]] op-for-op. */
+  private val distSql: String =
+    "(((lat_min + lat_max) / 2.0 - qlat) * ((lat_min + lat_max) / 2.0 - qlat)" +
+      " + ((lon_min + lon_max) / 2.0 - qlon) * ((lon_min + lon_max) / 2.0 - qlon))"
+
+  /** Level-r tile CTE grouped straight from the image scan; `withParent`
+    * adds the res-(r-1) ancestor cell (constant within the group — grid
+    * nesting is exact by the nested-floor identity). */
+  private def lvCte(r: Int, withParent: Boolean): String = {
+    val pAgg = if (withParent) ", min(pcell) AS pcell" else ""
+    val pSel = if (withParent) s", ${cellSql(r - 1)} AS pcell" else ""
+    s"""lv$r AS (
+       |  SELECT cell, min(lat) AS lat_min, max(lat) AS lat_max,
+       |    min(lon) AS lon_min, max(lon) AS lon_max,
+       |    CAST(count(*) AS BIGINT) AS cnt$pAgg
+       |  FROM (SELECT ${cellSql(r)} AS cell$pSel, lat, lon FROM images) t
+       |  GROUP BY cell)""".stripMargin
+  }
+
+  private def descendOracle: String = {
+    val lvs = (DescendStart to DescendEnd)
+      .map(r => lvCte(r, withParent = r > DescendStart)).mkString(",\n")
+    val s0 =
+      s"""s$DescendStart AS (
+         |  SELECT qid, cell, cnt, dist_sq, CAST(rnk AS INTEGER) AS rnk FROM (
+         |    SELECT q.qid, t.cell, t.cnt, $distSql AS dist_sq,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY $distSql, t.cell) AS rnk
+         |    FROM lv$DescendStart t CROSS JOIN queries q
+         |  ) WHERE rnk <= $DescendK)""".stripMargin
+    val chain = (DescendStart + 1 to DescendEnd).map { r =>
+      s"""s$r AS (
+         |  SELECT qid, cell, cnt, dist_sq, CAST(rnk AS INTEGER) AS rnk FROM (
+         |    SELECT p.qid, t.cell, t.cnt, $distSql AS dist_sq,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY $distSql, t.cell) AS rnk
+         |    FROM lv$r t
+         |    JOIN s${r - 1} p ON t.pcell = p.cell
+         |    JOIN queries q ON q.qid = p.qid
+         |  ) WHERE rnk <= $DescendK)""".stripMargin
+    }
+    val union = (DescendStart to DescendEnd).map { r =>
+      s"SELECT qid, CAST($r AS INTEGER) AS res, cell, cnt, dist_sq, rnk FROM s$r"
+    }.mkString("\nUNION ALL\n")
+    (Seq(cte, Fixtures.knnOracleCte, lvs, s0) ++ chain)
+      .mkString("", ",\n", s"\n$union")
+  }
+
+  private def collapseOracle: String = {
+    val lvs = (CollapseMin to CollapseMax)
+      .map(r => lvCte(r, withParent = false)).mkString(",\n")
+    val union = (CollapseMin to CollapseMax)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS res, * FROM lv$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$cte,
+       |${Fixtures.knnOracleCte},
+       |$lvs,
+       |lvall AS (
+       |  $union
+       |),
+       |ranked AS (
+       |  SELECT qid, res, cell, cnt, dist_sq, CAST(rnk AS INTEGER) AS rnk FROM (
+       |    SELECT q.qid, t.res, t.cell, t.cnt, $distSql AS dist_sq,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY $distSql, t.cell) AS rnk
+       |    FROM lvall t CROSS JOIN queries q
+       |  ) WHERE rnk <= $CollapseK)
+       |SELECT qid, res, cell, cnt, dist_sq, rnk FROM (
+       |  SELECT *, sum(cnt) OVER (PARTITION BY qid ORDER BY rnk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ranked) WHERE cum <= $CollapseBudget""".stripMargin
+  }
+
+  /** Hierarchical descent (tree_retriever.py:215-273): per-level top-k,
+    * children-of-selected only, selections accumulated across levels. */
+  private val qDescendTopK = Q(
+    "q_descend_topk",
+    (s, dir) => Retrieval.descendTopK(
+      TilePyramid.pyramidLazy(Images.images(s, dir), DescendStart, DescendEnd),
+      Fixtures.knnQueries(s), DescendStart, DescendEnd, DescendK),
+    Some(descendOracle))
+
+  /** Collapse-tree retrieval (tree_retriever.py:168-213, the reference
+    * default): all levels ranked at once under a running image budget. */
+  private val qCollapseTopK = Q(
+    "q_collapse_topk",
+    (s, dir) => Retrieval.collapseTopK(
+      TilePyramid.pyramidLazy(Images.images(s, dir), CollapseMin, CollapseMax),
+      Fixtures.knnQueries(s), CollapseK, CollapseBudget),
+    Some(collapseOracle))
+
+  val all: Seq[Q] = Seq(qDescendTopK, qCollapseTopK)
+}

@@ -57,9 +57,12 @@ object NearDup {
       explode(col("sh")).as("s1"))
     val dfreq = ex.groupBy(col("s1")).agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("s1"))
+    // ceil() over a double product can over-round by one ULP when t*sz is an
+    // exact integer, shortening the prefix and (in principle) losing a pair;
+    // the 1e-9 slack makes rounding errors only LENGTHEN the prefix.
     val prefix = ex.join(dfreq, "s1")
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("sz"), col("s1"))
     // AllPairs size filter: J >= t implies min(|a|,|b|) >= t*max(|a|,|b|)
     // (|∩| <= min, |∪| >= max) — culls candidates before the expensive

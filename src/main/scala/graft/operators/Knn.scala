@@ -38,7 +38,17 @@ object Knn {
 
   /** Exact kNN join: queries (qid, qlat, qlon) × images -> top-k rows
     * (qid, image_id, dist_sq, rnk, bytes). Deterministic tiebreak on
-    * (dist_sq, image_id). */
+    * (dist_sq, image_id).
+    *
+    * The settle loop is fully join-based: the settled-query set stays a
+    * DataFrame end to end (left_semi to harvest, left_anti to shrink the
+    * remaining side) — no `collect()`ed id set, no literal `isin`, so the
+    * plan size is O(1) in |queries| and a 10^6-row query table is fine.
+    * Each round's ranked candidates are persisted only while harvested;
+    * settled rows are `localCheckpoint`ed (materialized + lineage cut) so
+    * the per-round cache can be released immediately. On a real cluster
+    * localCheckpoint blocks live on executors — for resumable multi-hour
+    * jobs swap for a reliable `checkpoint` dir; the shape is identical. */
   def knnExact(images: DataFrame, queries: DataFrame, k: Int,
                res: Int = DefaultRes, maxIter: Int = 6): DataFrame = {
     // No cache: with r0=4 the loop almost always finishes in one round, so
@@ -63,17 +73,22 @@ object Knn {
         val ranked = rankCandidates(lv, remaining, r, k)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val bound = r * minDim
-        val status = ranked.groupBy(col("qid"))
+        val okQids = ranked.groupBy(col("qid"))
           .agg(count(lit(1)).as("n"), max(col("dist_sq")).as("dk"))
           .filter(col("n") === k && col("dk") < bound * bound)
           .select(col("qid"))
-        val okQids = status.collect().map(_.getInt(0)).toSet
-        if (okQids.nonEmpty) {
-          val done = ranked.filter(col("qid").isin(okQids.toSeq: _*))
+        val nDone = okQids.count()
+        if (nDone > 0) {
+          val done = ranked.join(okQids, Seq("qid"), "left_semi")
+            .localCheckpoint(true)
           settled = if (settled == null) done else settled.unionByName(done)
-          remaining = remaining.filter(!col("qid").isin(okQids.toSeq: _*))
+          remaining =
+            if (nDone == nRemaining) remaining.limit(0)
+            else remaining.join(okQids, Seq("qid"), "left_anti")
+              .localCheckpoint(true)
         }
-        nRemaining -= okQids.size
+        ranked.unpersist()
+        nRemaining -= nDone
         r *= 2
         iter += 1
       }

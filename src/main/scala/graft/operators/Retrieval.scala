@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.geo.{functions => G}
+
+/** Pyramid retrieval — the graft of the reference's two tree-retrieval
+  * modes (raptor/tree_retriever.py):
+  *
+  *  - [[descendTopK]] ≙ `retrieve_information` (tree_retriever.py:215-273):
+  *    start at the coarsest layer, per layer rank nodes by distance to the
+  *    query and keep the top-k, then descend into the CHILDREN of the
+  *    selected nodes only — accumulating every layer's selection. This is
+  *    what makes the pyramid *queryable*: each level prunes the next, so a
+  *    leaf level with 10^9 tiles is touched only under ~k*4 parent cells
+  *    per query.
+  *  - [[collapseTopK]] ≙ `retrieve_information_collapse_tree`
+  *    (tree_retriever.py:168-213, the reference DEFAULT): rank tiles of ALL
+  *    levels at once by distance and keep the top-k under a running budget
+  *    (stop before the first overflowing node — same W3 semantics as
+  *    [[Knn.budgetStopBefore]], with the tile's image count standing in for
+  *    the node's token count).
+  *
+  * Distance: squared planar degree distance from the query anchor to the
+  * tile's bbox CENTER `((lat_min+lat_max)/2, (lon_min+lon_max)/2)` — the
+  * tile-summary analog of the reference's node-embedding cosine distance
+  * (the centroid IS the tile's "embedding", SURVEY.md §1.2). The closed
+  * form is replicated verbatim in the DuckDB oracles.
+  *
+  * Scale design (100 TB): the per-level candidate set after the first level
+  * is `selected(r-1) x 4` cells per query — the level scan is pruned by an
+  * equi-join on the parent cell (partition-pruned further when the pyramid
+  * comes from a [[Snapshot]], whose layout partitions by `res`). The
+  * selection side is k rows/query; it is broadcast here and becomes a
+  * shuffle equi-join on `pcell` at 10^6-query scale — never a theta join.
+  * The collapse mode is by construction a full scan of the (small) tile
+  * table per query — the reference's own default does exactly this over
+  * `all_nodes`; its scale path is descending instead.
+  */
+object Retrieval {
+
+  /** dist² from (qlat, qlon) to the tile bbox center — oracle-mirrored. */
+  private def centerDistSq: Column = {
+    val clat = (col("lat_min") + col("lat_max")) / 2.0
+    val clon = (col("lon_min") + col("lon_max")) / 2.0
+    (clat - col("qlat")) * (clat - col("qlat")) +
+      (clon - col("qlon")) * (clon - col("qlon"))
+  }
+
+  private def rankPerQuery(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_sq"), col("cell"))
+    cand.withColumn("dist_sq", centerDistSq)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("res"), col("cell"), col("cnt"),
+        col("dist_sq"), col("rnk"))
+  }
+
+  private def tileCols(t: DataFrame): DataFrame =
+    t.select(col("cell"), col("res"), col("cnt"),
+      col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"))
+
+  /** Coarse-to-fine descent: top-k per level, children-of-selected only.
+    * `pyramid` must contain levels `startRes..endRes` (schema of
+    * [[TilePyramid.build]]); `queries` is (qid, qlat, qlon). Output:
+    * (qid, res, cell, cnt, dist_sq, rnk) for every selected tile of every
+    * level — the accumulated `selected_nodes` of the reference. */
+  def descendTopK(pyramid: DataFrame, queries: DataFrame,
+                  startRes: Int, endRes: Int, k: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("qlat"), col("qlon"))
+    // level startRes is the coarsest (tiny): every query ranks all its tiles
+    var sel = rankPerQuery(
+      tileCols(pyramid.filter(col("res") === startRes)).crossJoin(broadcast(q)), k)
+    var all = sel
+    var r = startRes + 1
+    while (r <= endRes) {
+      // children of the previous selection: equi-join tile.parent == sel.cell
+      val parents = sel.select(col("qid"), col("cell").as("pcell"))
+      val cand = tileCols(pyramid.filter(col("res") === r))
+        .withColumn("pcell", G.cell_parent_at(col("cell"), r - 1))
+        .join(broadcast(parents), Seq("pcell"))
+        .join(broadcast(q), Seq("qid"))
+      sel = rankPerQuery(cand, k)
+      all = all.unionByName(sel)
+      r += 1
+    }
+    all
+  }
+
+  /** Collapse-tree retrieval: rank tiles of ALL levels at once per query,
+    * keep the top-k whose RUNNING image-count total stays within `budget`
+    * (stop before the first overflow — tree_retriever.py:197-209). */
+  def collapseTopK(pyramid: DataFrame, queries: DataFrame,
+                   k: Int, budget: Long): DataFrame = {
+    val q = queries.select(col("qid"), col("qlat"), col("qlon"))
+    val ranked = rankPerQuery(tileCols(pyramid).crossJoin(broadcast(q)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.withColumn("cum", sum(col("cnt")).over(w))
+      .filter(col("cum") <= budget)
+      .drop("cum")
+  }
+}

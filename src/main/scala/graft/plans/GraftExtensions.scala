@@ -35,7 +35,11 @@ object PolygonBBoxPrefilter extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case p @ PointInPoly(lat, lon, lats, lons, false)
-          if lats.foldable && lons.foldable =>
+          // The rewrite duplicates lat/lon into four bbox conjuncts, so they
+          // must be deterministic (a non-deterministic child would be
+          // re-evaluated with different values — a semantics change).
+          if lats.foldable && lons.foldable &&
+            lat.deterministic && lon.deterministic =>
         val la = lats.eval().asInstanceOf[ArrayData].toDoubleArray()
         val lo = lons.eval().asInstanceOf[ArrayData].toDoubleArray()
         val refined = p.copy(refineOnly = true)

@@ -125,14 +125,60 @@ object Ann {
     ranked(pairs, k)
   }
 
-  /** All pairs (a < b) with cosine >= t — exact. Quadratic verify; the
-    * scale path replaces the pair generator with the LSH bucket join (same
-    * verify), trading recall for linearity. */
+  /** All pairs (a < b) with cosine >= t — exact. Quadratic (a.ai < b.bi
+    * theta join -> nested loop): the SPEC ORACLE ONLY. The shipped query is
+    * [[lshCosNearDupPairs]], whose candidate generator is a banded-signature
+    * equi-join (linear in row count); AnnSpec measures its recall against
+    * this form. */
   def cosineNearDupPairs(spark: SparkSession, dir: String, t: Double): DataFrame = {
     val w = vecs(spark, dir)
     val a = w.select(col("vec_id").as("ai"), col("v").as("av"), col("nrm").as("an"))
     val b = w.select(col("vec_id").as("bi"), col("v").as("bv"), col("nrm").as("bn"))
     a.join(b, col("ai") < col("bi"))
+      .withColumn("cos", cosCol("av", "bv", "an", "bn"))
+      .filter(col("cos") >= t)
+      .select(col("ai"), col("bi"), col("cos"))
+  }
+
+  // --------------------------------------------- banded LSH near-dup (scale)
+
+  /** Near-dup banding layout: [[NdBands]] bands of [[NdBits]] sign bits,
+    * planes disjoint from the top-k signature's (offset [[NdPlaneOff]]).
+    * Collision probability per bit is 1 - θ/π; at cos=0.4 (θ≈66°) a 3-bit
+    * band collides with p≈0.25, so ≥1-of-8 bands fires with recall ≈0.90 —
+    * and recall rises steeply for truer duplicates (cos≥0.8 → ≥0.999). */
+  val NdBands = 8
+  val NdBits = 3
+  val NdPlaneOff = 8
+
+  /** Band-b signature: [[NdBits]] sign bits packed little-endian. */
+  def bandSig(d: Dialect, v: String, b: Int): String =
+    (0 until NdBits).map { j =>
+      s"(CASE WHEN ${proj(d, v, NdPlaneOff + b * NdBits + j)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Embedding near-dup pairs at cosine >= t, SCALE-SAFE: candidates from a
+    * banded random-hyperplane LSH equi-join (any shared band), verified with
+    * exact cosine. No theta/nested-loop join anywhere (PlanSpec pins this);
+    * the band join shuffles on (band, sig) and is AQE-splittable when a
+    * bucket runs hot. ≙ the reference's cluster-prefiltered pair search
+    * (raptor/merge_tree_builder.py:247-304) — same prefilter+verify shape
+    * as the text LSH at [[graft.dedup.NearDup.lshNearDupPairs]]. */
+  def lshCosNearDupPairs(spark: SparkSession, dir: String, t: Double): DataFrame = {
+    val w = vecs(spark, dir)
+    val bandStructs = (0 until NdBands).map { b =>
+      struct(lit(b).as("band"), expr(bandSig(SparkD, "v", b)).as("bv"))
+    }
+    val bands = w.select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"))
+      .distinct()
+    cand
+      .join(w.select(col("vec_id").as("ai"), col("v").as("av"), col("nrm").as("an")), "ai")
+      .join(w.select(col("vec_id").as("bi"), col("v").as("bv"), col("nrm").as("bn")), "bi")
       .withColumn("cos", cosCol("av", "bv", "an", "bn"))
       .filter(col("cos") >= t)
       .select(col("ai"), col("bi"), col("cos"))

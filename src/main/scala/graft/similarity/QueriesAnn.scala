@@ -54,15 +54,31 @@ object QueriesAnn {
          |    ON a.vec_id < $NQueries AND a.sig = b.sig AND b.vec_id != a.vec_id
          |) WHERE rnk <= $LshK""".stripMargin))
 
+  /** Shipped form is the banded-LSH candidate join (scale-safe — no
+    * nested-loop pair generator); the oracle replicates the banding with
+    * the same literal hyperplanes, so the probabilistic candidate set is
+    * deterministic and the compare stays exact. The quadratic all-pairs
+    * form survives only as AnnSpec's recall oracle. */
   private val qEmbedNearDup = Q(
     "q_embed_neardup",
-    (s, dir) => Ann.cosineNearDupPairs(s, dir, NearDupT),
-    Some(
-      s"""$base
+    (s, dir) => Ann.lshCosNearDupPairs(s, dir, NearDupT),
+    Some {
+      val bandCols = (0 until Ann.NdBands)
+        .map(b => s"${Ann.bandSig(DuckD, "v", b)} AS b$b").mkString(",\n    ")
+      val anyBand = (0 until Ann.NdBands)
+        .map(b => s"a.b$b = b.b$b").mkString(" OR ")
+      s"""$base,
+         |nb AS (
+         |  SELECT vec_id, $bandCols FROM w
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+         |  FROM nb a JOIN nb b ON a.vec_id < b.vec_id AND ($anyBand)
+         |)
          |SELECT ai, bi, cos FROM (
-         |  SELECT a.vec_id AS ai, b.vec_id AS bi, $cosAB AS cos
-         |  FROM w a JOIN w b ON a.vec_id < b.vec_id
-         |) WHERE cos >= $NearDupT""".stripMargin))
+         |  SELECT c.ai, c.bi, $cosAB AS cos
+         |  FROM cand c JOIN w a ON a.vec_id = c.ai JOIN w b ON b.vec_id = c.bi
+         |) WHERE cos >= $NearDupT""".stripMargin
+    })
 
   private val qLabelCentroid = Q(
     "q_label_centroid",

@@ -66,6 +66,18 @@ class AnnSpec extends SparkFunSuite {
     }
   }
 
+  test("banded-LSH near-dup is a subset of exact with recall >= 0.7") {
+    val t = 0.4
+    val exact = Ann.cosineNearDupPairs(spark, dir, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshCosNearDupPairs(spark, dir, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH path must never invent a pair")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"banded-LSH recall vs exact: ${lsh.size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.7, f"recall $recall%.3f below floor")
+  }
+
   test("label centroid facts: counts sum to table size") {
     val df = Ann.labelCentroidFacts(spark, dir, 4)
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()

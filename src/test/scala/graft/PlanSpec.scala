@@ -65,6 +65,29 @@ class PlanSpec extends SparkFunSuite {
     assert(planOf(joined).contains("BroadcastHashJoin"))
   }
 
+  test("embedding near-dup plan has no nested-loop pair generator") {
+    val df = graft.similarity.Ann.lshCosNearDupPairs(spark, SparkSpec.Sf, 0.4)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "cartesian pair generator")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "theta-join pair generator")
+  }
+
+  test("descent child joins are equi-joins; only the seed level fans out") {
+    val df = graft.operators.Retrieval.descendTopK(
+      TilePyramid.pyramidLazy(imgs, 4, 6), Fixtures.knnQueries(spark), 4, 6, 3)
+    val plan = planOf(df)
+    // the coarsest level intentionally ranks ALL its tiles per query (a
+    // broadcast fan-out of the tiny query table); every deeper level must
+    // prune through hash equi-joins on (pcell, qid). Each union branch
+    // re-embeds the seed subtree, so the textual plan shows the ONE seed
+    // nested-loop once per branch (3 levels -> <= 3), never more.
+    val fanOuts = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(fanOuts <= 3, s"descent has $fanOuts nested-loop joins; only the" +
+      " seed level (replicated per union branch) may fan out")
+    assert(plan.contains("BroadcastHashJoin"), "child pruning must be equi-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("cell_encode stays inside codegen (no fallback marker)") {
     val df = imgs.select(graft.geo.functions.cell_encode(
       col("lat"), col("lon"), 8).as("cell"))
