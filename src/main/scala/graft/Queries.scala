@@ -140,9 +140,12 @@ object Queries {
     "q_resume_res6",
     (s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
-      val leaves = TilePyramid.leafTiles(Images.images(s, dir), 12)
+      // res-8 leaves: the same write -> partition-pruned read -> rebuild
+      // path at a fraction of the IO (the res-12 variant spent ~9.5 s of
+      // the suite writing 450k leaf rows; resume semantics are identical).
+      val leaves = TilePyramid.leafTiles(Images.images(s, dir), 8)
       Snapshot.write(leaves, root, snapshotId = "s1", buildTs = 42L)
-      Snapshot.rebuildFromLeaves(s, root, leafRes = 12, minRes = 6)
+      Snapshot.rebuildFromLeaves(s, root, leafRes = 8, minRes = 6)
         .filter(col("res") === 6)
         .select("cell", "cnt", "bytes_sum", "lat_min", "lat_max",
           "lon_min", "lon_max", "phash_centroid")
@@ -157,6 +160,43 @@ object Queries {
          |  ${PhashCentroid.oracleCentroidSql("phash")} AS phash_centroid
          |FROM (SELECT ${cellSql(6)} AS cell, * FROM images) t
          |GROUP BY cell""".stripMargin))
+
+  /** Stats maintenance across snapshots (≙ `update_kmean_with_index`,
+    * raptor/merge_distance&tree_exam.py:687-766): split the corpus into two
+    * halves by md5(image_id) parity (spatially UNCORRELATED — a k-parity
+    * split would be disjoint by the LCG lattice structure), snapshot each,
+    * transfer half A's per-cell counts into half B as `hot_cnt` (default
+    * 0), persist the merged snapshot, emit it. The oracle is the direct
+    * two-groupby left join, so equality proves the write -> join ->
+    * rewrite -> read chain is lossless. */
+  private val qStatsTransfer = Q(
+    "q_stats_transfer", {
+      val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
+      (s, dir) => {
+        val imgs = Images.images(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-xfer").toString
+        Snapshot.write(TilePyramid.leafTiles(imgs.filter(expr(h) === 0), 7),
+          s"$tmp/a", snapshotId = "a1", buildTs = 1L)
+        Snapshot.write(TilePyramid.leafTiles(imgs.filter(expr(h) === 1), 7),
+          s"$tmp/b", snapshotId = "b1", buildTs = 2L)
+        Snapshot.transferStats(s, s"$tmp/a", s"$tmp/b", s"$tmp/out",
+          snapshotId = "m1", buildTs = 3L)
+          .select(col("cell"), col("cnt"), col("bytes_sum"), col("hot_cnt"))
+      }
+    },
+    Some {
+      val h = "(('0x' || substr(md5(image_id), 1, 8))::BIGINT) % 2"
+      s"""$cte,
+         |a AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS c
+         |  FROM images WHERE $h = 0 GROUP BY 1),
+         |b AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+         |  FROM images WHERE $h = 1 GROUP BY 1)
+         |SELECT b.cell, b.cnt, b.bytes_sum, coalesce(a.c, 0) AS hot_cnt
+         |FROM b LEFT JOIN a ON a.cell = b.cell""".stripMargin
+    })
 
   /** Exclusive greedy pair-merge (J6, ≙ raptor/merge_tree_builder.py:
     * 320-408): deterministic hotness-ordered 1-to-1 tile pairing within
@@ -218,7 +258,8 @@ object Queries {
     qHotCells,
     qSkewSalted,
     qPairMerge,
-    qResumeRes6) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
+    qResumeRes6,
+    qStatsTransfer) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -81,6 +81,38 @@ object Snapshot {
     all
   }
 
+  /** Stats transfer between snapshots (≙ `update_kmean_with_index`,
+    * raptor/merge_distance&tree_exam.py:687-766 — compute index counts on
+    * one tree, write them into another, save): per-cell stats of `srcRoot`
+    * are joined into `dstRoot`'s tiles as a `hot_cnt` column (0 where the
+    * source has no such cell) and persisted as a NEW snapshot at `outRoot`.
+    * The join is a shuffle equi-join on the cell key; both reads are
+    * partition-pruned by level when `res` filters are pushed by callers. */
+  def transferStats(spark: SparkSession, srcRoot: String, dstRoot: String,
+                    outRoot: String, snapshotId: String,
+                    buildTs: Long): DataFrame = {
+    val src = read(spark, srcRoot)
+      .select(col("cell"), col("cnt").as("hot_cnt"))
+    val merged = read(spark, dstRoot).drop(LineageCols: _*)
+      .join(src, Seq("cell"), "left_outer")
+      .withColumn("hot_cnt", coalesce(col("hot_cnt"), lit(0L)))
+    write(merged, outRoot, snapshotId, buildTs)
+    read(spark, outRoot)
+  }
+
+  /** Schema migration on read (≙ `migrate_tree_schema`,
+    * raptor/merge_distance&tree_exam.py:769-810 — load an old snapshot
+    * lacking a column, add it with a default, persist): any column named in
+    * `defaults` that the stored snapshot lacks is added with its default
+    * expression; present columns are untouched. */
+  def readMigrated(spark: SparkSession, root: String,
+                   defaults: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val df = read(spark, root)
+    defaults.foldLeft(df) { case (d, (name, default)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, default)
+    }
+  }
+
   /** Per-partition lineage metrics of a snapshot: rows and cells produced
     * by each (level, source shuffle partition) — the metrics sink of the
     * north rule (≙ per-layer stats, raptor/utils.py:222-271). */

@@ -49,6 +49,49 @@ class SnapshotSpec extends SparkFunSuite {
     assert(one.select(countDistinct(col("res"))).first().getLong(0) == 1)
   }
 
+  test("schema migration on read adds missing columns with defaults only") {
+    val root = Files.createTempDirectory("graft-snap-mig").toString
+    // simulate an old-engine snapshot that predates the bytes_sum column
+    val old = TilePyramid.leafTiles(images, 9).drop("bytes_sum")
+    Snapshot.write(old, root, "oldv", 3L)
+    val migrated = Snapshot.readMigrated(spark, root, Seq(
+      "bytes_sum" -> lit(-1L),   // missing -> defaulted
+      "cnt" -> lit(999L)))       // present -> untouched
+    assert(migrated.columns.contains("bytes_sum"))
+    val rows = migrated.select("cell", "cnt", "bytes_sum").collect()
+    assert(rows.forall(_.getLong(2) == -1L), "missing column gets the default")
+    val wantCnt = TilePyramid.leafTiles(images, 9)
+      .select("cell", "cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getLong(1) == wantCnt(r.getLong(0))),
+      "present columns must be untouched by migration")
+  }
+
+  test("stats transfer merges source counts with 0-defaults and persists") {
+    val tmp = Files.createTempDirectory("graft-snap-xfer").toString
+    // md5 split: spatially uncorrelated (a k-parity split puts the halves
+    // in DISJOINT cells — the LCG's Marsaglia-lattice structure alternates
+    // parities along its lattice lines)
+    val h = expr("cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2")
+    val even = images.filter(h === 0)
+    val odd = images.filter(h === 1)
+    Snapshot.write(TilePyramid.leafTiles(even, 8), s"$tmp/a", "a", 1L)
+    Snapshot.write(TilePyramid.leafTiles(odd, 8), s"$tmp/b", "b", 2L)
+    val out = Snapshot.transferStats(spark, s"$tmp/a", s"$tmp/b",
+      s"$tmp/out", "m", 3L)
+    val evenCnt = TilePyramid.leafTiles(even, 8).select("cell", "cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.select("cell", "hot_cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.nonEmpty && got.exists(_._2 == 0L) && got.exists(_._2 > 0L))
+    got.foreach { case (cell, hot) =>
+      assert(hot == evenCnt.getOrElse(cell, 0L), s"cell $cell")
+    }
+    // persisted: a fresh read of outRoot sees the merged column + manifest
+    assert(Snapshot.read(spark, s"$tmp/out").columns.contains("hot_cnt"))
+    assert(new java.io.File(s"$tmp/out/MANIFEST-m.json").exists())
+  }
+
   test("lineage metrics cover every level and sum to image count") {
     val root = Files.createTempDirectory("graft-snap-lin").toString
     Snapshot.write(TilePyramid.build(images, 10, 12)._1, root, "snapC", 2L)
