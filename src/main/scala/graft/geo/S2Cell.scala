@@ -86,16 +86,39 @@ object S2Cell {
     pos
   }
 
+  /** Inverse of [[ijToHilbert]]: (i, j) of a Hilbert position. */
+  private def hilbertToIJ(pos: Long, level: Int, face: Int): (Int, Int) = {
+    var orientation = if ((face & SwapMask) != 0) SwapMask else 0
+    var i = 0; var j = 0
+    var k = level - 1
+    while (k >= 0) {
+      val p = ((pos >>> (2 * k)) & 3L).toInt
+      val ij = PosToIJ(orientation)(p)
+      i = (i << 1) | (ij >> 1)
+      j = (j << 1) | (ij & 1)
+      orientation ^= PosToOrientation(p)
+      k -= 1
+    }
+    (i, j)
+  }
+
+  /** Unit-cube frame of a face: (u, v) -> un-normalized xyz (gnomonic; the
+    * EXACT inverse of [[faceUV]], valid for |u|,|v| beyond 1 — continuation
+    * onto neighboring faces, the wrap mechanism of [[ring]]). */
+  private def faceXYZ(face: Int, u: Double, v: Double): (Double, Double, Double) =
+    face match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case 5 => (v, u, -1.0)
+    }
+
   // ------------------------------------------------------------ public API
 
-  /** Leaf-level-free encode: cell id at `level` containing (lat, lon). */
-  def fromLatLng(latDeg: Double, lonDeg: Double, level: Int): Long = {
-    require(level >= 0 && level <= MaxLevel, s"level $level")
-    val lat = math.toRadians(latDeg)
-    val lon = math.toRadians(lonDeg)
-    val x = math.cos(lat) * math.cos(lon)
-    val y = math.cos(lat) * math.sin(lon)
-    val z = math.sin(lat)
+  /** Cell id at `level` for any (not necessarily unit) direction vector. */
+  def fromXYZ(x: Double, y: Double, z: Double, level: Int): Long = {
     val face = faceOf(x, y, z)
     val (u, v) = faceUV(face, x, y, z)
     val s = uvToSt(u); val t = uvToSt(v)
@@ -106,6 +129,25 @@ object S2Cell {
     // id = face(3) | pos(2*level) | 1, left-aligned in 64 bits
     val shift = 2 * (MaxLevel - level) + 1
     (face.toLong << 61) | (pos << shift) | (1L << (shift - 1))
+  }
+
+  /** Leaf-level-free encode: cell id at `level` containing (lat, lon). */
+  def fromLatLng(latDeg: Double, lonDeg: Double, level: Int): Long = {
+    require(level >= 0 && level <= MaxLevel, s"level $level")
+    val lat = math.toRadians(latDeg)
+    val lon = math.toRadians(lonDeg)
+    fromXYZ(math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon),
+      math.sin(lat), level)
+  }
+
+  /** (face, i, j) grid coordinates of a cell. */
+  def faceIJ(id: Long): (Int, Int, Int) = {
+    val l = level(id)
+    val shift = 2 * (MaxLevel - l) + 1
+    val pos = (id >>> shift) & ((1L << (2 * l)) - 1)
+    val f = face(id)
+    val (i, j) = hilbertToIJ(pos, l, f)
+    (f, i, j)
   }
 
   /** Level of a cell id (position of the trailing set bit). */
@@ -137,5 +179,105 @@ object S2Cell {
   def contains(id: Long, other: Long): Boolean = {
     val lsb = java.lang.Long.lowestOneBit(id)
     other >= id - lsb + 1 && other <= id + lsb - 1
+  }
+
+  /** The level-0 face cell of face `f`. */
+  def faceCell(f: Int): Long = (f.toLong << 61) | (1L << 60)
+
+  // ---------------------------------------------------------- ring / cover
+
+  // sample offsets inside a (i, j) grid square: center + inset corners
+  // (corner samples catch neighbors that the quadratic st-warp splits
+  // across two cells of an adjacent face)
+  private val SampleOffs = Array(
+    (0.5, 0.5), (0.01, 0.01), (0.99, 0.01), (0.01, 0.99), (0.99, 0.99))
+
+  /** All cells within Chebyshev distance `k` of `id` in the face grid,
+    * WRAPPING across cube faces: each neighbor square (possibly outside the
+    * face) is sampled at 5 points whose gnomonic continuation re-projects
+    * onto the true neighboring face. ≙ [[GridCell.ring]] (H3 kRing analog)
+    * with spherical topology instead of lat-clamping. */
+  def ring(id: Long, k: Int): Array[Long] = {
+    val l = level(id)
+    val (f, i, j) = faceIJ(id)
+    val n = 1 << l
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var di = -k
+    while (di <= k) {
+      var dj = -k
+      while (dj <= k) {
+        SampleOffs.foreach { case (oi, oj) =>
+          val u = stToUv((i + di + oi) / n.toDouble)
+          val v = stToUv((j + dj + oj) / n.toDouble)
+          val (x, y, z) = faceXYZ(f, u, v)
+          out += fromXYZ(x, y, z, l)
+        }
+        dj += 1
+      }
+      di += 1
+    }
+    val arr = out.distinct.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  private def latLonOf(x: Double, y: Double, z: Double): (Double, Double) = (
+    math.toDegrees(math.atan2(z, math.hypot(x, y))),
+    math.toDegrees(math.atan2(y, x)))
+
+  /** Conservative lat/lon bound of a cell: min/max over corner+center
+    * samples, inflated by the max cell diagonal (so no point of the cell
+    * can fall outside). Returns (laMin, laMax, loMin, loMax, fullLon) —
+    * fullLon when the cell nears a pole or wraps the antimeridian. */
+  private def rectBound(id: Long): (Double, Double, Double, Double, Boolean) = {
+    val l = level(id)
+    val (f, i, j) = faceIJ(id)
+    val n = 1 << l
+    val pts = Array((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.5, 0.5))
+      .map { case (oi, oj) =>
+        val u = stToUv((i + oi) / n.toDouble)
+        val v = stToUv((j + oj) / n.toDouble)
+        val (x, y, z) = faceXYZ(f, u, v)
+        latLonOf(x, y, z)
+      }
+    // max spherical diagonal of a level-l cell ≈ 2.44 * 2^-l rad < 150°/2^l
+    val slack = 150.0 / (1L << l)
+    val laMin = pts.map(_._1).min - slack
+    val laMax = pts.map(_._1).max + slack
+    val loMinRaw = pts.map(_._2).min
+    val loMaxRaw = pts.map(_._2).max
+    val nearPole = laMax >= 80.0 || laMin <= -80.0
+    val wraps = loMaxRaw - loMinRaw > 180.0
+    val lonSlack = slack / math.cos(math.toRadians(
+      math.min(80.0, math.max(math.abs(laMin), math.abs(laMax)))))
+    (laMin, laMax, loMinRaw - lonSlack, loMaxRaw + lonSlack,
+      nearPole || wraps || lonSlack >= 180.0)
+  }
+
+  /** Cells at `toLevel` covering a lat/lon box — recursive descent from the
+    * 6 face cells, rejecting a subtree only when its conservative
+    * [[rectBound]] is provably disjoint from the box. Guaranteed superset
+    * of the cells containing any point of the box (over-coverage only costs
+    * refine work). Antimeridian boxes (lonMin > lonMax) split. */
+  def cover(latMin: Double, latMax: Double, lonMin: Double, lonMax: Double,
+            toLevel: Int): Array[Long] = {
+    val lonBoxes =
+      if (lonMin <= lonMax) Seq((lonMin, lonMax))
+      else Seq((lonMin, 180.0), (-180.0, lonMax))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intersects(id: Long): Boolean = {
+      val (laMin, laMax, loMin, loMax, fullLon) = rectBound(id)
+      if (laMax < latMin || laMin > latMax) false
+      else fullLon || lonBoxes.exists { case (a, b) => loMax >= a && loMin <= b }
+    }
+    def descend(id: Long): Unit =
+      if (intersects(id)) {
+        if (level(id) == toLevel) out += id
+        else children(id).foreach(descend)
+      }
+    (0 until 6).foreach(f => descend(faceCell(f)))
+    val arr = out.distinct.toArray
+    java.util.Arrays.sort(arr)
+    arr
   }
 }

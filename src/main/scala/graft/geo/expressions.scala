@@ -164,6 +164,21 @@ case class S2Encode(lat: Expression, lon: Expression, level: Expression)
   override def prettyName: String = "s2_encode"
 }
 
+/** `S2_RING(cell, k) -> Array[Long]` cross-face Chebyshev-k neighborhood
+  * (≙ [[CellRing]] for the S2 strategy; query-side tiny -> eval-based). */
+case class S2Ring(cell: Expression, k: Expression) extends BinaryExpression
+    with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, kk: Any): Any =
+    new GenericArrayData(S2Cell.ring(c.asInstanceOf[Long], kk.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "s2_ring"
+}
+
 /** `S2_PARENT_AT(id, level) -> Long` ancestor cell (bit truncation). */
 case class S2ParentAt(id: Expression, toLevel: Expression) extends BinaryExpression {
   override def left: Expression = id
@@ -205,6 +220,8 @@ object functions {
   def s2_parent_at(id: Column, toLevel: Int): Column =
     col(S2ParentAt(expr(id),
       expr(org.apache.spark.sql.functions.lit(toLevel))))
+  def s2_ring(cell: Column, k: Column): Column =
+    col(S2Ring(expr(cell), expr(k)))
 
   /** Register SQL names so `spark.sql` queries can use the extensions too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

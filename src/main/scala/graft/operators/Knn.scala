@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.geo.{GridCell, functions => G}
+import graft.geo.{QuadkeyTiling, TilingStrategy}
 
 /** Exact kNN via ring expansion + window refine — the graft of the
   * reference's hierarchical retrieval (raptor/tree_retriever.py:168-273,
@@ -32,9 +32,10 @@ object Knn {
   val DefaultRes = 8
 
   /** images -> pruned leaf projection with cell at `res`. */
-  private def leaves(images: DataFrame, res: Int): DataFrame =
+  private def leaves(images: DataFrame, res: Int,
+                     strategy: TilingStrategy): DataFrame =
     images.select(col("image_id"), col("lat"), col("lon"), col("w"), col("h"))
-      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+      .withColumn("cell", strategy.encodeCol(col("lat"), col("lon"), res))
 
   /** Exact kNN join: queries (qid, qlat, qlon) × images -> top-k rows
     * (qid, image_id, dist_sq, rnk, bytes). Deterministic tiebreak on
@@ -50,15 +51,16 @@ object Knn {
     * localCheckpoint blocks live on executors — for resumable multi-hour
     * jobs swap for a reliable `checkpoint` dir; the shape is identical. */
   def knnExact(images: DataFrame, queries: DataFrame, k: Int,
-               res: Int = DefaultRes, maxIter: Int = 6): DataFrame = {
+               res: Int = DefaultRes, maxIter: Int = 6,
+               strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
     // No cache: with r0=4 the loop almost always finishes in one round, so
     // the leaf projection is scanned once either way; caching it cost more
     // (600k-row cache write) than the rare straggler recompute it saved.
-    val lv = leaves(images, res)
+    val lv = leaves(images, res, strategy)
     locally {
-      val minDim = math.min(GridCell.cellHeightDeg(res), GridCell.cellWidthDeg(res))
+      val minDim = strategy.minUnitDeg(res)
       val q0 = queries.select(col("qid"), col("qlat"), col("qlon"))
-        .withColumn("qcell", G.cell_encode(col("qlat"), col("qlon"), res))
+        .withColumn("qcell", strategy.encodeCol(col("qlat"), col("qlon"), res))
 
       var remaining = q0
       var settled: DataFrame = null
@@ -70,7 +72,7 @@ object Knn {
       var iter = 0
       var nRemaining = remaining.count()
       while (iter < maxIter && nRemaining > 0) {
-        val ranked = rankCandidates(lv, remaining, r, k)
+        val ranked = rankCandidates(lv, remaining, r, k, strategy)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val bound = r * minDim
         val okQids = ranked.groupBy(col("qid"))
@@ -113,8 +115,10 @@ object Knn {
         (col("w") * col("h") * 3).cast("long").as("bytes"))
   }
 
-  private def rankCandidates(lv: DataFrame, qs: DataFrame, r: Int, k: Int): DataFrame = {
-    val cand = qs.withColumn("cell", explode(G.cell_ring(col("qcell"), lit(r))))
+  private def rankCandidates(lv: DataFrame, qs: DataFrame, r: Int, k: Int,
+                             strategy: TilingStrategy): DataFrame = {
+    val cand = qs.withColumn("cell",
+      explode(strategy.ringCol(col("qcell"), lit(r))))
     topK(lv.join(broadcast(cand), Seq("cell")), k)
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.geo.{GridCell, functions => G}
+import graft.geo.{GridCell, QuadkeyTiling, TilingStrategy, functions => G}
 import graft.sources.Fixtures
 
 /** Point-in-polygon spatial join — the canonical prefilter + refine shape
@@ -27,24 +27,29 @@ object SpatialJoin {
   /** Build the covering index rows (cell, poly_id, lats, lons) driver-side
     * (polygon count is small by assumption; a huge polygon set would build
     * this distributed with an explode over a cover() expression). */
-  def coverIndex(spark: SparkSession, polys: Seq[Fixtures.Poly], res: Int): DataFrame = {
+  def coverIndex(spark: SparkSession, polys: Seq[Fixtures.Poly], res: Int,
+                 strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
     import spark.implicits._
     val rows = polys.flatMap { p =>
       val (laMin, laMax, loMin, loMax) = GridCell.polyBounds(p.lats, p.lons)
-      GridCell.cover(laMin, laMax, loMin, loMax, res).map { cell =>
+      strategy.cover(laMin, laMax, loMin, loMax, res).map { cell =>
         (cell, p.polyId, p.lats.toSeq, p.lons.toSeq)
       }
     }
     rows.toDF("cell", "poly_id", "lats", "lons")
   }
 
-  /** Prefilter + refine join: emits (poly_id, image_id) containment pairs. */
+  /** Prefilter + refine join: emits (poly_id, image_id) containment pairs.
+    * `strategy` picks the covering index (quadkey default / S2) —
+    * ≙ the reference's pluggable ClusteringAlgorithm boundary,
+    * raptor/cluster_utils.py:130-133. */
   def pipJoin(images: DataFrame, spark: SparkSession,
               polys: Seq[Fixtures.Poly] = Fixtures.polys,
-              res: Int = CoverRes): DataFrame = {
-    val idx = coverIndex(spark, polys, res)
+              res: Int = CoverRes,
+              strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    val idx = coverIndex(spark, polys, res, strategy)
     val pts = images.select(col("image_id"), col("lat"), col("lon"))
-      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+      .withColumn("cell", strategy.encodeCol(col("lat"), col("lon"), res))
     pts.join(broadcast(idx), Seq("cell"))
       .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
       .select(col("poly_id"), col("image_id"))

@@ -62,6 +62,62 @@ class S2CellSpec extends AnyFunSuite {
     }
   }
 
+  test("faceIJ inverts the Hilbert encode") {
+    sweep(400) { r =>
+      val lvl = r.nextInt(S2Cell.MaxLevel + 1)
+      val id = S2Cell.fromLatLng(rndLat(r), rndLon(r), lvl)
+      val (f, i, j) = S2Cell.faceIJ(id)
+      assert(f == S2Cell.face(id))
+      assert(i >= 0 && i < (1 << lvl) && j >= 0 && j < (1 << lvl))
+      // re-encode the cell center from its (face, i, j) -> same id:
+      // ring(id, 0) samples the center square, so it must contain id
+      assert(S2Cell.ring(id, 0).contains(id))
+    }
+  }
+
+  test("ring contains the cell and all near neighbors (incl. across faces)") {
+    sweep(300) { r =>
+      val lat = rndLat(r); val lon = rndLon(r)
+      val lvl = 2 + r.nextInt(10)
+      val id = S2Cell.fromLatLng(lat, lon, lvl)
+      val rg = S2Cell.ring(id, 2).toSet
+      assert(rg.contains(id))
+      // small angular perturbations stay inside a 2-ring
+      val eps = 20.0 / (1 << lvl) // well under one cell width
+      for (dla <- Seq(-eps, 0.0, eps); dlo <- Seq(-eps, 0.0, eps)) {
+        val la = math.max(-89.99, math.min(89.99, lat + dla))
+        val lo = ((lon + dlo + 540.0) % 360.0) - 180.0
+        assert(rg.contains(S2Cell.fromLatLng(la, lo, lvl)),
+          s"lvl=$lvl ($lat,$lon) + ($dla,$dlo) escaped the 2-ring")
+      }
+      rg.foreach(c => assert(S2Cell.level(c) == lvl))
+    }
+  }
+
+  test("cover is a superset of the cells of points inside the box") {
+    sweep(60) { r =>
+      val laMin = rndLat(r); val laMax = math.min(89.9, laMin + r.nextDouble() * 20)
+      val loMin = rndLon(r); val loMax = math.min(179.9, loMin + r.nextDouble() * 30)
+      val lvl = 3 + r.nextInt(4)
+      val cov = S2Cell.cover(laMin, laMax, loMin, loMax, lvl).toSet
+      assert(cov.nonEmpty)
+      (0 until 40).foreach { _ =>
+        val la = laMin + r.nextDouble() * (laMax - laMin)
+        val lo = loMin + r.nextDouble() * (loMax - loMin)
+        assert(cov.contains(S2Cell.fromLatLng(la, lo, lvl)),
+          s"point ($la,$lo) of box not covered at level $lvl")
+      }
+      cov.foreach(c => assert(S2Cell.level(c) == lvl))
+    }
+  }
+
+  test("cover handles antimeridian boxes") {
+    val cov = S2Cell.cover(-10.0, 10.0, 170.0, -170.0, 4).toSet
+    assert(cov.contains(S2Cell.fromLatLng(0.0, 179.5, 4)))
+    assert(cov.contains(S2Cell.fromLatLng(0.0, -179.5, 4)))
+    assert(cov.contains(S2Cell.fromLatLng(5.0, 175.0, 4)))
+  }
+
   test("same-level cells of nearby points share parents (Hilbert locality)") {
     sweep(200) { r =>
       val lat = math.max(-89.0, math.min(89.0, rndLat(r)))

@@ -36,6 +36,26 @@ class SpatialParitySpec extends SparkFunSuite {
     assert(fast == brute)
   }
 
+  test("pip prefilter+refine == brute force under the S2 strategy") {
+    val fast = SpatialJoin.pipJoin(images, spark,
+        strategy = graft.geo.S2Tiling, res = graft.geo.S2Tiling.defaultCoverRes)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = SpatialJoin.pipBrute(images, spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast.nonEmpty && fast == brute)
+  }
+
+  test("ring-expansion kNN == brute-force kNN under the S2 strategy") {
+    val qs = Fixtures.knnQueries(spark)
+    val fast = Knn.knnExact(images, qs, 10, res = 7,
+        strategy = graft.geo.S2Tiling).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    val brute = Knn.knnBrute(images, qs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    assert(fast.size == 48 * 10)
+    assert(fast == brute)
+  }
+
   test("knn(k) is a prefix of knn(k+5)") {
     val qs = Fixtures.knnQueries(spark).limit(8)
     val k10 = Knn.knnExact(images, qs, 10).collect()
