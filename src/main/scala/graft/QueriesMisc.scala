@@ -158,12 +158,22 @@ object QueriesMisc {
 
   /** Per-level pyramid metrics (≙ log_tree_structure,
     * raptor/utils.py:222-271): cells, images, avg/max occupancy per level —
-    * the skew dashboard. */
+    * the skew dashboard. Plan: ONE scan + ONE shuffle for all levels via
+    * the batched multi-res projection (`cell_encode_multi` -> explode ->
+    * groupBy cell) instead of a chain of dependent rollup stages — the
+    * right shape for count-only payloads (the full tile pyramid keeps the
+    * rollup chain, whose per-level aggregate state is reused). The explode
+    * triples rows BEFORE the shuffle, but map-side partial aggregation
+    * compacts them to the distinct-cell count, so shuffled bytes stay
+    * proportional to cells, not images x levels. */
   private val qLevelMetrics = Q(
     "q_level_metrics",
     (s, dir) => {
-      val pyr = TilePyramid.pyramidLazy(Images.images(s, dir), 10, 12)
-      pyr.groupBy(col("res"))
+      Images.images(s, dir)
+        .select(explode(graft.geo.functions.cell_encode_multi(
+          col("lat"), col("lon"), 10, 12)).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .groupBy(shiftrightunsigned(col("cell"), 58).cast("int").as("res"))
         .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_images"),
           max(col("cnt")).as("max_per_cell"))
         .withColumn("avg_per_cell",

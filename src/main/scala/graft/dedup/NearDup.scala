@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextOps
 import graft.text.TextOps.SparkD
@@ -52,7 +53,21 @@ object NearDup {
     * ordering keeps candidate fan-out minimal (the frequent-shingle skew
     * never enters the join). */
   def jaccardPairsExact(docs: DataFrame, t: Double): DataFrame = {
+    // The shingle table feeds candidate generation AND both sides of the
+    // verification join; without a persist the whole tokenize+shingle
+    // pipeline runs 3x (measured ~40% of query time at sf0.1).
     val s = docShingled(docs).select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(jaccardCandidates(s, t), s, t)
+  }
+
+  /** Candidate (doc_a, doc_b) generator for [[jaccardPairsExact]] —
+    * AllPairs prefix join + size filter + PPJoin positional filter
+    * (Xiao et al., WWW'08), all provably lossless. `positional = false`
+    * exposes the pre-PPJoin generator so NearDupSpec can measure the
+    * candidate reduction. */
+  private[graft] def jaccardCandidates(s: DataFrame, t: Double,
+                                       positional: Boolean = true): DataFrame = {
     val ex = s.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s1"))
     val dfreq = ex.groupBy(col("s1")).agg(count(lit(1)).as("dfreq"))
@@ -60,21 +75,36 @@ object NearDup {
     // ceil() over a double product can over-round by one ULP when t*sz is an
     // exact integer, shortening the prefix and (in principle) losing a pair;
     // the 1e-9 slack makes rounding errors only LENGTHEN the prefix.
+    // persisted: the self-join would otherwise evaluate the whole
+    // explode -> dfreq-join -> window subtree once per side
     val prefix = ex.join(dfreq, "s1")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("sz"), col("s1"))
+      .select(col("doc_id"), col("sz"), col("rk"), col("s1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // AllPairs size filter: J >= t implies min(|a|,|b|) >= t*max(|a|,|b|)
     // (|∩| <= min, |∪| >= max) — culls candidates before the expensive
     // verification join. The 1e-9 slack keeps the bound conservative under
     // double rounding so no qualifying pair is ever dropped.
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s1") === col("b.s1") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.sz"), col("b.sz")).cast("double") * (1.0 + 1e-9) >=
-            lit(t) * greatest(col("a.sz"), col("b.sz")).cast("double"))
+    val sizeOk =
+      least(col("a.sz"), col("b.sz")).cast("double") * (1.0 + 1e-9) >=
+        lit(t) * greatest(col("a.sz"), col("b.sz")).cast("double")
+    // PPJoin positional filter: at a prefix collision with ranks (pa, pb),
+    // the overlap is bounded by 1 + min(|a|-pa, |b|-pb); J >= t needs
+    // overlap >= ceil(t/(1+t)*(|a|+|b|)). Both shingle lists share one
+    // global order, so the pair's FIRST common shingle is a prefix
+    // collision with no earlier common shingles — its bound is exact, and
+    // that collision row always survives for a qualifying pair (later
+    // collision rows may be pruned spuriously; distinct keeps the pair).
+    val posOk =
+      lit(1) + least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) >=
+        ceil(lit(t / (1.0 + t)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
+    val cond = col("a.s1") === col("b.s1") &&
+      col("a.doc_id") < col("b.doc_id") && sizeOk
+    prefix.as("a").join(prefix.as("b"),
+        if (positional) cond && posOk else cond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, s, t)
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to shingle sets and keep

@@ -74,6 +74,23 @@ object GridCell {
     else pack(r - 1, xOf(cell) >> 1, yOf(cell) >> 1)
   }
 
+  /** Multi-resolution encode: the cell at EVERY res in `minRes..maxRes`
+    * (coarse -> fine), from ONE trig-free encode at maxRes — parents are
+    * pure bit slices of the finest cell (exact by the nested-floor
+    * identity). ≙ the reference's per-record multi-model embedding batch
+    * (raptor/tree_builder.py:197-201: one pass, all models). */
+  def encodeMulti(lat: Double, lon: Double, minRes: Int, maxRes: Int): Array[Long] = {
+    val leaf = encode(lat, lon, maxRes)
+    val out = new Array[Long](maxRes - minRes + 1)
+    var r = minRes
+    while (r <= maxRes) {
+      val d = maxRes - r
+      out(r - minRes) = pack(r, xOf(leaf) >>> d, yOf(leaf) >>> d)
+      r += 1
+    }
+    out
+  }
+
   /** Ancestor at an arbitrary coarser resolution `toRes` (<= res of cell). */
   def parentAt(cell: Long, toRes: Int): Long = {
     val r = resOf(cell)

@@ -72,6 +72,40 @@ case class CellRing(cell: Expression, k: Expression) extends BinaryExpression
   override def prettyName: String = "cell_ring"
 }
 
+/** Static kernel for [[MultiResCells]] — returns Catalyst ArrayData so the
+  * generated code assigns the result directly. */
+object CellOps {
+  def encodeMultiData(lat: Double, lon: Double, minRes: Int, maxRes: Int): ArrayData =
+    new GenericArrayData(GridCell.encodeMulti(lat, lon, minRes, maxRes))
+}
+
+/** `CELL_ENCODE_MULTI(lat, lon, minRes, maxRes) -> Array[Long]` cells at
+  * every res minRes..maxRes from one batched encode (SURVEY.md §1.2's
+  * multi-model embedding analog, tree_builder.py:197-201). Codegen'd —
+  * multi-granularity projections stay inside WholeStageCodegen, so an
+  * explode-then-aggregate plan needs ONE scan and ONE shuffle for all
+  * levels at once (vs a rollup chain of dependent stages). */
+case class MultiResCells(lat: Expression, lon: Expression,
+                         minRes: Expression, maxRes: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = minRes
+  override def fourth: Expression = maxRes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    CellOps.encodeMultiData(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Int], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.geo.CellOps.encodeMultiData($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+  override def prettyName: String = "cell_encode_multi"
+}
+
 /** `HAVERSINE_M(lat1, lon1, lat2, lon2) -> Double` meters. */
 case class HaversineM(lat1: Expression, lon1: Expression,
                       lat2: Expression, lon2: Expression)
@@ -204,6 +238,10 @@ object functions {
     col(CellEncode(expr(lat), expr(lon), expr(res)))
   def cell_encode(lat: Column, lon: Column, res: Int): Column =
     cell_encode(lat, lon, org.apache.spark.sql.functions.lit(res))
+  def cell_encode_multi(lat: Column, lon: Column, minRes: Int, maxRes: Int): Column =
+    col(MultiResCells(expr(lat), expr(lon),
+      expr(org.apache.spark.sql.functions.lit(minRes)),
+      expr(org.apache.spark.sql.functions.lit(maxRes))))
   def cell_parent_at(cell: Column, toRes: Column): Column =
     col(CellParentAt(expr(cell), expr(toRes)))
   def cell_parent_at(cell: Column, toRes: Int): Column =

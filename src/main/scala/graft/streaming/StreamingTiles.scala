@@ -39,6 +39,25 @@ object StreamingTiles {
       .agg(count(lit(1)).as("cnt"),
         sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
 
+  /** Streaming WHOLE-PYRAMID maintenance: every level `minRes..maxRes`
+    * kept incrementally current in ONE stateful aggregation. The batched
+    * multi-res projection emits each image's cell at all levels; state is
+    * keyed by cell (level lives in the id's top bits), so a new file's
+    * rows update leaf tiles AND all ancestors in the same micro-batch —
+    * the streaming form of the `MERGE INTO`-style increment path
+    * (SURVEY.md §1.2). State size = total tile count (bounded by the
+    * pyramid's own size); at 10^12 images shard the state store by the
+    * same cell key the batch rollup shuffles on. */
+  def pyramidStream(spark: SparkSession, dir: String,
+                    minRes: Int, maxRes: Int): DataFrame =
+    spark.readStream.schema(imageSchema).parquet(dir)
+      .select(
+        explode(G.cell_encode_multi(col("lat"), col("lon"), minRes, maxRes))
+          .as("cell"),
+        (col("w") * col("h") * 3).cast("long").as("b"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sum(col("b")).as("bytes_sum"))
+
   /** Streaming event-time windows with a watermark: 1h tumbling counts per
     * event type (streaming analog of `q_events_window`). */
   def eventWindowStream(spark: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,19 @@ class GridCellSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeMulti == per-res encode at every res (batched projection)") {
+    sweep(300) { r =>
+      val lat = rndLat(r); val lon = rndLon(r)
+      val lo = r.nextInt(8); val hi = lo + 1 + r.nextInt(16 - lo - 1)
+      val multi = GridCell.encodeMulti(lat, lon, lo, hi)
+      assert(multi.length == hi - lo + 1)
+      (lo to hi).foreach { res =>
+        assert(multi(res - lo) == GridCell.encode(lat, lon, res),
+          s"($lat, $lon) res $res")
+      }
+    }
+  }
+
   test("children inverse of parent") {
     sweep(200) { r =>
       val c = GridCell.encode(rndLat(r), rndLon(r), 8)

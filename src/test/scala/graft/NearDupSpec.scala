@@ -71,6 +71,22 @@ class NearDupSpec extends SparkFunSuite {
     }
   }
 
+  test("PPJoin positional filter shrinks candidates and loses no pair") {
+    val t = 0.5
+    val s = NearDup.docShingled(docs).select(col("doc_id"), col("sh"))
+    val without = NearDup.jaccardCandidates(s, t, positional = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withPos = NearDup.jaccardCandidates(s, t, positional = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"candidates: ${without.size} -> ${withPos.size} with positional filter")
+    assert(withPos.subsetOf(without))
+    assert(withPos.size < without.size, "positional filter must prune some")
+    // losslessness: every truly-qualifying pair still among candidates
+    val truth = NearDup.jaccardPairsExact(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(withPos))
+  }
+
   test("exact dedup by md5 keeps one keeper per distinct text") {
     val grouped = docs.groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))

@@ -48,6 +48,37 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("streaming pyramid (all levels) == batch pyramid, across a resume") {
+    val inDir = Files.createTempDirectory("graft-stream-pyr").toString
+    val ckpt = Files.createTempDirectory("graft-stream-pyrck").toString
+    val imgs = Images.images(spark, SparkSpec.Sf)
+      .select("image_id", "lat", "lon", "w", "h", "phash")
+
+    // increment 1, then increment 2 resumed from the same checkpoint
+    imgs.filter(col("phash") % 2 === 0).write.mode("append").parquet(inDir)
+    runAvailableNow(StreamingTiles.pyramidStream(spark, inDir, 8, 10), "pyr", ckpt)
+    imgs.filter(col("phash") % 2 =!= 0).write.mode("append").parquet(inDir)
+    runAvailableNow(StreamingTiles.pyramidStream(spark, inDir, 8, 10), "pyr", ckpt)
+
+    val got = spark.table("pyr").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // batch truth: per-level leaf grouping over the full table
+    val want = imgs
+      .select(explode(G.cell_encode_multi(col("lat"), col("lon"), 8, 10)).as("cell"),
+        (col("w") * col("h") * 3).cast("long").as("b"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sum(col("b")).as("bytes_sum"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // all three levels present and each level's totals equal the image count
+    val perRes = got.keys.toSeq.groupBy(c => (c >>> 58).toInt)
+    assert(perRes.keySet == Set(8, 9, 10))
+    val total = imgs.count()
+    perRes.foreach { case (res, cells) =>
+      assert(cells.map(c => got(c)._1).sum == total, s"level $res undercounts")
+    }
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
