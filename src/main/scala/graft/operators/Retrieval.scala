@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.geo.{functions => G}
 
@@ -69,20 +70,30 @@ object Retrieval {
     * level — the accumulated `selected_nodes` of the reference. */
   def descendTopK(pyramid: DataFrame, queries: DataFrame,
                   startRes: Int, endRes: Int, k: Int): DataFrame = {
+    // Persist the tile table: the descent filters it once per level AND
+    // each level's selection plan embeds every previous level's subtree —
+    // without materialization a derived (e.g. rollup-chain) pyramid would
+    // be recomputed O(levels^2) times. A Snapshot-backed pyramid is
+    // already materialized parquet; the persist is then a cheap cache.
+    val tiles = tileCols(pyramid).persist(StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col("qid"), col("qlat"), col("qlon"))
-    // level startRes is the coarsest (tiny): every query ranks all its tiles
+    // Each level's selection (k rows/query) feeds BOTH the next level's
+    // broadcast and the final union — localCheckpoint materializes it once
+    // (lineage cut, data stays distributed); without it level r's subtree
+    // re-executes O(levels - r) times, one broadcast job each.
     var sel = rankPerQuery(
-      tileCols(pyramid.filter(col("res") === startRes)).crossJoin(broadcast(q)), k)
+      tiles.filter(col("res") === startRes).crossJoin(broadcast(q)), k)
+      .localCheckpoint(true)
     var all = sel
     var r = startRes + 1
     while (r <= endRes) {
       // children of the previous selection: equi-join tile.parent == sel.cell
       val parents = sel.select(col("qid"), col("cell").as("pcell"))
-      val cand = tileCols(pyramid.filter(col("res") === r))
+      val cand = tiles.filter(col("res") === r)
         .withColumn("pcell", G.cell_parent_at(col("cell"), r - 1))
         .join(broadcast(parents), Seq("pcell"))
         .join(broadcast(q), Seq("qid"))
-      sel = rankPerQuery(cand, k)
+      sel = rankPerQuery(cand, k).localCheckpoint(true)
       all = all.unionByName(sel)
       r += 1
     }
@@ -94,8 +105,11 @@ object Retrieval {
     * (stop before the first overflow — tree_retriever.py:197-209). */
   def collapseTopK(pyramid: DataFrame, queries: DataFrame,
                    k: Int, budget: Long): DataFrame = {
+    // single scan of the tile table, but a derived pyramid's union chain
+    // re-evaluates shared rollup prefixes per branch -> materialize once
+    val tiles = tileCols(pyramid).persist(StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col("qid"), col("qlat"), col("qlon"))
-    val ranked = rankPerQuery(tileCols(pyramid).crossJoin(broadcast(q)), k)
+    val ranked = rankPerQuery(tiles.crossJoin(broadcast(q)), k)
     val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked.withColumn("cum", sum(col("cnt")).over(w))

@@ -114,7 +114,8 @@ object Ann {
     * ≙ the reference's top-clusters-then-members search
     * (raptor/kmeans_retriever.py:76-124). */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val w = vecs(spark, dir).withColumn("sig", expr(signature(SparkD, "v")))
+    val w = vecs(spark, dir).withColumn("sig",
+      element_at(V.hyperplane_bands(col("v"), sigSigns, Dim, SigBits), 1))
     val q = w.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("sig"))
@@ -157,6 +158,17 @@ object Ann {
       s"(CASE WHEN ${proj(d, v, NdPlaneOff + b * NdBits + j)} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Flattened ±1 plane matrices for the codegen'd [[HyperplaneBands]]
+    * kernel — the ENGINE-side form of [[signature]] / [[bandSig]] (the
+    * oracles keep the unrolled literal chains; both evaluate the identical
+    * left-assoc IEEE-754 sum, so values match bit-for-bit while the engine
+    * compiles one tight loop instead of 24 unrolled 64-term expressions —
+    * janino compile of those dominated the cold query time). */
+  private lazy val sigSigns: Array[Int] =
+    Array.tabulate(SigBits * Dim)(k => planeSign(k / Dim, k % Dim))
+  private lazy val ndSigns: Array[Int] =
+    Array.tabulate(NdBands * NdBits * Dim)(k => planeSign(NdPlaneOff + k / Dim, k % Dim))
+
   /** Embedding near-dup pairs at cosine >= t, SCALE-SAFE: candidates from a
     * banded random-hyperplane LSH equi-join (any shared band), verified with
     * exact cosine. No theta/nested-loop join anywhere (PlanSpec pins this);
@@ -166,11 +178,9 @@ object Ann {
     * as the text LSH at [[graft.dedup.NearDup.lshNearDupPairs]]. */
   def lshCosNearDupPairs(spark: SparkSession, dir: String, t: Double): DataFrame = {
     val w = vecs(spark, dir)
-    val bandStructs = (0 until NdBands).map { b =>
-      struct(lit(b).as("band"), expr(bandSig(SparkD, "v", b)).as("bv"))
-    }
-    val bands = w.select(col("vec_id"), explode(array(bandStructs: _*)).as("s"))
-      .select(col("vec_id"), col("s.band").as("band"), col("s.bv").as("bv"))
+    val bands = w.select(col("vec_id"),
+        posexplode(V.hyperplane_bands(col("v"), ndSigns, Dim, NdBits)))
+      .toDF("vec_id", "band", "bv")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))

