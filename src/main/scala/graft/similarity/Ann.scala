@@ -126,6 +126,62 @@ object Ann {
     ranked(pairs, k)
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** IVF (inverted-file) top-k: a coarse quantizer of exact per-label
+    * centroids (integer-quantized means — order-free, so the codebook is
+    * bit-reproducible under any aggregation order), each vector assigned
+    * to its nearest centroid cell, queries probing their `nprobe` nearest
+    * cells, exact cosine refine within the probed cells. The DIRECT graft
+    * of the reference's kmeans retrieval (kmeans_retriever.py:76-124: top
+    * clusters -> cluster members -> brute refine) — the cluster-prefilter
+    * complement to the hyperplane [[lshTopK]].
+    *
+    * Scale: the codebook is tiny (broadcast); assignment and probing are
+    * map-only over broadcast centroids; the candidate join is an equi-join
+    * on the cell id (shuffle-partitioned, AQE-splittable for hot cells). */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+              nprobe: Int): DataFrame = {
+    val w = vecs(spark, dir)
+    // codebook via posexplode + (label, dim) groupBy: same arithmetic as
+    // the oracle's 64 explicit sums (CAST(s AS DOUBLE)/(cnt*1e6)) but the
+    // generated aggregate is 2 slots instead of 65 — the 64-column agg's
+    // janino compile alone cost ~4 s of the cold query
+    val cent = w.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(floor(x * 1000000) as bigint)")).as("s"))
+      .withColumn("cd",
+        col("s").cast("double") / (col("cnt").cast("double") * 1000000.0))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cd))), e -> e.cd)")
+        .as("c"))
+      .select(col("label").as("acell"), col("c"))
+      .withColumn("cn", V.vec_dot(col("c"), col("c")))
+    // squared euclidean to a centroid: nrm - 2*dot(v,c) + cn (one fold)
+    def nearestCells(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val wnd = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("acell"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("cdist",
+          col("nrm") - lit(2.0) * V.vec_dot(col("v"), col("c")) + col("cn"))
+        .withColumn("crnk", row_number().over(wnd))
+        .filter(col("crnk") <= keep)
+        .select(col(idCol), col("acell"))
+    }
+    val assign = nearestCells(w, "vec_id", 1)
+    val q = w.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v"), col("nrm"))
+    val probes = nearestCells(q, "qid", nprobe)
+    val pairs = probes.join(assign, "acell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(w.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(q.select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))),
+        "qid")
+      .withColumn("cos", cosCol("qv", "v", "qn", "nrm"))
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+    ranked(pairs, k)
+  }
+
   /** All pairs (a < b) with cosine >= t — exact. Quadratic (a.ai < b.bi
     * theta join -> nested loop): the SPEC ORACLE ONLY. The shipped query is
     * [[lshCosNearDupPairs]], whose candidate generator is a banded-signature

@@ -11,6 +11,8 @@ object QueriesAnn {
   private val NQueries = 8
   private val K = 5
   private val LshK = 3
+  private val IvfK = 5
+  private val IvfNProbe = 2
   private val NearDupT = 0.4
   private val CentroidDims = 4
 
@@ -54,6 +56,53 @@ object QueriesAnn {
          |    ON a.vec_id < $NQueries AND a.sig = b.sig AND b.vec_id != a.vec_id
          |) WHERE rnk <= $LshK""".stripMargin))
 
+  /** IVF ANN: the oracle rebuilds the identical coarse codebook (integer-
+    * quantized per-label means), the identical nearest-cell assignment and
+    * probes, and the identical refine — so the approximate result is
+    * deterministic and hash-exact. ≙ kmeans_retriever.py:76-124. */
+  private val qAnnIvf = Q(
+    "q_ann_ivf",
+    (s, dir) => Ann.ivfTopK(s, dir, NQueries, IvfK, IvfNProbe),
+    Some {
+      val sums = (1 to Ann.Dim)
+        .map(i => s"CAST(sum(CAST(floor(v[$i] * 1000000) AS BIGINT)) AS BIGINT) AS s_$i")
+        .mkString(",\n    ")
+      val cdims = (1 to Ann.Dim)
+        .map(i => s"CAST(s_$i AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)")
+        .mkString(", ")
+      def nearest(filter: String, keep: Int, idAs: String) =
+        s"""SELECT vec_id AS $idAs, acell FROM (
+           |    SELECT w.vec_id, cent2.acell,
+           |      row_number() OVER (PARTITION BY w.vec_id ORDER BY
+           |        (w.nrm - 2.0 * ${Ann.dot(DuckD, "w.v", "cent2.c")} + cent2.cn),
+           |        cent2.acell) AS crnk
+           |    FROM w CROSS JOIN cent2$filter
+           |  ) WHERE crnk <= $keep""".stripMargin
+      val cosQB = Ann.cosine(DuckD, "q.v", "b.v", "q.nrm", "b.nrm")
+      s"""$base,
+         |cagg AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS cnt,
+         |    $sums
+         |  FROM w GROUP BY label
+         |), cent AS (
+         |  SELECT label AS acell, list_value($cdims) AS c FROM cagg
+         |), cent2 AS (
+         |  SELECT acell, c, ${Ann.dot(DuckD, "c", "c")} AS cn FROM cent
+         |), assign AS (
+         |  ${nearest("", 1, "vec_id")}
+         |), probes AS (
+         |  ${nearest(s" WHERE w.vec_id < $NQueries", IvfNProbe, "qid")}
+         |)
+         |SELECT qid, nid, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT p.qid, b.vec_id AS nid, $cosQB AS cos,
+         |    row_number() OVER (PARTITION BY p.qid ORDER BY $cosQB DESC, b.vec_id) AS rnk
+         |  FROM probes p
+         |  JOIN assign a ON a.acell = p.acell AND a.vec_id != p.qid
+         |  JOIN w q ON q.vec_id = p.qid
+         |  JOIN w b ON b.vec_id = a.vec_id
+         |) WHERE rnk <= $IvfK""".stripMargin
+    })
+
   /** Shipped form is the banded-LSH candidate join (scale-safe — no
     * nested-loop pair generator); the oracle replicates the banding with
     * the same literal hyperplanes, so the probabilistic candidate set is
@@ -96,5 +145,5 @@ object QueriesAnn {
          |FROM e GROUP BY label""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qEmbedNearDup, qLabelCentroid)
+  val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qAnnIvf, qEmbedNearDup, qLabelCentroid)
 }

@@ -66,6 +66,40 @@ class AnnSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF top-k: exact cosines, neighbors share a probed cell, recall measured") {
+    val vs = collected
+    // driver-side codebook: exact integer-quantized per-label means
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = labels.groupBy(_._2).map { case (lab, ids) =>
+      val rows = ids.keys.toSeq.sorted.map(vs)
+      val n = rows.size
+      lab -> Array.tabulate(Ann.Dim) { i =>
+        rows.map(v => math.floor(v(i) * 1000000).toLong).sum.toDouble /
+          (n.toDouble * 1000000.0)
+      }
+    }
+    def cellsOf(v: Array[Double], keep: Int): Seq[Int] =
+      cents.toSeq.map { case (lab, c) =>
+        val d = dotL(v, v) - 2.0 * dotL(v, c) + dotL(c, c)
+        (d, lab)
+      }.sortBy(identity).take(keep).map(_._2)
+    val got = Ann.ivfTopK(spark, dir, nQueries = 8, k = 5, nprobe = 2).collect()
+    got.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(c == cosL(vs(q), vs(n)), s"cosine drift $q/$n")
+      assert(cellsOf(vs(q), 2).contains(cellsOf(vs(n), 1).head),
+        s"$n not in a probed cell of $q")
+    }
+    val brute = Ann.cosineTopK(spark, dir, 8, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains).toDouble / brute.size
+    info(f"IVF recall vs brute top-5 (nprobe=2/10): $recall%.3f")
+    assert(recall >= 0.15, f"recall $recall%.3f below the 2-of-10-cells floor")
+  }
+
   test("banded-LSH near-dup is a subset of exact with recall >= 0.7") {
     val t = 0.4
     val exact = Ann.cosineNearDupPairs(spark, dir, t).collect()
