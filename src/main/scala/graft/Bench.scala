@@ -37,6 +37,12 @@ object Bench {
 
     // -------- per-query suite (skippable for headline-only scaling runs)
     val headlineOnly = sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")
+    // Untimed warmup of the shared input derivation: whichever query runs
+    // first otherwise absorbs ~5 s of one-time costs (parquet footers, OS
+    // page cache, janino compile of the derive projection) that belong to
+    // the session, not that query — measured as q_knn 9.2 s in-suite vs
+    // 3.9 s standalone-cold.
+    if (!headlineOnly) sources.Images.images(spark, sfDir).count()
     val results =
       if (headlineOnly) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, fn) =>
