@@ -1,6 +1,7 @@
 package graft.geo
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{shiftleft, shiftrightunsigned}
 
 /** Pluggable cell index behind the spatial operators — the graft of the
   * reference's pluggable clustering algorithm boundary
@@ -27,6 +28,13 @@ trait TilingStrategy extends Serializable {
             res: Int): Array[Long]
   def encodeCol(lat: Column, lon: Column, res: Int): Column
   def ringCol(cell: Column, k: Column): Column
+  /** Ancestor at a fixed coarser res (Column form). */
+  def parentAtCol(cell: Column, toRes: Int): Column
+  /** Parent ONE level coarser, derived from the cell id alone (both
+    * indexes carry the level in the id) — the literal-free rollup key. */
+  def parentOnceCol(cell: Column): Column
+  /** Resolution/level of a cell id (Column form). */
+  def resCol(cell: Column): Column
 }
 
 /** Quadkey lat/lon grid ([[GridCell]]) — the default. Exactness bound:
@@ -47,6 +55,12 @@ object QuadkeyTiling extends TilingStrategy {
   def encodeCol(lat: Column, lon: Column, res: Int): Column =
     functions.cell_encode(lat, lon, res)
   def ringCol(cell: Column, k: Column): Column = functions.cell_ring(cell, k)
+  def parentAtCol(cell: Column, toRes: Int): Column =
+    functions.cell_parent_at(cell, toRes)
+  def parentOnceCol(cell: Column): Column =
+    functions.cell_parent_at(cell,
+      (shiftrightunsigned(cell, 58) - 1).cast("int"))
+  def resCol(cell: Column): Column = shiftrightunsigned(cell, 58).cast("int")
 }
 
 /** S2-style cube-face Hilbert index ([[S2Cell]]). Exactness bound: min
@@ -66,4 +80,13 @@ object S2Tiling extends TilingStrategy {
   def encodeCol(lat: Column, lon: Column, res: Int): Column =
     functions.s2_encode(lat, lon, res)
   def ringCol(cell: Column, k: Column): Column = functions.s2_ring(cell, k)
+  def parentAtCol(cell: Column, toRes: Int): Column =
+    functions.s2_parent_at(cell, toRes)
+  /** parent = clear the low 2 position bits and move the level marker up:
+    * pure builtin bit algebra (codegen'd, literal-free). */
+  def parentOnceCol(cell: Column): Column = {
+    val lsb2 = shiftleft(cell.bitwiseAND(-cell), 2)
+    cell.bitwiseAND(-lsb2).bitwiseOR(lsb2)
+  }
+  def resCol(cell: Column): Column = functions.s2_level(cell)
 }

@@ -198,6 +198,19 @@ case class S2Encode(lat: Expression, lon: Expression, level: Expression)
   override def prettyName: String = "s2_encode"
 }
 
+/** `S2_LEVEL(id) -> Int` level of an S2 cell (trailing-bit position). */
+case class S2Level(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any =
+    S2Cell.level(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geo.S2Cell.level($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "s2_level"
+}
+
 /** `S2_RING(cell, k) -> Array[Long]` cross-face Chebyshev-k neighborhood
   * (≙ [[CellRing]] for the S2 strategy; query-side tiny -> eval-based). */
 case class S2Ring(cell: Expression, k: Expression) extends BinaryExpression
@@ -260,6 +273,7 @@ object functions {
       expr(org.apache.spark.sql.functions.lit(toLevel))))
   def s2_ring(cell: Column, k: Column): Column =
     col(S2Ring(expr(cell), expr(k)))
+  def s2_level(id: Column): Column = col(S2Level(expr(id)))
 
   /** Register SQL names so `spark.sql` queries can use the extensions too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -274,5 +288,15 @@ object functions {
       es => HaversineM(es(0), es(1), es(2), es(3)), "builtin")
     reg.createOrReplaceTempFunction("point_in_poly",
       es => PointInPoly(es(0), es(1), es(2), es(3)), "builtin")
+    reg.createOrReplaceTempFunction("cell_encode_multi",
+      es => MultiResCells(es(0), es(1), es(2), es(3)), "builtin")
+    reg.createOrReplaceTempFunction("s2_encode",
+      es => S2Encode(es(0), es(1), es(2)), "builtin")
+    reg.createOrReplaceTempFunction("s2_parent_at",
+      es => S2ParentAt(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("s2_ring",
+      es => S2Ring(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("s2_level",
+      es => S2Level(es(0)), "builtin")
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.geo.{functions => G}
+import graft.geo.{QuadkeyTiling, TilingStrategy}
 
 /** Pyramid retrieval — the graft of the reference's two tree-retrieval
   * modes (raptor/tree_retriever.py):
@@ -69,7 +69,8 @@ object Retrieval {
     * (qid, res, cell, cnt, dist_sq, rnk) for every selected tile of every
     * level — the accumulated `selected_nodes` of the reference. */
   def descendTopK(pyramid: DataFrame, queries: DataFrame,
-                  startRes: Int, endRes: Int, k: Int): DataFrame = {
+                  startRes: Int, endRes: Int, k: Int,
+                  strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
     // Persist the tile table: the descent filters it once per level AND
     // each level's selection plan embeds every previous level's subtree —
     // without materialization a derived (e.g. rollup-chain) pyramid would
@@ -90,7 +91,7 @@ object Retrieval {
       // children of the previous selection: equi-join tile.parent == sel.cell
       val parents = sel.select(col("qid"), col("cell").as("pcell"))
       val cand = tiles.filter(col("res") === r)
-        .withColumn("pcell", G.cell_parent_at(col("cell"), r - 1))
+        .withColumn("pcell", strategy.parentAtCol(col("cell"), r - 1))
         .join(broadcast(parents), Seq("pcell"))
         .join(broadcast(q), Seq("qid"))
       sel = rankPerQuery(cand, k).localCheckpoint(true)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.agg.PhashCentroid
-import graft.geo.{functions => G}
+import graft.geo.{QuadkeyTiling, TilingStrategy}
 
 /** Bottom-up tile pyramid — the graft of the reference's recursive
   * cluster-then-summarize tree construction
@@ -33,16 +33,20 @@ object TilePyramid {
   val LeafRes = 12
 
   /** Add the `cell` column at `res` via the codegen'd Catalyst expression
-    * (the north_star's batched cell encoding). */
-  def withCell(images: DataFrame, res: Int): DataFrame =
-    images.withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+    * (the north_star's batched cell encoding). `strategy` picks the index
+    * (quadkey default / S2) — the whole pyramid is index-agnostic because
+    * the rollup key is the strategy's own parent function. */
+  def withCell(images: DataFrame, res: Int,
+               strategy: TilingStrategy = QuadkeyTiling): DataFrame =
+    images.withColumn("cell", strategy.encodeCol(col("lat"), col("lon"), res))
 
   private def withCentroid(df: DataFrame): DataFrame =
     df.withColumn("phash_centroid", PhashCentroid.centroidCol("phash_bits"))
 
   /** Leaf tiles: aggregate the image table at `res`. ≙ leaf layer creation +
     * first summarize (raptor/tree_builder.py:286-328 → process_cluster). */
-  def leafTiles(images: DataFrame, res: Int = LeafRes): DataFrame = {
+  def leafTiles(images: DataFrame, res: Int = LeafRes,
+                strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
     val aggs = Seq(
       count(lit(1)).as("cnt"),
       sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"),
@@ -51,7 +55,7 @@ object TilePyramid {
       PhashCentroid.bitSumAggs(col("phash"), "pb")
     withCentroid(
       PhashCentroid.assembleBits(
-        withCell(images, res)
+        withCell(images, res, strategy)
           .groupBy(col("cell"))
           .agg(aggs.head, aggs.tail: _*), "pb", "phash_bits")
         .withColumn("res", lit(res)))
@@ -67,7 +71,9 @@ object TilePyramid {
     * generates the identical plan/codegen source. Janino compilation of the
     * 65-aggregate stage then happens once per build instead of once per
     * level (measured ~5s/level of pure compile time at sf0.1). */
-  def rollupOnce(tiles: DataFrame): DataFrame = {
+  def rollupOnce(tiles: DataFrame): DataFrame = rollupOnce(tiles, QuadkeyTiling)
+
+  def rollupOnce(tiles: DataFrame, strategy: TilingStrategy): DataFrame = {
     val aggs = Seq(
       sum(col("cnt")).as("cnt"),
       sum(col("bytes_sum")).as("bytes_sum"),
@@ -77,12 +83,11 @@ object TilePyramid {
     withCentroid(
       PhashCentroid.assembleBits(
         tiles
-          .withColumn("parent", G.cell_parent_at(col("cell"),
-            (shiftrightunsigned(col("cell"), 58) - 1).cast("int")))
+          .withColumn("parent", strategy.parentOnceCol(col("cell")))
           .groupBy(col("parent"))
           .agg(aggs.head, aggs.tail: _*), "pb", "phash_bits")
         .withColumnRenamed("parent", "cell")
-        .withColumn("res", shiftrightunsigned(col("cell"), 58).cast("int")))
+        .withColumn("res", strategy.resCol(col("cell"))))
   }
 
   /** Build the full pyramid `minRes..maxRes` as one DataFrame (union of
@@ -90,7 +95,8 @@ object TilePyramid {
     * of shuffles is linear, not exponential; the driver-side loop guard is
     * the reference's early-stop (cluster_tree_builder.py:143-149).
     * Returns (pyramid, per-level row counts coarse->fine). */
-  def build(images: DataFrame, minRes: Int = 4, maxRes: Int = LeafRes)
+  def build(images: DataFrame, minRes: Int = 4, maxRes: Int = LeafRes,
+            strategy: TilingStrategy = QuadkeyTiling)
       : (DataFrame, Map[Int, Long]) = {
     // Persist ONLY the expensive leaf aggregation; the upper rollups are
     // tiny and literal-free, so the lazily-chained union needs one codegen
@@ -98,12 +104,13 @@ object TilePyramid {
     // subplans across union branches (level k's chain prefix == level k+1's
     // whole plan). Per-level counts come from ONE job instead of a
     // materialize+count barrier per level (was ~5s/level of fixed cost).
-    val leaf = leafTiles(images, maxRes).persist(StorageLevel.MEMORY_AND_DISK)
+    val leaf = leafTiles(images, maxRes, strategy)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var all = leaf
     var level = leaf
     var res = maxRes
     while (res > minRes) {
-      level = rollupOnce(level)
+      level = rollupOnce(level, strategy)
       all = all.unionByName(level)
       res -= 1
     }
@@ -123,22 +130,24 @@ object TilePyramid {
     * union, no per-level materialization — one linear job. The query-side
     * fast path when only one (or a contiguous slice of) level is needed;
     * [[build]] remains the instrumented path (counts + early stop). */
-  def levelAt(images: DataFrame, res: Int, maxRes: Int = LeafRes): DataFrame = {
-    var level = leafTiles(images, maxRes)
+  def levelAt(images: DataFrame, res: Int, maxRes: Int = LeafRes,
+              strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    var level = leafTiles(images, maxRes, strategy)
     var r = maxRes
-    while (r > res) { level = rollupOnce(level); r -= 1 }
+    while (r > res) { level = rollupOnce(level, strategy); r -= 1 }
     level
   }
 
   /** Lazy union of levels minRes..maxRes (no counts, no persist): the
     * leaf aggregation subplan is identical across branches, so Catalyst's
     * ReuseExchange computes it once. */
-  def pyramidLazy(images: DataFrame, minRes: Int, maxRes: Int = LeafRes): DataFrame = {
-    var level = leafTiles(images, maxRes)
+  def pyramidLazy(images: DataFrame, minRes: Int, maxRes: Int = LeafRes,
+                  strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    var level = leafTiles(images, maxRes, strategy)
     var all = level
     var r = maxRes
     while (r > minRes) {
-      level = rollupOnce(level)
+      level = rollupOnce(level, strategy)
       all = all.unionByName(level)
       r -= 1
     }
