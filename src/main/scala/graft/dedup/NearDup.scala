@@ -137,27 +137,35 @@ object NearDup {
       struct(lit(b).as("band"),
         col(s"mh_${b * LshR}").as("v0"), col(s"mh_${b * LshR + 1}").as("v1"))
     }
+    // persisted: the band self-join would otherwise run the 16-permutation
+    // MinHash pipeline (md5 per shingle) once per side, and the verify join
+    // re-shingles the corpus once per pair side
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"),
         col("bv.v0").as("v0"), col("bv.v1").as("v1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v0") === col("b.v0") &&
           col("a.v1") === col("b.v1") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, docShingled(docs).select(col("doc_id"), col("sh")), t)
+    verifyJaccard(cand, docShingled(docs).select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK), t)
   }
 
   // ----------------------------------------------------------------- SimHash
 
-  /** (doc_id, simhash): 32-bit SimHash over token hashes with multiplicity. */
+  /** (doc_id, simhash): 32-bit SimHash over token hashes with multiplicity.
+    * Engine side uses the codegen'd [[graft.text.TextKernel.simhash32]]
+    * kernel (the oracle keeps [[TextOps.simhash]]'s 32 unrolled terms —
+    * integer arithmetic, so equality is exact by construction). */
   def simhashDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleN)
       .withColumn("hs", expr("transform(toks, w -> " +
         SparkD.hash32("w") + ")"))
-      .withColumn("simhash", expr(TextOps.simhash(SparkD, "hs")))
+      .withColumn("simhash", graft.text.functions.simhash32(col("hs")))
       .select(col("doc_id"), col("simhash"))
 
   /** Pairs with SimHash hamming distance <= 3 — EXACT via pigeonhole
@@ -169,16 +177,23 @@ object NearDup {
     val bandCols = (0 until SimBands).map { k =>
       struct(lit(k).as("band"), expr(TextOps.simBand(SparkD, "simhash", k)).as("bv"))
     }
+    // persisted: the self-join would otherwise run the tokenize + 1.5M-md5
+    // simhash pipeline once per side (measured ~2x the query's real work)
     val bands = sims.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.bv").as("bv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // refine BEFORE the dedup shuffle: far-apart pairs colliding on one
+      // hot band are the bulk of the join output; the hamming test is a
+      // codegen'd per-row filter, so dropping them pre-distinct shrinks the
+      // dedup exchange to the qualifying pairs only (identical output)
       .filter(col("hamming") <= SimHammingMax)
+      .distinct()
   }
 }
