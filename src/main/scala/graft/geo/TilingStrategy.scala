@@ -35,6 +35,13 @@ trait TilingStrategy extends Serializable {
   def parentOnceCol(cell: Column): Column
   /** Resolution/level of a cell id (Column form). */
   def resCol(cell: Column): Column
+  /** Covering cells of a polygon (lats, lons array columns) at `res` —
+    * the distributed covering-index projection. */
+  def coverCol(lats: Column, lons: Column, res: Int): Column = {
+    val B = org.apache.spark.sql.GraftBridge
+    B.column(PolyCoverCells(B.expression(lats), B.expression(lons),
+      B.expression(org.apache.spark.sql.functions.lit(res)), this))
+  }
 }
 
 /** Quadkey lat/lon grid ([[GridCell]]) — the default. Exactness bound:

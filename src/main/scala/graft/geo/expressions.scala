@@ -179,6 +179,33 @@ case class PointInPoly(lat: Expression, lon: Expression,
     if (refineOnly) "point_in_poly_refine" else "point_in_poly"
 }
 
+/** `POLY_COVER_CELLS(lats, lons, res) -> Array[Long]`: covering cells of a
+  * polygon's bounding box under the given [[TilingStrategy]] — the
+  * DISTRIBUTED covering-index build (each polygon row computes its own
+  * cover on an executor; no driver-side loop, so a 10^6-polygon vector
+  * layer builds its prefilter index as a plain projection + explode).
+  * Runs once per polygon row (dim side) -> eval-based is fine. */
+case class PolyCoverCells(lats: Expression, lons: Expression, res: Expression,
+                          strategy: TilingStrategy)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = lats
+  override def second: Expression = lons
+  override def third: Expression = res
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(la: Any, lo: Any, r: Any): Any = {
+    val laA = la.asInstanceOf[ArrayData].toDoubleArray()
+    val loA = lo.asInstanceOf[ArrayData].toDoubleArray()
+    val (laMin, laMax, loMin, loMax) = GridCell.polyBounds(laA, loA)
+    new GenericArrayData(
+      strategy.cover(laMin, laMax, loMin, loMax, r.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t, strategy)
+  override def prettyName: String = s"poly_cover_cells_${strategy.name}"
+}
+
 /** `S2_ENCODE(lat, lon, level) -> Long` S2-style cell id (cube-face +
   * Hilbert; [[S2Cell]]) — the alternate `TilingStrategy` index. */
 case class S2Encode(lat: Expression, lon: Expression, level: Expression)

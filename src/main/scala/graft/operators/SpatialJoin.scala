@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.geo.{GridCell, QuadkeyTiling, TilingStrategy, functions => G}
+import graft.geo.{QuadkeyTiling, TilingStrategy, functions => G}
 import graft.sources.Fixtures
 
 /** Point-in-polygon spatial join — the canonical prefilter + refine shape
@@ -24,25 +24,30 @@ object SpatialJoin {
     * Coarser -> more refine work; finer -> bigger broadcast index. */
   val CoverRes = 6
 
-  /** Build the covering index rows (cell, poly_id, lats, lons) driver-side
-    * (polygon count is small by assumption; a huge polygon set would build
-    * this distributed with an explode over a cover() expression). */
-  def coverIndex(spark: SparkSession, polys: Seq[Fixtures.Poly], res: Int,
-                 strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+  /** Polygon DataFrame (poly_id, lats, lons) from fixture rows. */
+  def polyDf(spark: SparkSession, polys: Seq[Fixtures.Poly]): DataFrame = {
     import spark.implicits._
-    val rows = polys.flatMap { p =>
-      val (laMin, laMax, loMin, loMax) = GridCell.polyBounds(p.lats, p.lons)
-      strategy.cover(laMin, laMax, loMin, loMax, res).map { cell =>
-        (cell, p.polyId, p.lats.toSeq, p.lons.toSeq)
-      }
-    }
-    rows.toDF("cell", "poly_id", "lats", "lons")
+    polys.map(p => (p.polyId, p.lats.toSeq, p.lons.toSeq))
+      .toDF("poly_id", "lats", "lons")
   }
+
+  /** Covering index (cell, poly_id, lats, lons) built DISTRIBUTED: each
+    * polygon row computes its own covering cells via the
+    * [[graft.geo.PolyCoverCells]] expression and explodes — a plain
+    * projection, so a 10^6-row vector layer builds its index with no
+    * driver participation (the round-1 driver-side loop is gone). */
+  def coverIndex(spark: SparkSession, polys: Seq[Fixtures.Poly], res: Int,
+                 strategy: TilingStrategy = QuadkeyTiling): DataFrame =
+    polyDf(spark, polys)
+      .withColumn("cell", explode(strategy.coverCol(col("lats"), col("lons"), res)))
+      .select(col("cell"), col("poly_id"), col("lats"), col("lons"))
 
   /** Prefilter + refine join: emits (poly_id, image_id) containment pairs.
     * `strategy` picks the covering index (quadkey default / S2) —
     * ≙ the reference's pluggable ClusteringAlgorithm boundary,
-    * raptor/cluster_utils.py:130-133. */
+    * raptor/cluster_utils.py:130-133. The broadcast hint fits the small
+    * fixture layer; at a 10^6-polygon layer drop it and the same plan
+    * becomes a shuffle equi-join on the cell key. */
   def pipJoin(images: DataFrame, spark: SparkSession,
               polys: Seq[Fixtures.Poly] = Fixtures.polys,
               res: Int = CoverRes,
