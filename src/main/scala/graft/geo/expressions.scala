@@ -292,6 +292,10 @@ object functions {
     col(HaversineM(expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
   def point_in_poly(lat: Column, lon: Column, lats: Column, lons: Column): Column =
     col(PointInPoly(expr(lat), expr(lon), expr(lats), expr(lons)))
+  /** Same predicate pre-marked `refineOnly`: evaluates identically but no
+    * optimizer rule ever rewrites it — for brute-force test oracles. */
+  def point_in_poly_refine(lat: Column, lon: Column, lats: Column, lons: Column): Column =
+    col(PointInPoly(expr(lat), expr(lon), expr(lats), expr(lons), refineOnly = true))
   def s2_encode(lat: Column, lon: Column, level: Int): Column =
     col(S2Encode(expr(lat), expr(lon),
       expr(org.apache.spark.sql.functions.lit(level))))

@@ -60,15 +60,18 @@ object SpatialJoin {
       .select(col("poly_id"), col("image_id"))
   }
 
-  /** Brute-force oracle variant (SURVEY.md J2): cross join + refine. Used by
-    * tests to prove the prefilter loses/adds nothing. */
+  /** Brute-force oracle variant (SURVEY.md J2): cross join + refine. Used
+    * by tests to prove the prefilter loses/adds nothing. The predicate is
+    * pre-marked refineOnly so a session with the optimizer rules installed
+    * (ExtensionSpec) can never rewrite the oracle into the plan under
+    * test. */
   def pipBrute(images: DataFrame, spark: SparkSession,
                polys: Seq[Fixtures.Poly] = Fixtures.polys): DataFrame = {
     val polyDf = Fixtures.polygonsDf(spark).where(
       col("poly_id").isin(polys.map(_.polyId): _*))
     images.select(col("image_id"), col("lat"), col("lon"))
       .crossJoin(broadcast(polyDf))
-      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+      .filter(G.point_in_poly_refine(col("lat"), col("lon"), col("lats"), col("lons")))
       .select(col("poly_id"), col("image_id"))
   }
 

@@ -3,11 +3,13 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.LongType
 
-import graft.geo.PointInPoly
+import graft.geo.{CellEncode, PointInPoly, PolyCoverCells, QuadkeyTiling}
 
 /** Catalyst optimizer extension (SURVEY.md §4 "custom Catalyst work"):
   * rewrite a CONSTANT-polygon containment predicate
@@ -55,16 +57,80 @@ object PolygonBBoxPrefilter extends Rule[LogicalPlan] {
     }
 }
 
+/** Rewrite a NAIVE point-in-polygon theta join —
+  * `points CROSS JOIN polygons` filtered by
+  * `point_in_poly(lat, lon, lats, lons)` with the polygon vertices coming
+  * from the join's other side — into the prefilter + refine equi-join that
+  * [[graft.operators.SpatialJoin.pipJoin]] builds by hand: the point side
+  * gains a covering cell, the polygon side explodes its covering cells
+  * (distributed [[PolyCoverCells]]), the cross join becomes an inner
+  * equi-join on the cell, and the containment predicate stays as the
+  * refine filter. Semantics are exactly preserved (the cover is a superset
+  * of the polygon's bbox, so every contained point's cell collides), while
+  * the nested-loop O(|points| x |polys|) plan becomes a hash join.
+  *
+  * Matches both shapes the optimizer produces: `Filter(pip, Join(.., None))`
+  * and `Join(.., Some(pip && ...))` (after PushPredicateThroughJoin).
+  * Idempotent: the refine predicate is marked `refineOnly`. */
+object PipJoinToCoverJoin extends Rule[LogicalPlan] with PredicateHelper {
+  private val Res = 6 // CoverRes: cells comparable to typical polygon size
+
+  private def ok(jt: JoinType): Boolean = jt == Inner || jt == Cross
+
+  private def rewrite(j: Join, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    val (left, right, hint) = (j.left, j.right, j.hint)
+    def sided(p: PointInPoly, ptSide: LogicalPlan, polySide: LogicalPlan): Boolean = {
+      val ptRefs = p.lat.references ++ p.lon.references
+      val polyRefs = p.lats.references ++ p.lons.references
+      p.deterministic && ptRefs.nonEmpty && polyRefs.nonEmpty &&
+        ptRefs.subsetOf(ptSide.outputSet) && polyRefs.subsetOf(polySide.outputSet)
+    }
+    conjuncts.collectFirst {
+      case p: PointInPoly if !p.refineOnly && sided(p, left, right) => (p, true)
+      case p: PointInPoly if !p.refineOnly && sided(p, right, left) => (p, false)
+    }.map { case (p, pointsOnLeft) =>
+      val cellAlias = Alias(
+        CellEncode(p.lat, p.lon, Literal(Res)), "_pip_cell_pt")()
+      val genOut = AttributeReference("_pip_cell_poly", LongType,
+        nullable = false)()
+      val gen = Explode(PolyCoverCells(p.lats, p.lons, Literal(Res), QuadkeyTiling))
+      val (newL, newR) =
+        if (pointsOnLeft)
+          (Project(left.output :+ cellAlias, left),
+            Generate(gen, Nil, outer = false, None, Seq(genOut), right))
+        else
+          (Generate(gen, Nil, outer = false, None, Seq(genOut), left),
+            Project(right.output :+ cellAlias, right))
+      val eq = EqualTo(cellAlias.toAttribute, genOut)
+      val rest = conjuncts
+        .map(c => if (c eq p) p.copy(refineOnly = true) else c)
+        .reduce(And)
+      Project(j.output, Filter(rest, Join(newL, newR, Inner, Some(eq), hint)))
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: Join) if ok(j.joinType) && j.condition.isEmpty =>
+      rewrite(j, splitConjunctivePredicates(cond)).getOrElse(f)
+    case j: Join if ok(j.joinType) && j.condition.isDefined =>
+      rewrite(j, splitConjunctivePredicates(j.condition.get)).getOrElse(j)
+  }
+}
+
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PolygonBBoxPrefilter)
+    ext.injectOptimizerRule(_ => PipJoinToCoverJoin)
+  }
 }
 
 /** Runtime installation on an already-built session. */
 object GraftOptimizations {
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(PolygonBBoxPrefilter))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PolygonBBoxPrefilter
+    Seq(PolygonBBoxPrefilter, PipJoinToCoverJoin).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
 }

@@ -38,6 +38,27 @@ class ExtensionSpec extends SparkFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("naive pip theta join is rewritten into a cover equi-join") {
+    GraftOptimizations.install(spark)
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    val polys = Fixtures.polygonsDf(spark)
+    val naive = imgs.crossJoin(polys)
+      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select(col("poly_id"), col("image_id"))
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"theta join not rewritten:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "cover equi-join missing")
+    assert(plan.contains("point_in_poly_refine"), "refine predicate missing")
+    // exactness: identical pair set to the (rule-proof) brute join
+    val got = naive.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = graft.operators.SpatialJoin.pipBrute(imgs, spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
   test("bbox conjuncts reach the parquet scan as pushed filters") {
     GraftOptimizations.install(spark)
     val dir = Files.createTempDirectory("graft-ext-parquet").toString
