@@ -173,6 +173,9 @@ object Queries {
     "q_stats_transfer", {
       val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
       (s, dir) => {
+        // NOT persisted: the two half-corpus scans re-derive + re-md5, but
+        // that codegen'd map work is cheaper than materializing a 456k-row
+        // cache (measured: persisting doubled the in-suite query time)
         val imgs = Images.images(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("graft-xfer").toString
         Snapshot.write(TilePyramid.leafTiles(imgs.filter(expr(h) === 0), 7),

@@ -73,6 +73,26 @@ class GridCellSpec extends AnyFunSuite {
     assert(r.length == 6) // top row dropped
   }
 
+  test("kNN settle-bound lemma: planar dist < k*minUnitDeg implies in-ring") {
+    val QT = graft.geo.QuadkeyTiling
+    sweep(800) { r =>
+      val res = 4 + r.nextInt(9)
+      val k = 1 + r.nextInt(6)
+      val qla = rndLat(r); val qlo = rndLon(r)
+      val bound = k * QT.minUnitDeg(res)
+      val ang = r.nextDouble() * 2 * math.Pi
+      val rad = r.nextDouble() * bound
+      val pla = qla + rad * math.sin(ang)
+      val plo = qlo + rad * math.cos(ang)
+      if (math.abs(pla) <= 89.9 && math.abs(plo) <= 179.9) {
+        val qc = GridCell.encode(qla, qlo, res)
+        val pc = GridCell.encode(pla, plo, res)
+        assert(GridCell.ring(qc, k).contains(pc),
+          s"res=$res k=$k q=($qla,$qlo) p=($pla,$plo) escaped the ring")
+      }
+    }
+  }
+
   test("cover contains the cell of any point inside the box") {
     sweep(200) { r =>
       val lat = rndLat(r); val lon = rndLon(r)

@@ -111,6 +111,31 @@ class S2CellSpec extends AnyFunSuite {
     }
   }
 
+  test("kNN settle-bound lemma: planar dist < k*minUnitDeg implies in-ring") {
+    // the exactness of Knn.knnExact under S2Tiling rests on exactly this:
+    // any point CLOSER (planar degrees) than k * minUnitDeg(level) to the
+    // query must fall inside the query cell's k-ring — so once the k-th
+    // candidate distance beats the bound, no unseen point can displace it
+    val S2T = graft.geo.S2Tiling
+    sweep(800) { r =>
+      val lvl = 4 + r.nextInt(8)
+      val k = 1 + r.nextInt(6)
+      val qla = -85.0 + r.nextDouble() * 170.0
+      val qlo = rndLon(r)
+      val bound = k * S2T.minUnitDeg(lvl)
+      val ang = r.nextDouble() * 2 * math.Pi
+      val rad = r.nextDouble() * bound
+      val pla = qla + rad * math.sin(ang)
+      val plo = qlo + rad * math.cos(ang)
+      if (math.abs(pla) <= 89.9 && math.abs(plo) <= 179.9) {
+        val qc = S2Cell.fromLatLng(qla, qlo, lvl)
+        val pc = S2Cell.fromLatLng(pla, plo, lvl)
+        assert(S2Cell.ring(qc, k).contains(pc),
+          s"lvl=$lvl k=$k q=($qla,$qlo) p=($pla,$plo) escaped the ring")
+      }
+    }
+  }
+
   test("cover handles antimeridian boxes") {
     val cov = S2Cell.cover(-10.0, 10.0, 170.0, -170.0, 4).toSet
     assert(cov.contains(S2Cell.fromLatLng(0.0, 179.5, 4)))
