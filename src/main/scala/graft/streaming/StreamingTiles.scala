@@ -1,10 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.geo.{functions => G}
+
+/** Custom sessionization state: the currently-open session of one user. */
+case class OpenSession(sess: Long, startUs: Long, lastUs: Long, nEvents: Long)
+
+/** A finalized (gap-closed) session row. */
+case class ClosedSession(user_id: Long, sess: Long, n_events: Long,
+                         start_us: Long, end_us: Long)
 
 /** Incremental (streaming) variants of the core rollups. The reference is
   * strictly batch (SURVEY.md §2.9) — these exist for the pipeline role the
@@ -57,6 +65,49 @@ object StreamingTiles {
         (col("w") * col("h") * 3).cast("long").as("b"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), sum(col("b")).as("bytes_sum"))
+
+  val SessionGapUs = 1800000000L // 30 min, matches q_events_sessions
+
+  /** Streaming sessionization via CUSTOM STATE
+    * (`flatMapGroupsWithState`, Append): per-user open-session state
+    * carried across micro-batches; a >30 min gap closes the session and
+    * EMITS it, so sessions spanning increments are stitched exactly where
+    * window algebra cannot be incremental. Batch parity: the emitted
+    * closed sessions equal the batch sessionization minus each user's
+    * final (still-open) session — StreamingSpec pins this across a
+    * two-increment resume. State is one small record per ACTIVE user —
+    * bounded by user cardinality, not event count; production adds an
+    * event-time timeout to flush idle users. */
+  def sessionStream(spark: SparkSession, dir: String): Dataset[ClosedSession] = {
+    import spark.implicits._
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[OpenSession]) =>
+          // deterministic in-batch order: (t, event_id) — same tie-break
+          // as the batch window sessionizer
+          val evs = rows.toArray.sortBy(e => (e._3, e._2))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur = state.getOption.orNull
+          evs.foreach { case (_, _, t) =>
+            cur match {
+              case null =>
+                cur = OpenSession(1L, t, t, 1L)
+              case s if t - s.lastUs > SessionGapUs =>
+                closed += ClosedSession(uid, s.sess, s.nEvents, s.startUs, s.lastUs)
+                cur = OpenSession(s.sess + 1, t, t, 1L)
+              case s =>
+                cur = s.copy(lastUs = t, nEvents = s.nEvents + 1)
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.iterator
+      }
+  }
 
   /** Streaming event-time windows with a watermark: 1h tumbling counts per
     * event type (streaming analog of `q_events_window`). */

@@ -14,10 +14,11 @@ import graft.streaming.StreamingTiles
   * batch resumed from the same checkpoint (exactly-once file source). */
 class StreamingSpec extends SparkFunSuite {
 
-  private def runAvailableNow(df: org.apache.spark.sql.DataFrame,
-                              name: String, ckpt: String): Unit = {
+  private def runAvailableNow(df: org.apache.spark.sql.Dataset[_],
+                              name: String, ckpt: String,
+                              mode: String = "complete"): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -77,6 +78,60 @@ class StreamingSpec extends SparkFunSuite {
     perRes.foreach { case (res, cells) =>
       assert(cells.map(c => got(c)._1).sum == total, s"level $res undercounts")
     }
+  }
+
+  test("streaming sessionization (custom state) == batch sessions sans open") {
+    val inDir = Files.createTempDirectory("graft-stream-sess").toString
+    val ckpt = Files.createTempDirectory("graft-stream-sessck").toString
+    val ev = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+    val ts = ev.select(col("t")).orderBy(col("t")).collect().map(_.getLong(0))
+    val mid = ts(ts.length / 2)
+
+    // increment 1 (early half), then increment 2 resumed from the same
+    // checkpoint — sessions spanning the split are stitched by the state
+    def dump(pred: org.apache.spark.sql.Column): Unit =
+      spark.read.parquet(s"${SparkSpec.Sf}/events.parquet").where(pred)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    // append-mode memory sinks cannot recover from a checkpoint; a parquet
+    // sink gives the real exactly-once resume semantics
+    val outDir = Files.createTempDirectory("graft-stream-sessout").toString
+    def runToParquet(): Unit = {
+      val q = StreamingTiles.sessionStream(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    dump(unix_micros(col("ts").cast("timestamp")) < mid)
+    runToParquet()
+    dump(unix_micros(col("ts").cast("timestamp")) >= mid)
+    runToParquet()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"))).toSet
+
+    // independent driver-side truth: gap-walk per user, drop the final
+    // (still-open) session of each user
+    val byUser = ev.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = byUser.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var sess = 0L; var start = 0L; var last = Long.MinValue; var n = 0L
+      sorted.foreach { case (_, _, t) =>
+        if (sess == 0L || t - last > 1800000000L) {
+          if (sess > 0L) sessions += ((uid, sess, n, start, last))
+          sess += 1; start = t; n = 1L
+        } else n += 1
+        last = t
+      }
+      sessions // final open session intentionally NOT appended
+    }.toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("streaming event windows == batch windows") {
