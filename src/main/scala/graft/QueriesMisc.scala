@@ -64,6 +64,34 @@ object QueriesMisc {
         col("st.mean_px").as("mean_px")),
     None)
 
+  /** Video-modality pipeline: synthesize an 8-frame video blob per image,
+    * sample every 2nd frame, run the per-frame stats kernel — the
+    * frame-sampling step of a video-training pipeline over the same binary
+    * plumbing (frame decode = the stubbed codec boundary). The oracle
+    * states the structural invariant (4 sampled frames, each w*h*3 bytes,
+    * video 8x that) as n_pass == n_rows per fmt. */
+  private val qFrameSample = Q(
+    "q_frame_sample",
+    (s, dir) => Images.images(s, dir)
+      .withColumn("video",
+        M.synthetic_video(col("k"), col("w"), col("h"), lit(8)))
+      .withColumn("frames", M.frame_sample(col("video"),
+        col("w") * col("h") * lit(3), lit(2)))
+      .withColumn("st", M.raster_stats(element_at(col("frames"), 1)))
+      .withColumn("ok",
+        size(col("frames")) === 4 &&
+          expr("forall(frames, f -> length(f) = w * h * 3)") &&
+          length(col("video")) === col("w") * col("h") * 3 * 8 &&
+          col("st.n_bytes") === col("w") * col("h") * 3)
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass")),
+    Some(
+      s"""$cte
+         |SELECT fmt, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_pass
+         |FROM images GROUP BY fmt""".stripMargin))
+
   // ------------------------------------------------------- event-time windows
 
   private val HourUs = 3600000000L
@@ -272,7 +300,7 @@ object QueriesMisc {
          |) WHERE rnk <= $K GROUP BY qid""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qImageFidelity, qThumbStats,
+    qImageFidelity, qThumbStats, qFrameSample,
     qEventsWindow, qEventsSessions, qEventsJson,
     qSampleTopN, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)

@@ -114,6 +114,36 @@ object Raster {
 
   /** Nearest-neighbor resize of a w*h*3 raster (the feature-extract /
     * thumbnail step of a multimodal pipeline, kept codec-free). */
+  /** Synthetic "video": `nFrames` raw rasters concatenated; frame f's seed
+    * mixes the image key with the frame index, so frames are distinct but
+    * deterministic. The video analog of [[storedBytes]] — the codec call a
+    * real deployment would make is again the only stubbed step. */
+  def videoBytes(k: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val fb = w * h * 3
+    val out = new Array[Byte](fb * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(storedBytes(k + 1000003L * (f + 1), w, h, "raw"),
+        0, out, f * fb, fb)
+      f += 1
+    }
+    out
+  }
+
+  /** Every `stride`-th frame of a fixed-frame-size video blob — the
+    * frame-sampling step of a video-training pipeline. */
+  def sampleFrames(video: Array[Byte], frameBytes: Int,
+                   stride: Int): Array[Array[Byte]] = {
+    val n = video.length / frameBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var f = 0
+    while (f < n) {
+      out += java.util.Arrays.copyOfRange(video, f * frameBytes, (f + 1) * frameBytes)
+      f += stride
+    }
+    out.toArray
+  }
+
   def resize(bytes: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
     val out = new Array[Byte](ow * oh * 3)
     var oy = 0

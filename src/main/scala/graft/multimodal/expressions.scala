@@ -123,9 +123,54 @@ case class RasterCrop(bytes: Expression, w: Expression, h: Expression,
   override def prettyName: String = "raster_crop"
 }
 
+/** `SYNTHETIC_VIDEO(k, w, h, nframes) -> binary` multi-frame blob (the
+  * video-modality stand-in; frames are per-index-seeded rasters). */
+case class SyntheticVideo(k: Expression, w: Expression, h: Expression,
+                          nFrames: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = k
+  override def second: Expression = w
+  override def third: Expression = h
+  override def fourth: Expression = nFrames
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(kk: Any, ww: Any, hh: Any, nf: Any): Any =
+    Raster.videoBytes(kk.asInstanceOf[Long], ww.asInstanceOf[Int],
+      hh.asInstanceOf[Int], nf.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(a, b, c, d)
+  override def prettyName: String = "synthetic_video"
+}
+
+/** `FRAME_SAMPLE(video, frame_bytes, stride) -> array<binary>` every
+  * stride-th frame — the video-pipeline sampling step; downstream per-frame
+  * kernels (stats/resize/psnr) apply via explode. */
+case class FrameSample(video: Expression, frameBytes: Expression,
+                       stride: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = video
+  override def second: Expression = frameBytes
+  override def third: Expression = stride
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any, fb: Any, st: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Raster.sampleFrames(v.asInstanceOf[Array[Byte]],
+        fb.asInstanceOf[Int], st.asInstanceOf[Int]).asInstanceOf[Array[Any]])
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
+  override def prettyName: String = "frame_sample"
+}
+
 object functions {
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  def synthetic_video(k: Column, w: Column, h: Column, nFrames: Column): Column =
+    col(SyntheticVideo(expr(k), expr(w), expr(h), expr(nFrames)))
+  def frame_sample(video: Column, frameBytes: Column, stride: Column): Column =
+    col(FrameSample(expr(video), expr(frameBytes), expr(stride)))
 
   def synthetic_raster(k: Column, w: Column, h: Column, fmt: Column): Column =
     col(SyntheticRaster(expr(k), expr(w), expr(h), expr(fmt)))

@@ -126,6 +126,26 @@ object Ann {
     ranked(pairs, k)
   }
 
+  // -------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization facts — the embedding
+    * compression step a training pipeline applies before storage/ANN:
+    * scale = max |x| (max-abs), code_i = floor(x_i / scale * 127). Output
+    * is integer summaries (sum/min/max of codes) + the scale, all exactly
+    * replicable in SQL, so the oracle proves the codes bit-for-bit. The
+    * reconstruction error bound |code/127*scale - x| <= scale/127 holds by
+    * construction (AnnSpec pins it). Map-only — scales trivially. */
+  def int8QuantFacts(spark: SparkSession, dir: String): DataFrame = {
+    val w = vecs(spark, dir)
+    w.withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("codes",
+        expr("transform(v, x -> cast(floor(x / amax * 127.0) as bigint))"))
+      .select(col("vec_id"), col("amax"),
+        expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + c)").as("code_sum"),
+        expr("array_min(codes)").as("code_min"),
+        expr("array_max(codes)").as("code_max"))
+  }
+
   // ------------------------------------------------------------- IVF ANN
 
   /** IVF (inverted-file) top-k: a coarse quantizer of exact per-label

@@ -56,6 +56,25 @@ object QueriesAnn {
          |    ON a.vec_id < $NQueries AND a.sig = b.sig AND b.vec_id != a.vec_id
          |) WHERE rnk <= $LshK""".stripMargin))
 
+  /** int8 max-abs quantization facts: the oracle replicates scale + codes
+    * with the same op order (abs -> max -> /scale*127 -> floor). */
+  private val qEmbedQuant = Q(
+    "q_embed_quant",
+    (s, dir) => Ann.int8QuantFacts(s, dir),
+    Some(
+      s"""$base,
+         |qt AS (
+         |  SELECT vec_id, amax,
+         |    list_transform(v, x -> CAST(floor(x / amax * 127.0) AS BIGINT)) AS codes
+         |  FROM (SELECT vec_id, v,
+         |          list_max(list_transform(v, x -> abs(x))) AS amax FROM w)
+         |)
+         |SELECT vec_id, amax,
+         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |  list_min(codes) AS code_min,
+         |  list_max(codes) AS code_max
+         |FROM qt""".stripMargin))
+
   /** IVF ANN: the oracle rebuilds the identical coarse codebook (integer-
     * quantized per-label means), the identical nearest-cell assignment and
     * probes, and the identical refine — so the approximate result is
@@ -145,5 +164,6 @@ object QueriesAnn {
          |FROM e GROUP BY label""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qAnnIvf, qEmbedNearDup, qLabelCentroid)
+  val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qAnnIvf, qEmbedNearDup,
+    qEmbedQuant, qLabelCentroid)
 }

@@ -50,4 +50,21 @@ class RasterSpec extends AnyFunSuite {
     val bits4 = Seq.fill(65)(0L).updated(2, 2L).updated(64, 4L)
     assert(PhashCentroid.centroidOf(bits4) == 0L)
   }
+
+  test("video frame sampling: length, stride slices, distinct frames") {
+    import graft.multimodal.Raster
+    val fb = 8 * 6 * 3
+    val v = Raster.videoBytes(42L, 8, 6, 8)
+    assert(v.length == fb * 8)
+    val s2 = Raster.sampleFrames(v, fb, 2)
+    assert(s2.length == 4)
+    s2.zipWithIndex.foreach { case (f, i) =>
+      assert(f.toSeq == v.slice(2 * i * fb, (2 * i + 1) * fb).toSeq,
+        s"sampled frame $i is not the ${2 * i}-th slice")
+    }
+    assert(s2(0).toSeq != s2(1).toSeq, "frames must differ")
+    assert(Raster.sampleFrames(v, fb, 3).length == 3) // frames 0, 3, 6
+    // determinism
+    assert(Raster.videoBytes(42L, 8, 6, 8).toSeq == v.toSeq)
+  }
 }
