@@ -112,6 +112,25 @@ class AnnSpec extends SparkFunSuite {
     assert(recall >= 0.7, f"recall $recall%.3f below floor")
   }
 
+  test("int8 quantization: codes in range, reconstruction error bounded") {
+    val vs = collected
+    val rows = graft.similarity.Ann.int8QuantFacts(spark, dir).collect()
+    assert(rows.length == vs.size)
+    rows.foreach { r =>
+      val (id, amax) = (r.getLong(0), r.getDouble(1))
+      val v = vs(id)
+      assert(amax == v.map(math.abs).max)
+      val codes = v.map(x => math.floor(x / amax * 127.0).toLong)
+      assert(r.getLong(2) == codes.sum && r.getLong(3) == codes.min &&
+        r.getLong(4) == codes.max, s"code facts drift for vec $id")
+      assert(codes.forall(c => c >= -128 && c <= 127), "int8 range")
+      // floor-quantization reconstruction error < one step = amax/127
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(c.toDouble / 127.0 * amax - x) <= amax / 127.0 + 1e-12)
+      }
+    }
+  }
+
   test("label centroid facts: counts sum to table size") {
     val df = Ann.labelCentroidFacts(spark, dir, 4)
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
