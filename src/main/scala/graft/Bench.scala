@@ -21,12 +21,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "100").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master for multi-JVM runs, e.g.
+    // local-cluster[4,2,8192] = 4 executor PROCESSES x 2 cores — the
+    // sandbox's closest form of the north rule's "N vs 4N executors"
+    // (requires SPARK_HOME + SPARK_SCALA_VERSION in the environment).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus * 2)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def time[A](f: => A): (A, Double) = {
