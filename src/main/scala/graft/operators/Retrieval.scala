@@ -67,10 +67,17 @@ object Retrieval {
     * `pyramid` must contain levels `startRes..endRes` (schema of
     * [[TilePyramid.build]]); `queries` is (qid, qlat, qlon). Output:
     * (qid, res, cell, cnt, dist_sq, rnk) for every selected tile of every
-    * level — the accumulated `selected_nodes` of the reference. */
+    * level — the accumulated `selected_nodes` of the reference.
+    *
+    * `broadcastSelections`: hint the per-level selection/query side into
+    * broadcast joins (right for up to ~10^5 queries; the checkpointed RDD
+    * side reports no size statistics, so Spark would otherwise plan SMJ).
+    * At larger query counts pass false — the same plan becomes shuffle
+    * equi-joins on (pcell, qid). */
   def descendTopK(pyramid: DataFrame, queries: DataFrame,
                   startRes: Int, endRes: Int, k: Int,
-                  strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+                  strategy: TilingStrategy = QuadkeyTiling,
+                  broadcastSelections: Boolean = true): DataFrame = {
     // Persist the tile table: the descent filters it once per level AND
     // each level's selection plan embeds every previous level's subtree —
     // without materialization a derived (e.g. rollup-chain) pyramid would
@@ -78,12 +85,13 @@ object Retrieval {
     // already materialized parquet; the persist is then a cheap cache.
     val tiles = tileCols(pyramid).persist(StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col("qid"), col("qlat"), col("qlon"))
+    def hinted(df: DataFrame) = if (broadcastSelections) broadcast(df) else df
     // Each level's selection (k rows/query) feeds BOTH the next level's
     // broadcast and the final union — localCheckpoint materializes it once
     // (lineage cut, data stays distributed); without it level r's subtree
     // re-executes O(levels - r) times, one broadcast job each.
     var sel = rankPerQuery(
-      tiles.filter(col("res") === startRes).crossJoin(broadcast(q)), k)
+      tiles.filter(col("res") === startRes).crossJoin(hinted(q)), k)
       .localCheckpoint(true)
     var all = sel
     var r = startRes + 1
@@ -92,8 +100,8 @@ object Retrieval {
       val parents = sel.select(col("qid"), col("cell").as("pcell"))
       val cand = tiles.filter(col("res") === r)
         .withColumn("pcell", strategy.parentAtCol(col("cell"), r - 1))
-        .join(broadcast(parents), Seq("pcell"))
-        .join(broadcast(q), Seq("qid"))
+        .join(hinted(parents), Seq("pcell"))
+        .join(hinted(q), Seq("qid"))
       sel = rankPerQuery(cand, k).localCheckpoint(true)
       all = all.unionByName(sel)
       r += 1
