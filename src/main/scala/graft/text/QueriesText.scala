@@ -69,6 +69,79 @@ object QueriesText {
          |    len(regexp_extract_all(lower(text), '$PiecePat')) AS n_pieces
          |  FROM d)""".stripMargin))
 
+  /** Chunk-size planning (≙ reference corpus analysis,
+    * test/analyse_dataset_tokens.py:98-165: per-document token counts ->
+    * chunks per chunk size -> totals over [256,512,1024]): for each
+    * candidate chunk size, the integer ceil-div chunk count per document,
+    * aggregated. Sizes scaled to the synthetic docs' piece counts. */
+  private val ChunkSizes = Seq(32, 64, 128)
+  private val qChunkPlan = Q(
+    "q_chunk_plan",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(lower(text), '$PiecePat', 0)")).as("np"))
+      .select(col("doc_id"), col("np"),
+        explode(array(ChunkSizes.map(lit): _*)).as("chunk_size"))
+      .withColumn("chunks",
+        expr("cast((np + chunk_size - 1) div chunk_size as bigint)"))
+      .groupBy(col("chunk_size"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chunks")).as("chunks_total"),
+        max(col("chunks")).as("max_chunks")),
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '$PiecePat')) AS np
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id, np, unnest([${ChunkSizes.mkString(", ")}]) AS chunk_size
+         |  FROM d
+         |)
+         |SELECT chunk_size, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum((np + chunk_size - 1) // chunk_size) AS BIGINT) AS chunks_total,
+         |  CAST(max((np + chunk_size - 1) // chunk_size) AS BIGINT) AS max_chunks
+         |FROM x GROUP BY chunk_size""".stripMargin))
+
+  /** Token-count distribution (≙ test/dataset_analysis.py:72-170 corpus
+    * stats): EXACT p50/p90 of the per-doc piece count via a deterministic
+    * global ranking (value, doc_id) — identical row pick in both engines
+    * (no engine-specific percentile interpolation). The single-partition
+    * window is the corpus-analysis tool's shape; at 100 TB swap for
+    * approx_percentile. */
+  private val qTokenDist = Q(
+    "q_token_dist",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        size(expr(s"regexp_extract_all(lower(text), '$PiecePat', 0)")).as("np"))
+      val w = Window.orderBy(col("np"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .withColumn("total", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rk") === ceil(col("total") * 0.5) ||
+          col("rk") === ceil(col("total") * 0.9))
+        .select(
+          when(col("rk") === ceil(col("total") * 0.5), 50).otherwise(90)
+            .as("pct"),
+          col("np").as("n_pieces"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '$PiecePat')) AS np
+         |  FROM documents
+         |), r AS (
+         |  SELECT np, row_number() OVER (ORDER BY np, doc_id) AS rk,
+         |    count(*) OVER () AS total
+         |  FROM d
+         |)
+         |SELECT CASE WHEN rk = CAST(ceil(total * 0.5) AS BIGINT)
+         |            THEN 50 ELSE 90 END AS pct,
+         |  np AS n_pieces
+         |FROM r WHERE rk = CAST(ceil(total * 0.5) AS BIGINT)
+         |   OR rk = CAST(ceil(total * 0.9) AS BIGINT)""".stripMargin))
+
   // -------------------------------------------------------------- language ID
 
   private val qLangId = Q(
@@ -253,7 +326,7 @@ object QueriesText {
          |) WHERE hamming <= $SimHammingMax""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qDocStats, qLangId, qQuality, qFingerprint,
+    qDocStats, qChunkPlan, qTokenDist, qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qLshNearDup,
     qSimhash, qSimhashPairs)
