@@ -277,7 +277,8 @@ object QueriesMisc {
     (s, dir) => {
       val imgs = Images.images(s, dir)
       val qs = Fixtures.knnQueries(s)
-      val ring = Knn.knnExact(imgs, qs, K)
+      // same ranked set as q_knn (same k, queries, corpus) — shared pass
+      val ring = Queries.knnRanked(s, dir)
       // brute side bounded by the ring's k-th distance (a real candidate
       // distance, hence >= the true k-th): keeps the brute scan map-only.
       // If ring pruning ever lost a true neighbor, brute-within-bound still

@@ -30,20 +30,40 @@ object Snapshot {
 
   val LineageCols: Seq[String] = Seq("snapshot_id", "build_ts", "src_partition")
 
+  /** Resolutions a manifest can record (grid levels are 0..12). */
+  private val ResRange = 0 to 12
+
   /** Write a pyramid DataFrame (schema of [[TilePyramid.build]]) as a new
     * snapshot under `root`. Returns the per-level row counts recorded in
-    * the manifest. */
+    * the manifest.
+    *
+    * Manifest counts ride the WRITE job itself via `observe` metrics (one
+    * count_if per possible level) — a single pass over the data; the
+    * round-2 shape re-read the freshly written snapshot to count it,
+    * doubling write-path IO at scale. */
   def write(pyramid: DataFrame, root: String, snapshotId: String,
             buildTs: Long): Map[Int, Long] = {
     val withLineage = pyramid
       .withColumn("snapshot_id", lit(snapshotId))
       .withColumn("build_ts", lit(buildTs))
       .withColumn("src_partition", spark_partition_id())
-    withLineage.write.mode("overwrite").partitionBy("res")
+    val obs = org.apache.spark.sql.Observation(s"snap-$snapshotId-$buildTs")
+    val metrics = ResRange.map(r =>
+      coalesce(sum(when(col("res") === r, 1L).otherwise(0L)), lit(0L))
+        .as(s"c$r")) :+
+      coalesce(sum(when(
+        col("res") < ResRange.head || col("res") > ResRange.last, 1L)
+        .otherwise(0L)), lit(0L)).as("c_other")
+    withLineage.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite").partitionBy("res")
       .parquet(s"$root/tiles")
-    val counts = withLineage.sparkSession.read.parquet(s"$root/tiles")
-      .groupBy(col("res")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = obs.get
+    require(got("c_other").asInstanceOf[Long] == 0L,
+      s"snapshot rows outside res range $ResRange")
+    val counts = ResRange.flatMap { r =>
+      val n = got(s"c$r").asInstanceOf[Long]
+      if (n > 0) Some(r -> n) else None
+    }.toMap
     val levels = counts.keys.toSeq.sorted
     val json = levels.map(r => s""""$r": ${counts(r)}""").mkString(
       s"""{"snapshot_id": "$snapshotId", "build_ts": $buildTs, "levels": {""",

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.LongType
 
-import graft.geo.{CellEncode, PointInPoly, PolyCoverCells, QuadkeyTiling}
+import graft.geo.{CellEncode, PointInPoly, PolyCoverCells, QuadkeyTiling, S2Encode}
 
 /** Catalyst optimizer extension (SURVEY.md §4 "custom Catalyst work"):
   * rewrite a CONSTANT-polygon containment predicate
@@ -71,13 +71,31 @@ object PolygonBBoxPrefilter extends Rule[LogicalPlan] {
   *
   * Matches both shapes the optimizer produces: `Filter(pip, Join(.., None))`
   * and `Join(.., Some(pip && ...))` (after PushPredicateThroughJoin).
-  * Idempotent: the refine predicate is marked `refineOnly`. */
+  * Idempotent: the refine predicate is marked `refineOnly`.
+  *
+  * The covering resolution and tiling strategy are session-tunable
+  * ([[PipJoinToCoverJoin.ResKey]] / [[PipJoinToCoverJoin.StrategyKey]]) so
+  * a session standardized on S2, or joining polygons much larger/smaller
+  * than the res-6 default cells, gets a matched-granularity rewrite —
+  * correctness never depends on them (any cover is a superset). */
 object PipJoinToCoverJoin extends Rule[LogicalPlan] with PredicateHelper {
-  private val Res = 6 // CoverRes: cells comparable to typical polygon size
+  /** Covering resolution; default mirrors SpatialJoin.CoverRes. */
+  val ResKey = "spark.graft.pip.coverRes"
+  /** Tiling index for the rewrite: "quadkey" (default) or "s2". */
+  val StrategyKey = "spark.graft.pip.strategy"
+
+  private def coverRes: Int = conf.getConfString(ResKey, "6").toInt
+  private def strategy: graft.geo.TilingStrategy =
+    conf.getConfString(StrategyKey, "quadkey") match {
+      case "s2" => graft.geo.S2Tiling
+      case _    => QuadkeyTiling
+    }
 
   private def ok(jt: JoinType): Boolean = jt == Inner || jt == Cross
 
   private def rewrite(j: Join, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    val Res = coverRes
+    val strat = strategy
     val (left, right, hint) = (j.left, j.right, j.hint)
     def sided(p: PointInPoly, ptSide: LogicalPlan, polySide: LogicalPlan): Boolean = {
       val ptRefs = p.lat.references ++ p.lon.references
@@ -89,11 +107,14 @@ object PipJoinToCoverJoin extends Rule[LogicalPlan] with PredicateHelper {
       case p: PointInPoly if !p.refineOnly && sided(p, left, right) => (p, true)
       case p: PointInPoly if !p.refineOnly && sided(p, right, left) => (p, false)
     }.map { case (p, pointsOnLeft) =>
-      val cellAlias = Alias(
-        CellEncode(p.lat, p.lon, Literal(Res)), "_pip_cell_pt")()
+      val ptCell: Expression = strat match {
+        case graft.geo.S2Tiling => S2Encode(p.lat, p.lon, Literal(Res))
+        case _                  => CellEncode(p.lat, p.lon, Literal(Res))
+      }
+      val cellAlias = Alias(ptCell, "_pip_cell_pt")()
       val genOut = AttributeReference("_pip_cell_poly", LongType,
         nullable = false)()
-      val gen = Explode(PolyCoverCells(p.lats, p.lons, Literal(Res), QuadkeyTiling))
+      val gen = Explode(PolyCoverCells(p.lats, p.lons, Literal(Res), strat))
       val (newL, newR) =
         if (pointsOnLeft)
           (Project(left.output :+ cellAlias, left),

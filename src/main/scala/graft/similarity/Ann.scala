@@ -134,12 +134,21 @@ object Ann {
     * is integer summaries (sum/min/max of codes) + the scale, all exactly
     * replicable in SQL, so the oracle proves the codes bit-for-bit. The
     * reconstruction error bound |code/127*scale - x| <= scale/127 holds by
-    * construction (AnnSpec pins it). Map-only — scales trivially. */
-  def int8QuantFacts(spark: SparkSession, dir: String): DataFrame = {
-    val w = vecs(spark, dir)
+    * construction (AnnSpec pins it). Map-only — scales trivially.
+    *
+    * An all-zero vector has amax = 0; dividing by it would yield NaN codes
+    * (-> null bigints) — the `greatest(amax, 1e-30)` floor makes every
+    * code exactly 0 instead (floor(0/tiny) = 0), mirrored verbatim in the
+    * oracle and pinned by AnnSpec's zero-vector case. */
+  def int8QuantFacts(spark: SparkSession, dir: String): DataFrame =
+    int8QuantFactsOf(vecs(spark, dir))
+
+  /** [[int8QuantFacts]] over an explicit (vec_id, v) frame (testable on
+    * hand-built vectors, e.g. the all-zero edge case). */
+  def int8QuantFactsOf(w: DataFrame): DataFrame = {
     w.withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
       .withColumn("codes",
-        expr("transform(v, x -> cast(floor(x / amax * 127.0) as bigint))"))
+        expr("transform(v, x -> cast(floor(x / greatest(amax, 1e-30) * 127.0) as bigint))"))
       .select(col("vec_id"), col("amax"),
         expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + c)").as("code_sum"),
         expr("array_min(codes)").as("code_min"),

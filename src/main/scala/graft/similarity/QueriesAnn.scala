@@ -65,7 +65,7 @@ object QueriesAnn {
       s"""$base,
          |qt AS (
          |  SELECT vec_id, amax,
-         |    list_transform(v, x -> CAST(floor(x / amax * 127.0) AS BIGINT)) AS codes
+         |    list_transform(v, x -> CAST(floor(x / greatest(amax, 1e-30) * 127.0) AS BIGINT)) AS codes
          |  FROM (SELECT vec_id, v,
          |          list_max(list_transform(v, x -> abs(x))) AS amax FROM w)
          |)

@@ -77,7 +77,21 @@ object StreamingTiles {
     * final (still-open) session — StreamingSpec pins this across a
     * two-increment resume. State is one small record per ACTIVE user —
     * bounded by user cardinality, not event count; production adds an
-    * event-time timeout to flush idle users. */
+    * event-time timeout to flush idle users.
+    *
+    * ORDERING CONTRACT (cross-batch): events are sorted within a
+    * micro-batch, but an event arriving in a LATER batch with an event
+    * time older than the stored `lastUs` merges into the open session
+    * (widening its [startUs, lastUs] envelope monotonically — never
+    * rewinding it), which can diverge from the batch sessionizer's global
+    * (t, event_id) order when the late event should have split or joined
+    * a session closed in an earlier batch.
+    * This is the standard at-ingest-order tradeoff of single-pass
+    * sessionization; exact late-data handling requires an event-time
+    * watermark + buffering events until the watermark passes (planned
+    * production shape: `GroupStateTimeout.EventTimeTimeout`, buffer in
+    * state, finalize on timeout). StreamingSpec pins the current behavior
+    * with an out-of-order increment. */
   def sessionStream(spark: SparkSession, dir: String): Dataset[ClosedSession] = {
     import spark.implicits._
     spark.readStream.schema(eventSchema).parquet(dir)
@@ -101,7 +115,10 @@ object StreamingTiles {
                 closed += ClosedSession(uid, s.sess, s.nEvents, s.startUs, s.lastUs)
                 cur = OpenSession(s.sess + 1, t, t, 1L)
               case s =>
-                cur = s.copy(lastUs = t, nEvents = s.nEvents + 1)
+                // max/min: a cross-batch late event (t < lastUs) widens the
+                // open session's envelope, never rewinds it (see contract)
+                cur = s.copy(startUs = math.min(s.startUs, t),
+                  lastUs = math.max(s.lastUs, t), nEvents = s.nEvents + 1)
             }
           }
           if (cur != null) state.update(cur)

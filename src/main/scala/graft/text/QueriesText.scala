@@ -103,28 +103,38 @@ object QueriesText {
          |FROM x GROUP BY chunk_size""".stripMargin))
 
   /** Token-count distribution (≙ test/dataset_analysis.py:72-170 corpus
-    * stats): EXACT p50/p90 of the per-doc piece count via a deterministic
-    * global ranking (value, doc_id) — identical row pick in both engines
-    * (no engine-specific percentile interpolation). The single-partition
-    * window is the corpus-analysis tool's shape; at 100 TB swap for
-    * approx_percentile. */
+    * stats): EXACT p50/p90 of the per-doc piece count, scale-safe.
+    *
+    * The percentile at rank r under the (np, doc_id) global ordering is
+    * the smallest np whose CUMULATIVE count reaches r — so no global sort
+    * of the corpus is ever needed:
+    *   1. `groupBy(np).count()` — one KEYED shuffle; the histogram's
+    *      cardinality is bounded by the value domain (distinct piece
+    *      counts ≤ max doc length), not by corpus size;
+    *   2. cumulative counts via a broadcast inequality self-join of the
+    *      tiny histogram (V² pairs with V domain-bounded — no
+    *      partitionless window, whose single-task sort was the round-2
+    *      scale flag);
+    *   3. rank pick per requested percentile.
+    * Every shuffle is keyed; 100 TB changes only the size of step 1's
+    * map side. */
   private val qTokenDist = Q(
     "q_token_dist",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).select(col("doc_id"),
+      val d = docs(s, dir).select(
         size(expr(s"regexp_extract_all(lower(text), '$PiecePat', 0)")).as("np"))
-      val w = Window.orderBy(col("np"), col("doc_id"))
-      d.withColumn("rk", row_number().over(w))
-        .withColumn("total", count(lit(1)).over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .filter(col("rk") === ceil(col("total") * 0.5) ||
-          col("rk") === ceil(col("total") * 0.9))
-        .select(
-          when(col("rk") === ceil(col("total") * 0.5), 50).otherwise(90)
-            .as("pct"),
-          col("np").as("n_pieces"))
+      val hist = d.groupBy(col("np")).agg(count(lit(1)).as("c"))
+      val h2 = hist.select(col("np").as("np2"), col("c").as("c2"))
+      val cum = hist.join(broadcast(h2), col("np2") <= col("np"))
+        .groupBy(col("np")).agg(sum(col("c2")).as("cum"))
+      val total = cum.agg(max(col("cum")).as("total"))
+      cum.crossJoin(broadcast(total))
+        .select(col("np"), col("cum"), col("total"),
+          explode(array(lit(50), lit(90))).as("pct"))
+        .withColumn("r",
+          ceil(col("total") * when(col("pct") === 50, 0.5).otherwise(0.9)))
+        .filter(col("cum") >= col("r"))
+        .groupBy(col("pct")).agg(min(col("np")).as("n_pieces"))
     },
     Some(
       s"""WITH d AS (

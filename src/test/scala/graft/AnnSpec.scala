@@ -131,6 +131,20 @@ class AnnSpec extends SparkFunSuite {
     }
   }
 
+  test("int8 quantization: all-zero vector yields all-zero codes, not NaN") {
+    import spark.implicits._
+    val w = Seq((0L, Array(0.0, 0.0, 0.0)), (1L, Array(0.5, -1.0, 0.25)))
+      .toDF("vec_id", "v")
+    val got = Ann.int8QuantFactsOf(w).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // amax = 0 -> every code exactly 0 (guarded division), never null
+    assert(got(0L) == ((0.0, 0L, 0L, 0L)))
+    // a normal vector is untouched by the guard
+    val codes = Array(0.5, -1.0, 0.25).map(x => math.floor(x / 1.0 * 127.0).toLong)
+    assert(got(1L) == ((1.0, codes.sum, codes.min, codes.max)))
+  }
+
   test("label centroid facts: counts sum to table size") {
     val df = Ann.labelCentroidFacts(spark, dir, 4)
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()

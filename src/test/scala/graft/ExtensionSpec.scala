@@ -59,6 +59,31 @@ class ExtensionSpec extends SparkFunSuite {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("pip rewrite honors the coverRes/strategy conf keys (S2, res 5)") {
+    GraftOptimizations.install(spark)
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    val polys = Fixtures.polygonsDf(spark)
+    spark.conf.set(graft.plans.PipJoinToCoverJoin.ResKey, "5")
+    spark.conf.set(graft.plans.PipJoinToCoverJoin.StrategyKey, "s2")
+    try {
+      val naive = imgs.crossJoin(polys)
+        .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+        .select(col("poly_id"), col("image_id"))
+      val opt = naive.queryExecution.optimizedPlan.toString
+      assert(opt.contains("s2_encode"), s"s2 strategy not honored:\n$opt")
+      assert(opt.contains("poly_cover_cells_s2"), s"s2 cover not honored:\n$opt")
+      assert(opt.contains(", 5)"), s"cover res 5 not honored:\n$opt")
+      // semantics invariant under any (strategy, res): same pair set
+      val got = naive.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val brute = graft.operators.SpatialJoin.pipBrute(imgs, spark).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == brute && got.nonEmpty)
+    } finally {
+      spark.conf.unset(graft.plans.PipJoinToCoverJoin.ResKey)
+      spark.conf.unset(graft.plans.PipJoinToCoverJoin.StrategyKey)
+    }
+  }
+
   test("bbox conjuncts reach the parquet scan as pushed filters") {
     GraftOptimizations.install(spark)
     val dir = Files.createTempDirectory("graft-ext-parquet").toString

@@ -91,6 +91,22 @@ class PlanSpec extends SparkFunSuite {
       !plan.contains("CartesianProduct"))
   }
 
+  test("no shipped query plans a partitionless window") {
+    // The round-2 scale flag: a Window with no partitionBy funnels the
+    // whole input through ONE task ("WindowExec: No Partition Defined").
+    // Assert the optimized logical plan of EVERY registered query is free
+    // of empty-partition Window nodes. (Windows inside localCheckpointed
+    // segments are per-query-partitioned by construction in Knn/Retrieval.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Queries.all.foreach { q =>
+      val df = q.fn(spark, SparkSpec.Sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"${q.name} plans a partitionless window")
+    }
+  }
+
   test("cell_encode stays inside codegen (no fallback marker)") {
     val df = imgs.select(graft.geo.functions.cell_encode(
       col("lat"), col("lon"), 8).as("cell"))

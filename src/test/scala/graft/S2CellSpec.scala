@@ -136,6 +136,48 @@ class S2CellSpec extends AnyFunSuite {
     }
   }
 
+  test("settle-bound lemma holds AT cube-face corners (directed, all 8)") {
+    // ADVICE r2: the random sweep almost never lands near the 8 points
+    // where 3 faces meet, exactly where the sampled cross-face ring
+    // continuation is most warped. Directed version of the lemma: query
+    // points within ~1 cell of every cube corner, dense angular probes at
+    // radii up to the bound.
+    val S2T = graft.geo.S2Tiling
+    val cornerLat = math.toDegrees(math.atan2(1.0, math.sqrt(2.0))) // 35.264°
+    val corners = for {
+      sla <- Seq(-1, 1); lo <- Seq(45.0, 135.0, -45.0, -135.0)
+    } yield (sla * cornerLat, lo)
+    for {
+      (cla, clo) <- corners
+      lvl <- Seq(4, 6, 9)
+      k <- Seq(1, 2, 4)
+    } {
+      val cellDeg = 90.0 / (1 << lvl) // rough face-cell angular size
+      val bound = k * S2T.minUnitDeg(lvl)
+      // query points: the corner itself + offsets within ~1 cell around it
+      val qpts = for {
+        dla <- Seq(0.0, -0.7 * cellDeg, 0.7 * cellDeg)
+        dlo <- Seq(0.0, -0.7 * cellDeg, 0.7 * cellDeg)
+      } yield (cla + dla, clo + dlo)
+      qpts.foreach { case (qla, qlo) =>
+        val qc = S2Cell.fromLatLng(qla, qlo, lvl)
+        val ring = S2Cell.ring(qc, k).toSet
+        for {
+          frac <- Seq(0.35, 0.7, 0.95)
+          a <- 0 until 32
+        } {
+          val ang = a * 2 * math.Pi / 32
+          val pla = qla + frac * bound * math.sin(ang)
+          val plo = qlo + frac * bound * math.cos(ang)
+          val pc = S2Cell.fromLatLng(pla, plo, lvl)
+          assert(ring.contains(pc),
+            s"corner ($cla,$clo) lvl=$lvl k=$k q=($qla,$qlo) " +
+              s"p=($pla,$plo) escaped the ring")
+        }
+      }
+    }
+  }
+
   test("cover handles antimeridian boxes") {
     val cov = S2Cell.cover(-10.0, 10.0, 170.0, -170.0, 4).toSet
     assert(cov.contains(S2Cell.fromLatLng(0.0, 179.5, 4)))

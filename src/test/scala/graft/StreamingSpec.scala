@@ -134,6 +134,46 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sessionization ordering contract: a cross-batch late event widens the open session") {
+    // Pins the documented at-ingest-order tradeoff (StreamingTiles
+    // sessionStream scaladoc): an event arriving in a LATER batch with an
+    // older event time merges into the open session, widening its
+    // envelope — it does NOT retro-split or rejoin sessions closed
+    // earlier, which is where this diverges from the batch sessionizer.
+    val inDir = Files.createTempDirectory("graft-stream-late").toString
+    val ckpt = Files.createTempDirectory("graft-stream-lateck").toString
+    val outDir = Files.createTempDirectory("graft-stream-lateout").toString
+    val Min = 60000000L // one minute in micros
+    def dump(events: Seq[(Long, Long)]): Unit = { // (event_id, t_us)
+      import spark.implicits._
+      events.toDF("event_id", "tus")
+        .select(col("event_id"),
+          expr("timestamp_micros(tus)").cast("timestamp_ntz").as("ts"),
+          lit(1L).as("user_id"), lit("x").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    def run(): Unit = {
+      val q = StreamingTiles.sessionStream(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: t=0 and t=60min -> closes session 1 as [0,0], opens s2
+    dump(Seq((1L, 0L), (2L, 60 * Min)))
+    run()
+    // batch 2: LATE t=10min (merges into OPEN s2, widening start to 10min;
+    // batch truth would have put it in s1) then t=120min (closes s2)
+    dump(Seq((3L, 10 * Min), (4L, 120 * Min)))
+    run()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("sess"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+    assert(got == Set((1L, 1L, 0L, 0L), (2L, 2L, 10 * Min, 60 * Min)),
+      s"late-event contract drifted: $got")
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
