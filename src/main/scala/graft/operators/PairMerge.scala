@@ -33,8 +33,13 @@ object PairMerge {
 
   case class TileIn(parent: Long, cell: Long, cnt: Long, bytes_sum: Long,
                     lat_c: Double, lon_c: Double)
+  /** lat_c/lon_c: the merged node's own centroid — the midpoint of the
+    * pair's centroids (the graft of the reference re-embedding the merged
+    * text, merge_tree_builder.py:400); pass-through for unmerged tiles.
+    * Feeds the layer-2 clustering of [[mergeTree]]. */
   case class Merged(parent: Long, cell: Long, cell_a: Long, cell_b: Long,
-                    merged: Boolean, cnt: Long, bytes_sum: Long)
+                    merged: Boolean, cnt: Long, bytes_sum: Long,
+                    lat_c: Double, lon_c: Double)
 
   /** Pure, deterministic greedy matching over one neighborhood — shared by
     * the distributed operator and the test's reference recomputation. */
@@ -67,10 +72,11 @@ object PairMerge {
           used(best) = true
           val b = order(best)
           out += Merged(parent, math.min(a.cell, b.cell), a.cell, b.cell,
-            merged = true, a.cnt + b.cnt, a.bytes_sum + b.bytes_sum)
+            merged = true, a.cnt + b.cnt, a.bytes_sum + b.bytes_sum,
+            (a.lat_c + b.lat_c) / 2.0, (a.lon_c + b.lon_c) / 2.0)
         } else {
           out += Merged(parent, a.cell, a.cell, a.cell,
-            merged = false, a.cnt, a.bytes_sum)
+            merged = false, a.cnt, a.bytes_sum, a.lat_c, a.lon_c)
         }
       }
       i += 1
@@ -92,5 +98,33 @@ object PairMerge {
     in.groupByKey(_.parent)
       .flatMapGroups((p, it) => matchGroup(p, it.toSeq).iterator)
       .toDF()
+  }
+
+  /** TWO-LAYER merge tree (raptor/merge_tree_builder.py:414-461: after the
+    * greedy pair-merge forms layer 1, a final k-means with `n_clusters//2`
+    * clusters over the merged nodes forms layer 2 — each cluster becomes a
+    * parent whose children are its members): layer 1 = [[greedyPairMerge]];
+    * layer 2 = seeded fixed-iteration Lloyd ([[KmeansAssign]], the learned
+    * assignment) over the layer-1 centroids, parents aggregating their
+    * members. `k2` mirrors the reference's `min(n_clusters // 2, n1)` —
+    * callers pass their configured half-count; the min is applied here.
+    * Returns (layer1, layer2); layer1 is materialized (localCheckpoint)
+    * because both the k-means jobs and the final join consume it.
+    * GreedyPairSpec pins the test_merge_layer.py:63-124 invariants. */
+  def mergeTree(tiles: DataFrame, groupRes: Int, k2: Int,
+                iters: Int = KmeansAssign.DefaultIters)
+      : (DataFrame, DataFrame) = {
+    val layer1 = greedyPairMerge(tiles, groupRes).localCheckpoint(true)
+    val n1 = layer1.count()
+    val k = math.max(1, math.min(k2.toLong, n1)).toInt
+    val pts = layer1.select(col("cell").cast("string").as("image_id"),
+      col("lat_c").as("lat"), col("lon_c").as("lon"))
+    val assigned = KmeansAssign.assign(pts, k, iters)
+      .select(col("image_id").cast("long").as("cell"), col("cid"))
+    val layer2 = layer1.join(assigned, Seq("cell"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_children"),
+        sum(col("cnt")).as("cnt"), sum(col("bytes_sum")).as("bytes_sum"))
+    (layer1, layer2)
   }
 }

@@ -50,13 +50,23 @@ object Retrieval {
       (clon - col("qlon")) * (clon - col("qlon"))
   }
 
-  private def rankPerQuery(cand: DataFrame, k: Int): DataFrame = {
+  private def rankPerQuery(cand: DataFrame, k: Int,
+                           threshold: Option[Double] = None): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("dist_sq"), col("cell"))
-    cand.withColumn("dist_sq", centerDistSq)
+    val ranked = cand.withColumn("dist_sq", centerDistSq)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("res"), col("cell"), col("cnt"),
-        col("dist_sq"), col("rnk"))
+    val sel = threshold match {
+      // THRESHOLD mode (tree_builder.py:250-253, tree_retriever.py:
+      // 245-248): keeps every node whose distance EXCEEDS the threshold —
+      // the reference's farthest-first quirk, pinned verbatim (rnk stays
+      // the ascending-distance rank, matching the reference's iteration
+      // over the ascending `indices`). Selection size is unbounded; scale
+      // users stay in top-k mode.
+      case Some(t) => ranked.filter(col("dist_sq") > t)
+      case None    => ranked.filter(col("rnk") <= k)
+    }
+    sel.select(col("qid"), col("res"), col("cell"), col("cnt"),
+      col("dist_sq"), col("rnk"))
   }
 
   private def tileCols(t: DataFrame): DataFrame =
@@ -74,16 +84,38 @@ object Retrieval {
     * side reports no size statistics, so Spark would otherwise plan SMJ).
     * At larger query counts pass false — the same plan becomes shuffle
     * equi-joins on (pcell, qid). */
+  /** `threshold`: Some(t) switches EVERY level's selection from top-k to
+    * the reference's threshold mode (`distance > t`, the farthest-first
+    * quirk — see [[rankPerQuery]]); `k` is then ignored.
+    *
+    * `emptyFallback`: when a query's candidate set at some level comes up
+    * EMPTY (its selected parents have no children in the pyramid — e.g. a
+    * partial snapshot), rank over ALL tiles of that level for that query
+    * instead — the degraded fallback of the reference's kmeans/merge
+    * retrievers (kmeans_retriever.py:112-114, merge_tree_retriever.py:
+    * 99-118: "fall back to all leaves"). OFF by default because the
+    * grafted descent (tree_retriever.py:215-273) has no such fallback;
+    * RetrievalSpec pins both behaviors. The fallback branch is a plan,
+    * not a driver check: queries with candidates anti-join away, so when
+    * nothing is missing the branch is an empty broadcast. */
+  /** `persistTiles`: cache the tile table (right for DERIVED pyramids —
+    * without materialization a rollup-chain input would re-execute
+    * O(levels²) times). Pass FALSE for a [[Snapshot]]-backed pyramid: the
+    * parquet is already materialized and partitioned by `res`, so each
+    * level's filter reaches the scan as a partition filter (file-listing
+    * pruning) — at 10^9 tiles the descent then reads only the levels it
+    * visits instead of caching the whole pyramid (RetrievalSpec pins the
+    * PartitionFilters in the plan). */
   def descendTopK(pyramid: DataFrame, queries: DataFrame,
                   startRes: Int, endRes: Int, k: Int,
                   strategy: TilingStrategy = QuadkeyTiling,
-                  broadcastSelections: Boolean = true): DataFrame = {
-    // Persist the tile table: the descent filters it once per level AND
-    // each level's selection plan embeds every previous level's subtree —
-    // without materialization a derived (e.g. rollup-chain) pyramid would
-    // be recomputed O(levels^2) times. A Snapshot-backed pyramid is
-    // already materialized parquet; the persist is then a cheap cache.
-    val tiles = tileCols(pyramid).persist(StorageLevel.MEMORY_AND_DISK)
+                  broadcastSelections: Boolean = true,
+                  threshold: Option[Double] = None,
+                  emptyFallback: Boolean = false,
+                  persistTiles: Boolean = true): DataFrame = {
+    val tiles =
+      if (persistTiles) tileCols(pyramid).persist(StorageLevel.MEMORY_AND_DISK)
+      else tileCols(pyramid)
     val q = queries.select(col("qid"), col("qlat"), col("qlon"))
     def hinted(df: DataFrame) = if (broadcastSelections) broadcast(df) else df
     // Each level's selection (k rows/query) feeds BOTH the next level's
@@ -91,18 +123,30 @@ object Retrieval {
     // (lineage cut, data stays distributed); without it level r's subtree
     // re-executes O(levels - r) times, one broadcast job each.
     var sel = rankPerQuery(
-      tiles.filter(col("res") === startRes).crossJoin(hinted(q)), k)
+      tiles.filter(col("res") === startRes).crossJoin(hinted(q)), k, threshold)
       .localCheckpoint(true)
     var all = sel
     var r = startRes + 1
+    val rankCols = Seq("qid", "qlat", "qlon", "res", "cell", "cnt",
+      "lat_min", "lat_max", "lon_min", "lon_max").map(col)
     while (r <= endRes) {
       // children of the previous selection: equi-join tile.parent == sel.cell
       val parents = sel.select(col("qid"), col("cell").as("pcell"))
-      val cand = tiles.filter(col("res") === r)
+      val level = tiles.filter(col("res") === r)
+      val withCand = level
         .withColumn("pcell", strategy.parentAtCol(col("cell"), r - 1))
         .join(hinted(parents), Seq("pcell"))
-        .join(hinted(q), Seq("qid"))
-      sel = rankPerQuery(cand, k).localCheckpoint(true)
+      val cand0 = withCand.join(hinted(q), Seq("qid")).select(rankCols: _*)
+      val cand =
+        if (!emptyFallback) cand0
+        else {
+          // queries with zero candidates at this level -> all level tiles
+          val missing = q.join(withCand.select(col("qid")).distinct(),
+            Seq("qid"), "left_anti")
+          cand0.unionByName(
+            level.crossJoin(hinted(missing)).select(rankCols: _*))
+        }
+      sel = rankPerQuery(cand, k, threshold).localCheckpoint(true)
       all = all.unionByName(sel)
       r += 1
     }

@@ -44,6 +44,28 @@ class GreedyPairSpec extends SparkFunSuite {
     assert(got.exists(_._5), "fixture must produce at least one real pair")
   }
 
+  test("two-layer merge tree: layer counts, containment, conservation " +
+      "(test_merge_layer.py:63-124 invariants)") {
+    val K2 = 6
+    val (layer1, layer2) = PairMerge.mergeTree(tiles, GroupRes, K2)
+    val l1 = layer1.collect()
+    val l2 = layer2.collect()
+    // |layer1| = sum over neighborhoods of ceil(m/2) — exclusive pairing
+    val perParent = tiles.select(
+        graft.geo.functions.cell_parent_at(col("cell"), GroupRes).as("p"))
+      .groupBy(col("p")).count().collect().map(_.getLong(1))
+    assert(l1.length == perParent.map(m => (m + 1) / 2).sum)
+    // every layer-1 node lands in exactly one layer-2 cluster
+    assert(l2.map(_.getLong(1)).sum == l1.length.toLong,
+      "layer-2 children must partition layer 1")
+    // <= requested cluster count, and a real multi-cluster split
+    assert(l2.length <= K2 && l2.length > 1)
+    // image counts conserved leaves -> layer 1 -> layer 2
+    val leafCnt = tiles.agg(sum(col("cnt"))).first().getLong(0)
+    assert(l1.map(_.getAs[Long]("cnt")).sum == leafCnt)
+    assert(l2.map(_.getAs[Long]("cnt")).sum == leafCnt)
+  }
+
   test("pairing conserves the pool: every tile used exactly once, totals kept") {
     val merged = PairMerge.greedyPairMerge(tiles, GroupRes)
     val usedCells = merged.collect().flatMap { r =>

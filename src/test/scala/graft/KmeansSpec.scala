@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.KmeansAssign
+import graft.sources.Images
+
+/** Learned-assignment tiling: the distributed Lloyd loop vs a plain
+  * driver-side recomputation with the same seeding, quantized means, and
+  * argmin tie-break — assignments and centroids must match exactly
+  * (also DuckDB-oracle-proven by q_kmeans_assign). */
+class KmeansSpec extends SparkFunSuite {
+
+  private val K = 5
+  private val Iters = 3
+
+  private def anchors: Array[(String, Double, Double)] =
+    Images.images(spark, SparkSpec.Sf)
+      .select(col("image_id"), col("lat"), col("lon"), md5(col("image_id")).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+      .sortBy(r => (r._4, r._1))
+      .map(r => (r._1, r._2, r._3))
+
+  /** Driver-side Lloyd with the operator's exact arithmetic. */
+  private def lloyd(pts: Array[(String, Double, Double)])
+      : (Seq[KmeansAssign.Centroid], Map[String, Int]) = {
+    var cents = pts.take(K).zipWithIndex
+      .map { case ((_, la, lo), i) => KmeansAssign.Centroid(i + 1, la, lo) }.toSeq
+    def nearest(la: Double, lo: Double): Int = {
+      val ds = cents.sortBy(_.cid).map(c =>
+        (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon))
+      ds.indexOf(ds.min) + 1 // first occurrence = smallest cid on ties
+    }
+    (1 to Iters).foreach { _ =>
+      val groups = pts.groupBy { case (_, la, lo) => nearest(la, lo) }
+      cents = cents.map { c =>
+        groups.get(c.cid) match {
+          case Some(ms) =>
+            val n = ms.length.toLong
+            val sla = ms.map(m => math.floor(m._2 * 1000000).toLong).sum
+            val slo = ms.map(m => math.floor(m._3 * 1000000).toLong).sum
+            KmeansAssign.Centroid(c.cid,
+              sla.toDouble / (n.toDouble * 1000000.0),
+              slo.toDouble / (n.toDouble * 1000000.0))
+          case None => c
+        }
+      }
+    }
+    (cents, pts.map { case (id, la, lo) => id -> nearest(la, lo) }.toMap)
+  }
+
+  test("distributed Lloyd == driver-side recomputation (centroids + assignment)") {
+    val pts = anchors
+    val (wantCents, wantAssign) = lloyd(pts)
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    val gotCents = KmeansAssign.fit(imgs, K, Iters)
+    assert(gotCents.sortBy(_.cid) == wantCents.sortBy(_.cid))
+    val gotAssign = KmeansAssign.assign(imgs, K, Iters).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(gotAssign == wantAssign)
+    // a real partition: more than one cluster in use
+    assert(gotAssign.values.toSet.size > 1)
+  }
+
+  test("assignment is a true argmin under the final centroids") {
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    val cents = KmeansAssign.fit(imgs, K, Iters)
+    val rows = KmeansAssign.assign(imgs, K, Iters)
+      .join(imgs.select(col("image_id"), col("lat"), col("lon")), "image_id")
+      .collect()
+    rows.foreach { r =>
+      val (la, lo) = (r.getDouble(2), r.getDouble(3))
+      val best = cents.map(c =>
+        (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon)).min
+      val own = cents.find(_.cid == r.getInt(1)).get
+      val d = (la - own.clat) * (la - own.clat) + (lo - own.clon) * (lo - own.clon)
+      assert(d == best, s"${r.getString(0)} not assigned to its nearest centroid")
+    }
+  }
+}

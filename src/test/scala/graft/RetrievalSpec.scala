@@ -90,6 +90,91 @@ class RetrievalSpec extends SparkFunSuite {
     assert(got == want.toSet)
   }
 
+  test("threshold mode selects the FARTHEST tiles (the reference quirk), exactly") {
+    // distance > t keeps the far tail — pinned verbatim from
+    // tree_builder.py:250-253 / tree_retriever.py:245-248 (the reference
+    // selects nodes FARTHER than the threshold; a "fixed" engine would
+    // select the near ones). rnk stays the ascending-distance rank.
+    val t = 120000.0
+    val levels = (4 to 5).map(r => r -> tilesAt(r)).toMap
+    val want = scala.collection.mutable.Set.empty[(Int, Int, Long, Int, Double)]
+    queries.foreach { case (qid, qlat, qlon) =>
+      def ranked(ts: Iterable[Tile]) =
+        ts.toSeq.map(x => (x, dist(x, qlat, qlon)))
+          .sortBy { case (x, d) => (d, x.cell) }.zipWithIndex
+      var sel = ranked(levels(4).values).filter(_._1._2 > t)
+      sel.foreach { case ((x, d), i) => want += ((qid, 4, x.cell, i + 1, d)) }
+      val parents = sel.map(_._1._1.cell).toSet
+      val cand = levels(5).values
+        .filter(x => parents.contains(GridCell.parentAt(x.cell, 4)))
+      sel = ranked(cand).filter(_._1._2 > t)
+      sel.foreach { case ((x, d), i) => want += ((qid, 5, x.cell, i + 1, d)) }
+    }
+    val got = Retrieval.descendTopK(
+      TilePyramid.pyramidLazy(Images.images(spark, SparkSpec.Sf), 4, 5),
+      Fixtures.knnQueries(spark), 4, 5, k = 1, threshold = Some(t))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(5),
+        r.getDouble(4))).toSet
+    assert(got == want.toSet)
+    // the quirk is observable: at least one selected tile is farther than
+    // some unselected tile (farthest-first, not nearest-first)
+    assert(want.nonEmpty)
+  }
+
+  test("empty-selection fallback: a level with no children ranks ALL its tiles") {
+    // Degraded mode of the kmeans/merge retrievers (kmeans_retriever.py:
+    // 112-114): remove every level-5 child of the level-4 selection for
+    // one query; with emptyFallback the level-5 selection comes from ALL
+    // remaining level-5 tiles; without, that level is simply empty.
+    val (qid, qlat, qlon) = queries.head
+    val q1 = Fixtures.knnQueries(spark).filter(col("qid") === qid)
+    val sel4 = topK(tilesAt(4).values, qlat, qlon, K).map(_._1.cell).toSet
+    val pyramid = TilePyramid.pyramidLazy(Images.images(spark, SparkSpec.Sf), 4, 5)
+      .filter(!(col("res") === 5 &&
+        graft.geo.functions.cell_parent_at(col("cell"), 4)
+          .isin(sel4.toSeq: _*)))
+    val without = Retrieval.descendTopK(pyramid, q1, 4, 5, K)
+      .filter(col("res") === 5).count()
+    assert(without == 0, "without fallback the emptied level must yield nothing")
+    val withFb = Retrieval.descendTopK(pyramid, q1, 4, 5, K, emptyFallback = true)
+      .filter(col("res") === 5).collect()
+      .map(r => (r.getLong(2), r.getInt(5), r.getDouble(4))).toSet
+    val remaining = tilesAt(5).values
+      .filter(t => !sel4.contains(GridCell.parentAt(t.cell, 4)))
+    val want = topK(remaining, qlat, qlon, K).zipWithIndex
+      .map { case ((t, d), i) => (t.cell, i + 1, d) }.toSet
+    assert(withFb == want && withFb.nonEmpty)
+  }
+
+  test("snapshot-backed descent: same result, level scans partition-pruned") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ret-snap").toString
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    graft.operators.Snapshot.write(
+      TilePyramid.pyramidLazy(imgs, 4, 6), root, "r1", buildTs = 7L)
+    val snap = graft.operators.Snapshot.read(spark, root)
+    // parity: unpersisted snapshot-backed descent == derived-pyramid descent
+    val got = Retrieval.descendTopK(snap, Fixtures.knnQueries(spark),
+      4, 6, K, persistTiles = false).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(5))).toSet
+    val want = Retrieval.descendTopK(TilePyramid.pyramidLazy(imgs, 4, 6),
+      Fixtures.knnQueries(spark), 4, 6, K).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(5))).toSet
+    assert(got == want && got.nonEmpty)
+    // the per-level stage the operator builds (filter res=r over the
+    // snapshot scan) prunes at the partition level — res never reaches
+    // the data filters because it is a partition DIRECTORY
+    val levelStage = snap
+      .select(col("cell"), col("res"), col("cnt"),
+        col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"))
+      .filter(col("res") === 6)
+    val plan = levelStage.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("res") && scanLine.contains("6"),
+      s"res partition filter not pushed to the scan:\n$plan")
+  }
+
   test("descent invariant: every selected child's parent was selected") {
     val rows = Retrieval.descendTopK(
       TilePyramid.pyramidLazy(Images.images(spark, SparkSpec.Sf), 4, 8),

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TilePyramid
+import graft.sources.Images
+
+/** Adaptive skew salting (SURVEY.md §4 / X10): the hot-cell histogram
+  * drives WHERE the two-phase salted aggregation is paid — hot cells only;
+  * the long tail takes the ordinary single-phase path. Output must equal
+  * the direct groupBy exactly (also oracle-pinned by q_skew_adaptive). */
+class SkewSpec extends SparkFunSuite {
+
+  test("adaptive salted agg == direct groupBy, bit for bit") {
+    val got = Queries.skewAdaptive(spark, SparkSpec.Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = TilePyramid.withCell(Images.images(spark, SparkSpec.Sf), 12)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want && got.nonEmpty)
+    // the fixture really is skewed: at least one cell above the threshold
+    assert(want.values.exists(_._1 > Queries.HotThreshold),
+      "fixture lost its planted hotspot — the adaptive path is untested")
+  }
+
+  test("only the hot branch pays the salted two-phase shuffle") {
+    val df = Queries.skewAdaptive(spark, SparkSpec.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // split: hot rows in via semi join, cold rows via anti join
+    assert(plan.contains("LeftSemi"), "hot split missing")
+    assert(plan.contains("LeftAnti"), "cold split missing")
+    // exactly ONE exchange keyed by (cell, salt): the hot branch's
+    // phase-1; the cold branch shuffles on cell alone (single phase)
+    val saltedExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("salt"))
+    assert(saltedExchanges == 1,
+      s"expected exactly one salted exchange, got $saltedExchanges:\n$plan")
+  }
+}
