@@ -184,15 +184,20 @@ object Queries {
     "q_stats_transfer", {
       val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
       (s, dir) => {
-        // NOT persisted: the two half-corpus scans re-derive + re-md5, but
-        // that codegen'd map work is cheaper than materializing a 456k-row
-        // cache (measured: persisting doubled the in-suite query time)
+        // ONE scan + ONE aggregation derives BOTH half-corpora's tile sets
+        // (extraKeys grouping), cached so each snapshot write filters the
+        // tiny aggregated frame instead of re-scanning + re-aggregating
+        // the corpus per half (round-2 shape: two full passes).
         val imgs = Images.images(s, dir)
         val tmp = java.nio.file.Files.createTempDirectory("graft-xfer").toString
-        Snapshot.write(TilePyramid.leafTiles(imgs.filter(expr(h) === 0), 7),
+        val both = TilePyramid.leafTiles(imgs.withColumn("half", expr(h)), 7,
+            extraKeys = Seq("half"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Snapshot.write(both.filter(col("half") === 0).drop("half"),
           s"$tmp/a", snapshotId = "a1", buildTs = 1L)
-        Snapshot.write(TilePyramid.leafTiles(imgs.filter(expr(h) === 1), 7),
+        Snapshot.write(both.filter(col("half") === 1).drop("half"),
           s"$tmp/b", snapshotId = "b1", buildTs = 2L)
+        both.unpersist(blocking = false)
         Snapshot.transferStats(s, s"$tmp/a", s"$tmp/b", s"$tmp/out",
           snapshotId = "m1", buildTs = 3L)
           .select(col("cell"), col("cnt"), col("bytes_sum"), col("hot_cnt"))
@@ -295,8 +300,12 @@ object Queries {
   private[graft] def skewAdaptive(s: SparkSession, dir: String): DataFrame = {
     val withCell = TilePyramid.withCell(Images.images(s, dir), 12)
       .select(col("cell"), col("image_id"), col("w"), col("h"))
+    // materialized: the hot set feeds BOTH the semi and the anti join —
+    // unmaterialized, the histogram aggregation would run twice. Tiny by
+    // definition (skew = few heavy keys).
     val hot = withCell.groupBy(col("cell")).agg(count(lit(1)).as("hc"))
       .filter(col("hc") > HotThreshold).select(col("cell"))
+      .localCheckpoint(true)
     val bytes = (col("w") * col("h") * 3).cast("long")
     val hotAgg = withCell.join(broadcast(hot), Seq("cell"), "left_semi")
       .withColumn("salt", pmod(hash(col("image_id")), lit(SaltBuckets)))

@@ -48,19 +48,22 @@ object KmeansAssign {
     array_position(array(dists: _*), array_min(array(dists: _*))).cast("int")
   }
 
+  private def points(images: DataFrame): DataFrame =
+    images.select(col("image_id"), col("lat"), col("lon"))
+
   /** Seeded initial centroids: the first k anchors in md5(image_id)
     * order, cid = 1..k in that order. */
   def seedCentroids(images: DataFrame, k: Int): Seq[Centroid] =
-    images.select(col("image_id"), col("lat"), col("lon"))
+    points(images)
       .orderBy(md5(col("image_id")), col("image_id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => Centroid(i + 1, r.getDouble(1), r.getDouble(2)) }
 
-  /** Run `iters` Lloyd iterations; returns the final centroids. */
-  def fit(images: DataFrame, k: Int = DefaultK,
-          iters: Int = DefaultIters): Seq[Centroid] = {
-    val pts = images.select(col("lat"), col("lon"))
-    var cents = seedCentroids(images, k)
+  /** Lloyd loop over a PREPARED (id, lat, lon) frame — callers persist it
+    * (seed + every iteration scans it; unpersisted, a derived input would
+    * re-run its projection once per job). */
+  private def fitPts(pts: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    var cents = seedCentroids(pts, k)
     var it = 0
     while (it < iters) {
       val upd = pts.withColumn("cid", nearestCid(cents))
@@ -82,13 +85,26 @@ object KmeansAssign {
     cents
   }
 
+  /** Run `iters` Lloyd iterations; returns the final centroids. */
+  def fit(images: DataFrame, k: Int = DefaultK,
+          iters: Int = DefaultIters): Seq[Centroid] = {
+    val pts = points(images)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitPts(pts, k, iters)
+    finally pts.unpersist(blocking = false) // all jobs collect-terminated
+  }
+
   /** Final 1-NN assignment join (J4): every image row labeled with the
-    * cid of its nearest learned centroid. */
+    * cid of its nearest learned centroid. The anchor projection is
+    * persisted across the seed + iteration + assignment jobs (1+iters+1
+    * scans otherwise re-derive it each time); the returned frame still
+    * reads the cache, so its release is the caller's lifecycle. */
   def assign(images: DataFrame, k: Int = DefaultK,
              iters: Int = DefaultIters): DataFrame = {
-    val cents = fit(images, k, iters)
-    images.select(col("image_id"), col("lat"), col("lon"))
-      .withColumn("cid", nearestCid(cents))
+    val pts = points(images)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = fitPts(pts, k, iters)
+    pts.withColumn("cid", nearestCid(cents))
       .select(col("image_id"), col("cid"))
   }
 }

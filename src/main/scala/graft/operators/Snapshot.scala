@@ -94,7 +94,7 @@ object Snapshot {
     var cur = leaves
     var res = leafRes
     while (res > minRes) {
-      cur = TilePyramid.rollupOnce(cur, res)
+      cur = TilePyramid.rollupOnce(cur)
       all = all.unionByName(cur)
       res -= 1
     }

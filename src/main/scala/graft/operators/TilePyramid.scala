@@ -44,9 +44,13 @@ object TilePyramid {
     df.withColumn("phash_centroid", PhashCentroid.centroidCol("phash_bits"))
 
   /** Leaf tiles: aggregate the image table at `res`. ≙ leaf layer creation +
-    * first summarize (raptor/tree_builder.py:286-328 → process_cluster). */
+    * first summarize (raptor/tree_builder.py:286-328 → process_cluster).
+    * `extraKeys`: additional grouping columns (e.g. a corpus-half tag) so a
+    * caller needing SEVERAL tile sets over one input derives them in a
+    * single scan + aggregation instead of one pass per subset. */
   def leafTiles(images: DataFrame, res: Int = LeafRes,
-                strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+                strategy: TilingStrategy = QuadkeyTiling,
+                extraKeys: Seq[String] = Nil): DataFrame = {
     val aggs = Seq(
       count(lit(1)).as("cnt"),
       sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"),
@@ -56,15 +60,10 @@ object TilePyramid {
     withCentroid(
       PhashCentroid.assembleBits(
         withCell(images, res, strategy)
-          .groupBy(col("cell"))
+          .groupBy((col("cell") +: extraKeys.map(col)): _*)
           .agg(aggs.head, aggs.tail: _*), "pb", "phash_bits")
         .withColumn("res", lit(res)))
   }
-
-  /** One rollup step: tiles at res r -> tiles at r-1. The parent key is a
-    * pure function of the child cell (functional linkage replaces the
-    * reference's stored `children` adjacency — SURVEY.md §1.2). */
-  def rollupOnce(tiles: DataFrame, fromRes: Int): DataFrame = rollupOnce(tiles)
 
   /** Literal-free rollup: the target resolution is derived from each row's
     * own cell (res lives in the top bits — GridCell layout), so EVERY level
