@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.Queries.Q
 import graft.operators.{Retrieval, TilePyramid}
 import graft.sources.{Fixtures, Images}
@@ -24,6 +26,20 @@ object QueriesRetrieval {
   private val CollapseMax = 7
   private val CollapseK = 10
   private val CollapseBudget = 400L
+
+  /** The three retrieval queries all consume the SAME derived pyramid
+    * (levels 4..8) — materialize the rollup chain once per (session, sf
+    * dir) and share it (the knnRanked pattern): each query then filters
+    * its level range from a 40k-row checkpointed frame instead of
+    * re-running the leaf aggregation + rollup chain. */
+  private val pyramidCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private def sharedPyramid(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    pyramidCache.getOrElseUpdate((s, dir),
+      TilePyramid.pyramidLazy(Images.images(s, dir), DescendStart, DescendEnd)
+        .localCheckpoint(true))
 
   /** Squared distance from (qlat, qlon) to the tile bbox center — mirrors
     * [[Retrieval.centerDistSq]] op-for-op. */
@@ -104,8 +120,9 @@ object QueriesRetrieval {
   private val qDescendTopK = Q(
     "q_descend_topk",
     (s, dir) => Retrieval.descendTopK(
-      TilePyramid.pyramidLazy(Images.images(s, dir), DescendStart, DescendEnd),
-      Fixtures.knnQueries(s), DescendStart, DescendEnd, DescendK),
+      sharedPyramid(s, dir),
+      Fixtures.knnQueries(s), DescendStart, DescendEnd, DescendK,
+      persistTiles = false),
     Some(descendOracle))
 
   // threshold mode: levels 4..6, select dist_sq > 120000 (FARTHEST-first —
@@ -151,9 +168,9 @@ object QueriesRetrieval {
   private val qDescendThreshold = Q(
     "q_descend_threshold",
     (s, dir) => Retrieval.descendTopK(
-      TilePyramid.pyramidLazy(Images.images(s, dir), DescendStart, ThreshEnd),
+      sharedPyramid(s, dir).filter(col("res") <= ThreshEnd),
       Fixtures.knnQueries(s), DescendStart, ThreshEnd, k = 1,
-      threshold = Some(ThreshVal)),
+      threshold = Some(ThreshVal), persistTiles = false),
     Some(thresholdOracle))
 
   /** Collapse-tree retrieval (tree_retriever.py:168-213, the reference
@@ -161,7 +178,7 @@ object QueriesRetrieval {
   private val qCollapseTopK = Q(
     "q_collapse_topk",
     (s, dir) => Retrieval.collapseTopK(
-      TilePyramid.pyramidLazy(Images.images(s, dir), CollapseMin, CollapseMax),
+      sharedPyramid(s, dir).filter(col("res") <= CollapseMax),
       Fixtures.knnQueries(s), CollapseK, CollapseBudget),
     Some(collapseOracle))
 

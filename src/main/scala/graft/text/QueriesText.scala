@@ -177,21 +177,25 @@ object QueriesText {
     * so every chunk boundary, the interleaved emission order, and the
     * oversize TODO path are hash-proven. Overlap=0 here (the reference
     * default); the overlap>0 bug-faithful path is pinned by ChunkerSpec. */
-  private val qChunkRows = Q(
-    "q_chunk_rows",
-    (s, dir) => {
-      val ptext = s"array_join(transform(${SparkD.splitToks("text")}, " +
-        s"(w, i) -> concat(w, ${sepCase("i + 1")})), '')"
-      docs(s, dir)
-        .select(col("doc_id"), expr(ptext).as("ptext"))
-        .select(col("doc_id"), posexplode(ChunkerFunctions.split_text_chunks(
-          col("ptext"), lit(ChunkRowsMax), lit(0))).as(Seq("pos", "chunk")))
-        .select(col("doc_id"),
-          (col("pos") + 1).cast("int").as("chunk_id"), col("chunk"),
-          size(expr(s"regexp_extract_all(lower(chunk), '$PiecePat', 0)"))
-            .as("n_tok"))
-    },
-    Some {
+  /** Spark chunk-rows builder (doc_id, chunk_id, chunk, n_tok) — shared
+    * by q_chunk_rows and the composed q_chunk_pipeline. */
+  private def chunkRowsDf(s: SparkSession, dir: String): DataFrame = {
+    val ptext = s"array_join(transform(${SparkD.splitToks("text")}, " +
+      s"(w, i) -> concat(w, ${sepCase("i + 1")})), '')"
+    docs(s, dir)
+      .select(col("doc_id"), expr(ptext).as("ptext"))
+      .select(col("doc_id"), posexplode(ChunkerFunctions.split_text_chunks(
+        col("ptext"), lit(ChunkRowsMax), lit(0))).as(Seq("pos", "chunk")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("int").as("chunk_id"), col("chunk"),
+        size(expr(s"regexp_extract_all(lower(chunk), '$PiecePat', 0)"))
+          .as("n_tok"))
+  }
+
+  /** DuckDB chunk-rows CTE chain ending with
+    * `cr(doc_id, chunk_id, chunk, n_tok)` — the shared oracle base for
+    * q_chunk_rows and q_chunk_pipeline. */
+  private lazy val chunkOracleCte: String = {
       val M = ChunkRowsMax
       val np = s"len(regexp_extract_all(lower(st), '$PiecePat'))"
       def npOf(e: String) = s"len(regexp_extract_all(lower($e), '$PiecePat'))"
@@ -253,11 +257,81 @@ object QueriesText {
          |  SELECT doc_id, unnest(list_transform(chunks,
          |    (c, i) -> {'chunk_id': i, 'chunk': c})) AS u
          |  FROM cl
+         |), cr AS (
+         |  SELECT doc_id, u.chunk_id AS chunk_id, u.chunk AS chunk,
+         |    ${npOf("u.chunk")} AS n_tok
+         |  FROM ex
+         |)""".stripMargin
+  }
+
+  private val qChunkRows = Q(
+    "q_chunk_rows",
+    (s, dir) => chunkRowsDf(s, dir),
+    Some(s"$chunkOracleCte\nSELECT doc_id, chunk_id, chunk, n_tok FROM cr"))
+
+  /** Minimum chunk token count the pipeline keeps (quality gate). */
+  private val PipeMinTok = 5
+
+  /** COMPOSED training-data pipeline over the chunker: chunk ->
+    * quality-filter (n_tok >= PipeMinTok) -> corpus-wide exact dedup
+    * (md5(chunk), keeper = first (doc_id, chunk_id) per fingerprint) ->
+    * per-document stats. One query exercising the full prepare path a
+    * training corpus runs (the composition the reference performs across
+    * split_text + `seen_contexts` dedup, utils.py:23-111 +
+    * test_k_mean_datasets.py:291-301). All-integer output; the oracle
+    * composes the same steps over the shared chunk CTE. Scale shape:
+    * chunking is map-only; the dedup window is keyed by fingerprint; the
+    * final rollup is keyed by doc — every shuffle keyed. */
+  private val qChunkPipeline = Q(
+    "q_chunk_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rows = chunkRowsDf(s, dir)
+      val kept = rows.filter(col("n_tok") >= PipeMinTok)
+        .withColumn("fp", md5(col("chunk")))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("chunk_id"))
+      val uniq = kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val base = rows.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"))
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok").cast("long")).as("tok_kept"))
+      val uniqAgg = uniq.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_uniq"))
+      base.join(keptAgg, Seq("doc_id"), "left_outer")
+        .join(uniqAgg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_uniq"), lit(0L)).as("n_uniq"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+    },
+    Some(
+      s"""$chunkOracleCte,
+         |kept AS (
+         |  SELECT doc_id, chunk_id, n_tok, md5(chunk) AS fp FROM cr
+         |  WHERE n_tok >= $PipeMinTok
+         |), uniq AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY fp
+         |      ORDER BY doc_id, chunk_id) AS rn
+         |    FROM kept) WHERE rn = 1
+         |), base AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM cr GROUP BY doc_id
+         |), ka AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(n_tok) AS BIGINT) AS tok_kept
+         |  FROM kept GROUP BY doc_id
+         |), ua AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_uniq FROM uniq GROUP BY doc_id
          |)
-         |SELECT doc_id, u.chunk_id AS chunk_id, u.chunk AS chunk,
-         |  ${npOf("u.chunk")} AS n_tok
-         |FROM ex""".stripMargin
-    })
+         |SELECT b.doc_id, b.n_chunks,
+         |  coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(ua.n_uniq, 0) AS n_uniq,
+         |  coalesce(ka.tok_kept, 0) AS tok_kept
+         |FROM base b
+         |LEFT JOIN ka ON ka.doc_id = b.doc_id
+         |LEFT JOIN ua ON ua.doc_id = b.doc_id""".stripMargin))
 
   // -------------------------------------------------------------- language ID
 
@@ -443,7 +517,8 @@ object QueriesText {
          |) WHERE hamming <= $SimHammingMax""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qDocStats, qChunkPlan, qChunkRows, qTokenDist, qLangId, qQuality, qFingerprint,
+    qDocStats, qChunkPlan, qChunkRows, qChunkPipeline, qTokenDist,
+    qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qLshNearDup,
     qSimhash, qSimhashPairs)
