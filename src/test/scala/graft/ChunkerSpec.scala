@@ -98,6 +98,47 @@ class ChunkerSpec extends SparkFunSuite {
     assert(ChunkKernel.chunks("...", 10, 0) == Seq.empty)
   }
 
+  test("kernel == literal transliteration on random punctuated texts (seeded sweep)") {
+    // randomized edge-case sweep: consecutive delimiters, blank sentences,
+    // delimiter-only texts, oversize runs, every (max, overlap) combo
+    val rnd = new scala.util.Random(224) // the reference's own seed
+    val chars = "ab cd. efg, h;i:j!k?\nl mno pq r"
+    (0 until 400).foreach { _ =>
+      val len = 1 + rnd.nextInt(120)
+      val text = Seq.fill(len)(chars(rnd.nextInt(chars.length))).mkString
+      val max = 1L + rnd.nextInt(12)
+      val ov = rnd.nextInt(3)
+      assert(ChunkKernel.chunks(text, max, ov) == pythonLiteral(text, max, ov),
+        s"drift at max=$max overlap=$ov for: ${text.replace("\n", "\\n")}")
+    }
+  }
+
+  test("overlap=0 chunks conserve the kept pieces (multiset)") {
+    // structural invariant: with no overlap every kept (non-blank) piece
+    // appears in exactly one chunk — no loss, no duplication. NOTE the
+    // order across chunks is NOT sequential: an oversize sentence's
+    // sub-chunks are emitted immediately while the surrounding main chunk
+    // stays open and flushes later (the reference's interleaving,
+    // utils.py:58-105 — the oversize branch never touches current_chunk).
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    (0 until 100).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val text = (0 until n).map { i =>
+        words(rnd.nextInt(words.length)) +
+          (rnd.nextInt(6) match {
+            case 0 => ". "; case 1 => ", "; case 2 => "! "; case _ => " "
+          })
+      }.mkString
+      val max = 2L + rnd.nextInt(6)
+      val got = ChunkKernel.chunks(text, max, 0)
+      val gotWords = got.flatMap(_.split("[.!?\n,;:\\s]+")).filter(_.nonEmpty)
+      val wantWords = text.split("[.!?\n,;:\\s]+").filter(_.nonEmpty).toSeq
+      assert(gotWords.sorted == wantWords.sorted,
+        s"pieces lost or duplicated for: $text")
+    }
+  }
+
   test("expression stays inside whole-stage codegen") {
     import spark.implicits._
     val df = Seq("a b. c d").toDF("t")
