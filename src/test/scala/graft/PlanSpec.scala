@@ -107,6 +107,26 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
+  test("chunk rows is map-only: no exchange below the generator") {
+    val df = Queries.queryMap("q_chunk_rows")(spark, SparkSpec.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "posexplode missing")
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — chunk rows are produced at scan speed:\n$plan")
+  }
+
+  test("kmeans assignment stage is a codegen'd map-only scan") {
+    val df = graft.operators.KmeansAssign.assign(imgs, 4, 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the persisted input's own derivation (inside InMemoryRelation) may
+    // shuffle; the ASSIGNMENT stage above the cache must not
+    val assignStage = plan.split("InMemoryTableScan").head
+    assert(!assignStage.contains("Exchange"),
+      s"assignment must not shuffle (centroids are literals):\n$assignStage")
+    assert(assignStage.contains("*("), "assignment projection must be codegen'd")
+  }
+
   test("cell_encode stays inside codegen (no fallback marker)") {
     val df = imgs.select(graft.geo.functions.cell_encode(
       col("lat"), col("lon"), 8).as("cell"))
