@@ -99,13 +99,28 @@ object Queries {
     * dir) and share the materialized result (VERDICT r2 #3: the suite ran
     * the identical loop three times). localCheckpoint cuts the loop's
     * lineage; re-reads are RDD-cache scans, immune to
-    * `catalog.clearCache()` between bench queries. */
+    * `catalog.clearCache()` between bench queries.
+    *
+    * CONTRACT: the sf dirs are immutable test fixtures; regenerating a
+    * dir's contents within one session requires [[clearSharedCaches]]
+    * (the memo would otherwise serve the old data). Entries are bounded
+    * by the handful of (session, dir) pairs a process touches; the cap
+    * below guards the pathological many-session JVM. */
   private val knnRankedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def knnRanked(s: SparkSession, dir: String): DataFrame =
+  private[graft] def knnRanked(s: SparkSession, dir: String): DataFrame = {
+    if (knnRankedCache.size > 8) knnRankedCache.clear()
     knnRankedCache.getOrElseUpdate((s, dir),
       Knn.knnExact(Images.images(s, dir), Fixtures.knnQueries(s), KnnK)
         .localCheckpoint(true))
+  }
+
+  /** Drop every memoized shared frame (kNN ranked set, retrieval
+    * pyramid) — call after regenerating a fixture dir in-session. */
+  def clearSharedCaches(): Unit = {
+    knnRankedCache.clear()
+    QueriesRetrieval.clearPyramidCache()
+  }
 
   /** Exact kNN: ring expansion + window top-k; the oracle is the brute-force
     * cross join — equality proves ring pruning is lossless (≙ reference's

@@ -36,10 +36,15 @@ object QueriesRetrieval {
     .empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
   private def sharedPyramid(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame =
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    if (pyramidCache.size > 8) pyramidCache.clear()
     pyramidCache.getOrElseUpdate((s, dir),
       TilePyramid.pyramidLazy(Images.images(s, dir), DescendStart, DescendEnd)
         .localCheckpoint(true))
+  }
+
+  /** See Queries.clearSharedCaches — fixture-regeneration escape hatch. */
+  private[graft] def clearPyramidCache(): Unit = pyramidCache.clear()
 
   /** Squared distance from (qlat, qlon) to the tile bbox center — mirrors
     * [[Retrieval.centerDistSq]] op-for-op. */
@@ -61,8 +66,12 @@ object QueriesRetrieval {
        |  GROUP BY cell)""".stripMargin
   }
 
-  private def descendOracle: String = {
-    val lvs = (DescendStart to DescendEnd)
+  /** Chained-CTE descent oracle, parameterized by the per-level selection
+    * predicate — `rnk <= k` (top-k mode) or `dist_sq > t` (the threshold
+    * quirk). One builder, so the distance arithmetic / rank shape / level
+    * wiring can never diverge between the two modes' oracles. */
+  private def descendOracleChain(endRes: Int, sel: String): String = {
+    val lvs = (DescendStart to endRes)
       .map(r => lvCte(r, withParent = r > DescendStart)).mkString(",\n")
     val s0 =
       s"""s$DescendStart AS (
@@ -71,8 +80,8 @@ object QueriesRetrieval {
          |      row_number() OVER (PARTITION BY q.qid
          |        ORDER BY $distSql, t.cell) AS rnk
          |    FROM lv$DescendStart t CROSS JOIN queries q
-         |  ) WHERE rnk <= $DescendK)""".stripMargin
-    val chain = (DescendStart + 1 to DescendEnd).map { r =>
+         |  ) WHERE $sel)""".stripMargin
+    val chain = (DescendStart + 1 to endRes).map { r =>
       s"""s$r AS (
          |  SELECT qid, cell, cnt, dist_sq, CAST(rnk AS INTEGER) AS rnk FROM (
          |    SELECT p.qid, t.cell, t.cnt, $distSql AS dist_sq,
@@ -81,14 +90,17 @@ object QueriesRetrieval {
          |    FROM lv$r t
          |    JOIN s${r - 1} p ON t.pcell = p.cell
          |    JOIN queries q ON q.qid = p.qid
-         |  ) WHERE rnk <= $DescendK)""".stripMargin
+         |  ) WHERE $sel)""".stripMargin
     }
-    val union = (DescendStart to DescendEnd).map { r =>
+    val union = (DescendStart to endRes).map { r =>
       s"SELECT qid, CAST($r AS INTEGER) AS res, cell, cnt, dist_sq, rnk FROM s$r"
     }.mkString("\nUNION ALL\n")
     (Seq(cte, Fixtures.knnOracleCte, lvs, s0) ++ chain)
       .mkString("", ",\n", s"\n$union")
   }
+
+  private def descendOracle: String =
+    descendOracleChain(DescendEnd, s"rnk <= $DescendK")
 
   private def collapseOracle: String = {
     val lvs = (CollapseMin to CollapseMax)
@@ -131,34 +143,8 @@ object QueriesRetrieval {
   private val ThreshEnd = 6
   private val ThreshVal = 120000.0
 
-  private def thresholdOracle: String = {
-    val lvs = (DescendStart to ThreshEnd)
-      .map(r => lvCte(r, withParent = r > DescendStart)).mkString(",\n")
-    val s0 =
-      s"""s$DescendStart AS (
-         |  SELECT qid, cell, cnt, dist_sq, CAST(rnk AS INTEGER) AS rnk FROM (
-         |    SELECT q.qid, t.cell, t.cnt, $distSql AS dist_sq,
-         |      row_number() OVER (PARTITION BY q.qid
-         |        ORDER BY $distSql, t.cell) AS rnk
-         |    FROM lv$DescendStart t CROSS JOIN queries q
-         |  ) WHERE dist_sq > $ThreshVal)""".stripMargin
-    val chain = (DescendStart + 1 to ThreshEnd).map { r =>
-      s"""s$r AS (
-         |  SELECT qid, cell, cnt, dist_sq, CAST(rnk AS INTEGER) AS rnk FROM (
-         |    SELECT p.qid, t.cell, t.cnt, $distSql AS dist_sq,
-         |      row_number() OVER (PARTITION BY p.qid
-         |        ORDER BY $distSql, t.cell) AS rnk
-         |    FROM lv$r t
-         |    JOIN s${r - 1} p ON t.pcell = p.cell
-         |    JOIN queries q ON q.qid = p.qid
-         |  ) WHERE dist_sq > $ThreshVal)""".stripMargin
-    }
-    val union = (DescendStart to ThreshEnd).map { r =>
-      s"SELECT qid, CAST($r AS INTEGER) AS res, cell, cnt, dist_sq, rnk FROM s$r"
-    }.mkString("\nUNION ALL\n")
-    (Seq(cte, Fixtures.knnOracleCte, lvs, s0) ++ chain)
-      .mkString("", ",\n", s"\n$union")
-  }
+  private def thresholdOracle: String =
+    descendOracleChain(ThreshEnd, s"dist_sq > $ThreshVal")
 
   /** Threshold-selection descent (tree_builder.py:250-253 /
     * tree_retriever.py:245-248, the `distance > threshold` farthest-first

@@ -95,16 +95,15 @@ object KmeansAssign {
   }
 
   /** Final 1-NN assignment join (J4): every image row labeled with the
-    * cid of its nearest learned centroid. The anchor projection is
-    * persisted across the seed + iteration + assignment jobs (1+iters+1
-    * scans otherwise re-derive it each time); the returned frame still
-    * reads the cache, so its release is the caller's lifecycle. */
+    * cid of its nearest learned centroid. [[fit]] caches the anchor
+    * projection for its own seed + iteration jobs and RELEASES it; the
+    * returned assignment reads a fresh (uncached) projection — one extra
+    * derive scan, but no cache outlives the call (an unreleasable persist
+    * here would pile up one full-projection cache per invocation). */
   def assign(images: DataFrame, k: Int = DefaultK,
              iters: Int = DefaultIters): DataFrame = {
-    val pts = points(images)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = fitPts(pts, k, iters)
-    pts.withColumn("cid", nearestCid(cents))
+    val cents = fit(images, k, iters)
+    points(images).withColumn("cid", nearestCid(cents))
       .select(col("image_id"), col("cid"))
   }
 }

@@ -133,9 +133,14 @@ object Retrieval {
       // children of the previous selection: equi-join tile.parent == sel.cell
       val parents = sel.select(col("qid"), col("cell").as("pcell"))
       val level = tiles.filter(col("res") === r)
-      val withCand = level
+      val withCand0 = level
         .withColumn("pcell", strategy.parentAtCol(col("cell"), r - 1))
         .join(hinted(parents), Seq("pcell"))
+      // fallback mode consumes the level join TWICE (candidates + the
+      // present-qid set feeding the anti-join) — materialize it once so
+      // the level scan + join don't execute twice per level
+      val withCand =
+        if (emptyFallback) withCand0.localCheckpoint(true) else withCand0
       val cand0 = withCand.join(hinted(q), Seq("qid")).select(rankCols: _*)
       val cand =
         if (!emptyFallback) cand0

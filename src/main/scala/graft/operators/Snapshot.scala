@@ -30,8 +30,11 @@ object Snapshot {
 
   val LineageCols: Seq[String] = Seq("snapshot_id", "build_ts", "src_partition")
 
-  /** Resolutions a manifest can record (grid levels are 0..12). */
-  private val ResRange = 0 to 12
+  /** Resolutions the single-pass manifest metrics cover (0..30 spans both
+    * strategies: quadkey uses 0..12, S2 levels reach 30). Levels outside
+    * the range do not fail the write — they fall back to a post-write
+    * count (correct, just not single-pass). */
+  private val ResRange = 0 to 30
 
   /** Write a pyramid DataFrame (schema of [[TilePyramid.build]]) as a new
     * snapshot under `root`. Returns the per-level row counts recorded in
@@ -58,12 +61,16 @@ object Snapshot {
       .write.mode("overwrite").partitionBy("res")
       .parquet(s"$root/tiles")
     val got = obs.get
-    require(got("c_other").asInstanceOf[Long] == 0L,
-      s"snapshot rows outside res range $ResRange")
-    val counts = ResRange.flatMap { r =>
-      val n = got(s"c$r").asInstanceOf[Long]
-      if (n > 0) Some(r -> n) else None
-    }.toMap
+    val counts =
+      if (got("c_other").asInstanceOf[Long] == 0L)
+        ResRange.flatMap { r =>
+          val n = got(s"c$r").asInstanceOf[Long]
+          if (n > 0) Some(r -> n) else None
+        }.toMap
+      else // exotic levels: graceful fallback to counting what was written
+        withLineage.sparkSession.read.parquet(s"$root/tiles")
+          .groupBy(col("res")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val levels = counts.keys.toSeq.sorted
     val json = levels.map(r => s""""$r": ${counts(r)}""").mkString(
       s"""{"snapshot_id": "$snapshotId", "build_ts": $buildTs, "levels": {""",
