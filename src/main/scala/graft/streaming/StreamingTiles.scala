@@ -126,6 +126,91 @@ object StreamingTiles {
       }
   }
 
+  /** State of [[sessionStreamExact]]: events not yet finalizable (the
+    * watermark could still admit something near them) + the next session
+    * ordinal for this user. */
+  case class SessBufState(events: List[(Long, Long)], nextSess: Long)
+
+  /** EXACT sessionization under late data — the production shape the
+    * [[sessionStream]] ordering contract points to: an event-time
+    * WATERMARK bounds disorder, events BUFFER in state until the
+    * watermark passes, and a session is emitted only once it is
+    * unreachable — `end + gap < watermark` means every future admitted
+    * event (t >= watermark) can neither extend it nor split it. Within
+    * the watermark delay the result is bit-identical to the batch
+    * sessionizer on ANY increment order (StreamingSpec pins the exact
+    * case where [[sessionStream]] diverges); events at-or-before the
+    * watermark are dropped by the engine (the standard bounded-disorder
+    * contract — note the INITIAL watermark is 0, so epoch-time events
+    * are late by definition). Idle users flush via an event-time timeout armed at
+    * `last buffered + gap`. State per user = the unfinalized tail
+    * (bounded by the watermark horizon), not the full history. */
+  def sessionStreamExact(spark: SparkSession, dir: String,
+                         delay: String = "2 hours"): Dataset[ClosedSession] = {
+    import spark.implicits._
+
+    def finalizeBuf(uid: Long, st: SessBufState, wmUs: Long)
+        : (List[ClosedSession], SessBufState) = {
+      val sorted = st.events.sortBy(identity)
+      // walk into gap-delimited sessions
+      val sessions = scala.collection.mutable.ListBuffer.empty[List[(Long, Long)]]
+      var cur = List.empty[(Long, Long)]
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._1 - cur.head._1 > SessionGapUs) {
+          sessions += cur.reverse; cur = Nil
+        }
+        cur = e :: cur // head = latest
+      }
+      if (cur.nonEmpty) sessions += cur.reverse
+      // emit the finalizable PREFIX (sessions are time-ordered; once one
+      // is not finalizable, none after it can be)
+      val out = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+      var next = st.nextSess
+      var rest = List.empty[(Long, Long)]
+      var open = false
+      sessions.foreach { s =>
+        val end = s.last._1
+        if (!open && end + SessionGapUs < wmUs) {
+          out += ClosedSession(uid, next, s.length.toLong, s.head._1, end)
+          next += 1
+        } else {
+          open = true
+          rest = rest ++ s
+        }
+      }
+      (out.toList, SessBufState(rest, next))
+    }
+
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", delay)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ets")).as("t"), col("ets"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessBufState]) =>
+          val prev = state.getOption.getOrElse(SessBufState(Nil, 1L))
+          val buf = prev.copy(events =
+            prev.events ++ rows.map(r => (r._3, r._2)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, kept) = finalizeBuf(uid, buf, wmUs)
+          if (kept.events.isEmpty) state.remove()
+          else {
+            state.update(kept)
+            // flush when the watermark passes the last buffered event's
+            // gap horizon (must be > the current watermark to arm)
+            val horizonMs = kept.events.map(_._1).max / 1000L +
+              SessionGapUs / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator
+      }
+  }
+
   /** Streaming event-time windows with a watermark: 1h tumbling counts per
     * event type (streaming analog of `q_events_window`). */
   def eventWindowStream(spark: SparkSession, dir: String): DataFrame =

@@ -174,6 +174,59 @@ class StreamingSpec extends SparkFunSuite {
       s"late-event contract drifted: $got")
   }
 
+  test("EXACT sessionizer: out-of-order increments reproduce batch semantics") {
+    // The same scenario where sessionStream's at-ingest-order contract
+    // diverges (previous test): with the watermark+buffer sessionizer the
+    // late 10min event lands in session 1 exactly as the batch walk does.
+    val inDir = Files.createTempDirectory("graft-stream-exact").toString
+    val ckpt = Files.createTempDirectory("graft-stream-exactck").toString
+    val outDir = Files.createTempDirectory("graft-stream-exactout").toString
+    val Min = 60000000L
+    def dump(events: Seq[(Long, Long)]): Unit = {
+      import spark.implicits._
+      events.toDF("event_id", "tus")
+        .select(col("event_id"),
+          expr("timestamp_micros(tus)").cast("timestamp_ntz").as("ts"),
+          lit(1L).as("user_id"), lit("x").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    def run(): Unit = {
+      val q = StreamingTiles.sessionStreamExact(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // B offsets every time away from the epoch: the engine drops events
+    // at-or-before the watermark, and the INITIAL watermark is 0 — a
+    // t=epoch event would be late-by-definition (engine semantics, found
+    // the hard way)
+    val B = 1000 * Min
+    dump(Seq((1L, B), (2L, B + 60 * Min)))
+    run()
+    // LATE event (+10min, older than the stored +60min) + a later event
+    dump(Seq((3L, B + 10 * Min), (4L, B + 120 * Min)))
+    run()
+    // fence 1 advances the watermark past every earlier session's horizon
+    // (recorded at batch END); fence 2 drives the next batch UNDER that
+    // advanced watermark, which finalizes the sessions
+    dump(Seq((5L, B + 600 * Min)))
+    run()
+    dump(Seq((6L, B + 601 * Min)))
+    run()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("sess"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+    // batch truth over B+{0, 10, 60, 120}min with a 30min gap:
+    // [B, B+10] n=2, [B+60] n=1, [B+120] n=1; the fences stay open
+    val want = Set(
+      (1L, 2L, B, B + 10 * Min),
+      (2L, 1L, B + 60 * Min, B + 60 * Min),
+      (3L, 1L, B + 120 * Min, B + 120 * Min))
+    assert(got == want, s"exact sessionizer drifted from batch truth: $got")
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
