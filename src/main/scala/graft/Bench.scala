@@ -101,11 +101,12 @@ object Bench {
     // (compute-dense refine; the 15 sparse test polys leave the join
     // memory-bound and understate multi-core scaling).
     val polys = sources.Fixtures.benchPolys(64)
-    // min of 3 runs (first also warms): the host's throughput swings up to
-    // ~2x between scheduling windows (BENCH.md caveat); the min is the
-    // stable estimator of the plan's actual cost.
+    // min of 5 runs (first also warms): the host's throughput swings up to
+    // ~2-3x between scheduling windows (BENCH.md caveat); the min is the
+    // stable estimator of the plan's actual cost, and five samples give a
+    // real chance of landing one run in a quiet slice of a noisy window.
     def time2(f: => Any): Double =
-      (1 to 3).map(_ => time(f)._2).min
+      (1 to 5).map(_ => time(f)._2).min
     val (nRows, scanSec) = time(imgs.count()) // warms the OS page cache too
     val assignSec = time2(assign(imgs).count())
     val pipSec = time2(operators.SpatialJoin.pipJoin(imgs, spark, polys).count())
