@@ -313,8 +313,12 @@ object Queries {
     * across [[SaltBuckets]] reducers then once more over |hot|x16 tiny
     * partial rows. SkewSpec pins the split plan shape. */
   private[graft] def skewAdaptive(s: SparkSession, dir: String): DataFrame = {
+    // cached: the histogram pass + the two branch aggregations each scan
+    // this narrow 4-column frame (the salt DECISION needs one real pass
+    // here; at scale it comes free from snapshot stats)
     val withCell = TilePyramid.withCell(Images.images(s, dir), 12)
       .select(col("cell"), col("image_id"), col("w"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialized: the hot set feeds BOTH the semi and the anti join —
     // unmaterialized, the histogram aggregation would run twice. Tiny by
     // definition (skew = few heavy keys).

@@ -38,9 +38,11 @@ object QueriesRetrieval {
   private def sharedPyramid(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame = {
     if (pyramidCache.size > 8) pyramidCache.clear()
+    // SLIM build: retrieval reads count/bbox only — materializing the full
+    // pyramid's 65-column phash state tripled the checkpoint cost
     pyramidCache.getOrElseUpdate((s, dir),
-      TilePyramid.pyramidLazy(Images.images(s, dir), DescendStart, DescendEnd)
-        .localCheckpoint(true))
+      TilePyramid.pyramidLazySlim(Images.images(s, dir),
+        DescendStart, DescendEnd).localCheckpoint(true))
   }
 
   /** See Queries.clearSharedCaches — fixture-regeneration escape hatch. */

@@ -153,6 +153,39 @@ object TilePyramid {
     all
   }
 
+  /** SLIM pyramid (count/bytes/bbox only — no phash centroid state): the
+    * retrieval queries never read the centroid, and the full rollup's
+    * 65-column aggregate state is most of its cost; the slim union is the
+    * same shape at 7 aggregate columns. Aggregation is associative, so
+    * every value equals the full pyramid's corresponding column. */
+  def pyramidLazySlim(images: DataFrame, minRes: Int, maxRes: Int = LeafRes,
+                      strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    def slimRollup(tiles: DataFrame): DataFrame =
+      tiles.withColumn("parent", strategy.parentOnceCol(col("cell")))
+        .groupBy(col("parent"))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("bytes_sum")).as("bytes_sum"),
+          min(col("lat_min")).as("lat_min"), max(col("lat_max")).as("lat_max"),
+          min(col("lon_min")).as("lon_min"), max(col("lon_max")).as("lon_max"))
+        .withColumnRenamed("parent", "cell")
+        .withColumn("res", strategy.resCol(col("cell")))
+    var level = withCell(images, maxRes, strategy)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"),
+        min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"),
+        min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"))
+      .withColumn("res", lit(maxRes))
+    var all = level
+    var r = maxRes
+    while (r > minRes) {
+      level = slimRollup(level)
+      all = all.unionByName(level)
+      r -= 1
+    }
+    all
+  }
+
   /** Per-level metrics (≙ log_tree_structure, raptor/utils.py:222-271):
     * cells, images, avg/max images per cell, bbox spread. The max/avg ratio
     * is the skew signal (≙ index_count hotness) that drives salting. */

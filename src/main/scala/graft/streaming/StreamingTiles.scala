@@ -143,8 +143,15 @@ object StreamingTiles {
     * watermark are dropped by the engine (the standard bounded-disorder
     * contract — note the INITIAL watermark is 0, so epoch-time events
     * are late by definition). Idle users flush via an event-time timeout armed at
-    * `last buffered + gap`. State per user = the unfinalized tail
-    * (bounded by the watermark horizon), not the full history. */
+    * `last buffered + gap`. State per user = the unfinalized sessions'
+    * events — bounded by the watermark horizon for idle-ish users; a
+    * NEVER-idle user's open session accumulates (its prefix below
+    * `watermark - gap` is immutable and could be compacted to a
+    * start/count summary — the noted production extension; session
+    * boundaries BETWEEN unfinalized sessions stay mutable because a
+    * future event can still bridge any gap ending within `watermark -
+    * gap`, which is also why whole-session finalization needs
+    * `end + gap < watermark`). */
   def sessionStreamExact(spark: SparkSession, dir: String,
                          delay: String = "2 hours"): Dataset[ClosedSession] = {
     import spark.implicits._
