@@ -126,67 +126,61 @@ object StreamingTiles {
       }
   }
 
-  /** State of [[sessionStreamExact]]: events not yet finalizable (the
-    * watermark could still admit something near them) + the next session
-    * ordinal for this user. */
-  case class SessBufState(events: List[(Long, Long)], nextSess: Long)
+  /** An unfinalized session run of [[sessionStreamExact]]: its envelope
+    * and event count — the events themselves are NOT kept (see below). */
+  case class SessSeg(start: Long, end: Long, n: Long)
+  /** State of [[sessionStreamExact]]: open session segments (time-ordered)
+    * + the next session ordinal for this user. */
+  case class SessSegState(segs: List[SessSeg], nextSess: Long)
 
   /** EXACT sessionization under late data — the production shape the
     * [[sessionStream]] ordering contract points to: an event-time
-    * WATERMARK bounds disorder, events BUFFER in state until the
-    * watermark passes, and a session is emitted only once it is
+    * WATERMARK bounds disorder, and a session is emitted only once it is
     * unreachable — `end + gap < watermark` means every future admitted
-    * event (t >= watermark) can neither extend it nor split it. Within
-    * the watermark delay the result is bit-identical to the batch
+    * event (t >= watermark) can neither extend it nor bridge into it.
+    * Within the watermark delay the result is bit-identical to the batch
     * sessionizer on ANY increment order (StreamingSpec pins the exact
     * case where [[sessionStream]] diverges); events at-or-before the
     * watermark are dropped by the engine (the standard bounded-disorder
     * contract — note the INITIAL watermark is 0, so epoch-time events
-    * are late by definition). Idle users flush via an event-time timeout armed at
-    * `last buffered + gap`. State per user = the unfinalized sessions'
-    * events — bounded by the watermark horizon for idle-ish users; a
-    * NEVER-idle user's open session accumulates (its prefix below
-    * `watermark - gap` is immutable and could be compacted to a
-    * start/count summary — the noted production extension; session
-    * boundaries BETWEEN unfinalized sessions stay mutable because a
-    * future event can still bridge any gap ending within `watermark -
-    * gap`, which is also why whole-session finalization needs
-    * `end + gap < watermark`). */
+    * are late by definition). Idle users flush via an event-time timeout.
+    *
+    * State is O(open sessions), NOT O(events): sessions are connected
+    * components of the `within-gap` adjacency over event times, and new
+    * events only ADD links — a session can merge with a neighbor but
+    * never split. So each unfinalized session collapses to its
+    * (start, end, count) segment; a new event becomes a 1-event segment
+    * and the sorted gap-walk merges segments eagerly. A never-idle user
+    * costs one segment, not their event history. */
+  /** One state transition of the exact sessionizer (pure; also the unit
+    * under SessionMathSpec's randomized sweep): merge fresh 1-event
+    * segments into the open set, emit the finalizable prefix. */
+  private[graft] def advanceSessions(uid: Long, st: SessSegState,
+      fresh: Seq[SessSeg], wmUs: Long): (List[ClosedSession], SessSegState) = {
+    val sorted = (st.segs ++ fresh).sortBy(s => (s.start, s.end))
+    // eager merge: segments whose envelopes come within the gap are one
+    // session now and forever (links only ever add)
+    val merged = scala.collection.mutable.ListBuffer.empty[SessSeg]
+    sorted.foreach { s =>
+      if (merged.nonEmpty && s.start - merged.last.end <= SessionGapUs) {
+        val p = merged.remove(merged.length - 1)
+        merged += SessSeg(p.start, math.max(p.end, s.end), p.n + s.n)
+      } else merged += s
+    }
+    // emit the finalizable PREFIX (time-ordered; watermark monotone)
+    val out = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+    var next = st.nextSess
+    val (done, kept) = merged.toList.span(_.end + SessionGapUs < wmUs)
+    done.foreach { s =>
+      out += ClosedSession(uid, next, s.n, s.start, s.end)
+      next += 1
+    }
+    (out.toList, SessSegState(kept, next))
+  }
+
   def sessionStreamExact(spark: SparkSession, dir: String,
                          delay: String = "2 hours"): Dataset[ClosedSession] = {
     import spark.implicits._
-
-    def finalizeBuf(uid: Long, st: SessBufState, wmUs: Long)
-        : (List[ClosedSession], SessBufState) = {
-      val sorted = st.events.sortBy(identity)
-      // walk into gap-delimited sessions
-      val sessions = scala.collection.mutable.ListBuffer.empty[List[(Long, Long)]]
-      var cur = List.empty[(Long, Long)]
-      sorted.foreach { e =>
-        if (cur.nonEmpty && e._1 - cur.head._1 > SessionGapUs) {
-          sessions += cur.reverse; cur = Nil
-        }
-        cur = e :: cur // head = latest
-      }
-      if (cur.nonEmpty) sessions += cur.reverse
-      // emit the finalizable PREFIX (sessions are time-ordered; once one
-      // is not finalizable, none after it can be)
-      val out = scala.collection.mutable.ListBuffer.empty[ClosedSession]
-      var next = st.nextSess
-      var rest = List.empty[(Long, Long)]
-      var open = false
-      sessions.foreach { s =>
-        val end = s.last._1
-        if (!open && end + SessionGapUs < wmUs) {
-          out += ClosedSession(uid, next, s.length.toLong, s.head._1, end)
-          next += 1
-        } else {
-          open = true
-          rest = rest ++ s
-        }
-      }
-      (out.toList, SessBufState(rest, next))
-    }
 
     spark.readStream.schema(eventSchema).parquet(dir)
       .withColumn("ets", col("ts").cast("timestamp"))
@@ -198,18 +192,17 @@ object StreamingTiles {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
-         state: GroupState[SessBufState]) =>
-          val prev = state.getOption.getOrElse(SessBufState(Nil, 1L))
-          val buf = prev.copy(events =
-            prev.events ++ rows.map(r => (r._3, r._2)))
+         state: GroupState[SessSegState]) =>
+          val prev = state.getOption.getOrElse(SessSegState(Nil, 1L))
+          val fresh = rows.map(r => SessSeg(r._3, r._3, 1L)).toSeq
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (closed, kept) = finalizeBuf(uid, buf, wmUs)
-          if (kept.events.isEmpty) state.remove()
+          val (closed, kept) = advanceSessions(uid, prev, fresh, wmUs)
+          if (kept.segs.isEmpty) state.remove()
           else {
             state.update(kept)
-            // flush when the watermark passes the last buffered event's
-            // gap horizon (must be > the current watermark to arm)
-            val horizonMs = kept.events.map(_._1).max / 1000L +
+            // flush when the watermark passes the last open segment's gap
+            // horizon (must be > the current watermark to arm)
+            val horizonMs = kept.segs.map(_.end).max / 1000L +
               SessionGapUs / 1000L + 1L
             state.setTimeoutTimestamp(
               math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
@@ -217,6 +210,7 @@ object StreamingTiles {
           closed.iterator
       }
   }
+
 
   /** Streaming event-time windows with a watermark: 1h tumbling counts per
     * event type (streaming analog of `q_events_window`). */

@@ -227,6 +227,62 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want, s"exact sessionizer drifted from batch truth: $got")
   }
 
+  test("session segment math: randomized increments == batch walk (pure sweep)") {
+    // advanceSessions is the exact sessionizer's whole state transition —
+    // sweep it directly: random event sets, random partitions into
+    // batches, monotone watermarks admitting only events >= wm (the
+    // engine's late-drop contract). Final emissions must equal the batch
+    // gap-walk's finalizable prefix with sequential ids.
+    import graft.streaming.StreamingTiles
+    import graft.streaming.StreamingTiles.{SessSeg, SessSegState}
+    val Gap = StreamingTiles.SessionGapUs
+    val rnd = new scala.util.Random(224)
+    (0 until 300).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      val events = Seq.fill(n)(1L + math.abs(rnd.nextLong() % (200L * Gap)))
+      // random batch partition; within each batch any order
+      val nBatches = 1 + rnd.nextInt(5)
+      val batches = events.groupBy(_ => rnd.nextInt(nBatches)).toSeq
+        .sortBy(_._1).map(_._2)
+      var st = SessSegState(Nil, 1L)
+      var wm = 0L
+      val emitted = scala.collection.mutable.ListBuffer
+        .empty[graft.streaming.ClosedSession]
+      var admitted = List.empty[Long]
+      batches.foreach { b =>
+        val ok = b.filter(_ > wm) // engine drops t <= watermark
+        admitted = admitted ++ ok
+        val (out, st2) = StreamingTiles.advanceSessions(
+          7L, st, ok.map(t => SessSeg(t, t, 1L)), wm)
+        emitted ++= out
+        st = st2
+        // watermark advances to (max admitted so far) - random delay
+        if (admitted.nonEmpty)
+          wm = math.max(wm, admitted.max - rnd.nextInt(50).toLong * Gap / 10)
+      }
+      // the engine's timeout-driven no-data flush under the final watermark
+      locally {
+        val (out, st2) = StreamingTiles.advanceSessions(7L, st, Nil, wm)
+        emitted ++= out
+        st = st2
+      }
+      // batch truth over ADMITTED events
+      val sorted = admitted.sorted
+      val sessions = scala.collection.mutable.ListBuffer.empty[List[Long]]
+      var cur = List.empty[Long]
+      sorted.foreach { t =>
+        if (cur.nonEmpty && t - cur.head > Gap) { sessions += cur.reverse; cur = Nil }
+        cur = t :: cur
+      }
+      if (cur.nonEmpty) sessions += cur.reverse
+      val wantFinal = sessions.toList.takeWhile(s => s.last + Gap < wm)
+        .zipWithIndex.map { case (s, i) =>
+          (i + 1L, s.length.toLong, s.head, s.last) }
+      val got = emitted.toList.map(c => (c.sess, c.n_events, c.start_us, c.end_us))
+      assert(got == wantFinal, s"trial $trial drifted: $got vs $wantFinal")
+    }
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
