@@ -313,12 +313,13 @@ object Queries {
     * across [[SaltBuckets]] reducers then once more over |hot|x16 tiny
     * partial rows. SkewSpec pins the split plan shape. */
   private[graft] def skewAdaptive(s: SparkSession, dir: String): DataFrame = {
-    // cached: the histogram pass + the two branch aggregations each scan
-    // this narrow 4-column frame (the salt DECISION needs one real pass
-    // here; at scale it comes free from snapshot stats)
+    // NOT cached: the histogram pass + the two branch aggregations each
+    // re-derive this narrow frame, but the codegen'd map work is cheaper
+    // than a 456k-row cache write (measured both ways; same finding as
+    // the stats-transfer input). At scale the salt DECISION comes free
+    // from snapshot stats — only the two branch scans remain.
     val withCell = TilePyramid.withCell(Images.images(s, dir), 12)
       .select(col("cell"), col("image_id"), col("w"), col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialized: the hot set feeds BOTH the semi and the anti join —
     // unmaterialized, the histogram aggregation would run twice. Tiny by
     // definition (skew = few heavy keys).
