@@ -232,27 +232,122 @@ object Queries {
          |FROM b LEFT JOIN a ON a.cell = b.cell""".stripMargin
     })
 
+  /** DuckDB replay of [[PairMerge.matchGroup]]'s sequential greedy
+    * matching, ending in CTE `l1` with the exact layer-1 schema. The
+    * greedy walk unrolls into a FIXED chain of relational steps (group
+    * fan-out is ≤ 4^Δres = 16 tiles → ≤ 8 pairing rounds): round t takes,
+    * per parent, the hottest remaining tile (window rank on cnt DESC,
+    * cell ASC — the engine's processing order), argmins (planar d², cell)
+    * over the other remaining tiles for its partner (the engine's
+    * tie-break), emits the merged/unmerged row, and removes both from the
+    * remainder. Picking the hottest REMAINING tile each round is exactly
+    * the engine's skip-used scan of the hotness order. Plain windows +
+    * joins only — an earlier `list_reduce` fold with nested lambdas
+    * capturing an outer column segfaulted / returned garbage rows under
+    * DuckDB's parallel evaluation, so the oracle deliberately avoids
+    * lambda closures; MATERIALIZED pins each remainder so the ≤3
+    * references per round don't inline into an exponential plan. */
+  private lazy val pairMergeOracleCtes: String = {
+    val rounds = 8 // ceil(4^(8-6) / 2)
+    val d2 = "(a.lat_c - r.lat_c) * (a.lat_c - r.lat_c)" +
+      " + (a.lon_c - r.lon_c) * (a.lon_c - r.lon_c)"
+    val steps = (1 to rounds).map { t =>
+      s"""a$t AS MATERIALIZED (
+         |  SELECT parent, cell, cnt, bytes_sum, lat_c, lon_c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY parent
+         |      ORDER BY cnt DESC, cell ASC) AS rn
+         |    FROM rem${t - 1}) WHERE rn = 1),
+         |b$t AS MATERIALIZED (
+         |  SELECT parent, cell, cnt, bytes_sum, lat_c, lon_c FROM (
+         |    SELECT r.*, row_number() OVER (PARTITION BY r.parent
+         |      ORDER BY $d2 ASC, r.cell ASC) AS rn
+         |    FROM rem${t - 1} r JOIN a$t a
+         |      ON a.parent = r.parent AND r.cell <> a.cell)
+         |  WHERE rn = 1),
+         |o$t AS (
+         |  SELECT a.parent,
+         |    CASE WHEN b.cell IS NULL THEN a.cell
+         |         ELSE least(a.cell, b.cell) END AS cell,
+         |    a.cell AS cell_a,
+         |    coalesce(b.cell, a.cell) AS cell_b,
+         |    b.cell IS NOT NULL AS merged,
+         |    CASE WHEN b.cell IS NULL THEN a.cnt ELSE a.cnt + b.cnt END AS cnt,
+         |    CASE WHEN b.cell IS NULL THEN a.bytes_sum
+         |         ELSE a.bytes_sum + b.bytes_sum END AS bytes_sum,
+         |    CASE WHEN b.cell IS NULL THEN a.lat_c
+         |         ELSE (a.lat_c + b.lat_c) / 2.0 END AS lat_c,
+         |    CASE WHEN b.cell IS NULL THEN a.lon_c
+         |         ELSE (a.lon_c + b.lon_c) / 2.0 END AS lon_c
+         |  FROM a$t a LEFT JOIN b$t b ON b.parent = a.parent),
+         |rem$t AS MATERIALIZED (
+         |  SELECT r.* FROM rem${t - 1} r
+         |  LEFT JOIN a$t a ON a.parent = r.parent AND a.cell = r.cell
+         |  LEFT JOIN b$t b ON b.parent = r.parent AND b.cell = r.cell
+         |  WHERE a.cell IS NULL AND b.cell IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(t => s"SELECT * FROM o$t")
+      .mkString("\nUNION ALL ")
+    s"""t0 AS (
+       |  SELECT ${cellSql(8)} AS cell, ${cellSql(6)} AS parent, w, h, lat, lon
+       |  FROM images),
+       |rem0 AS MATERIALIZED (
+       |  SELECT parent, cell,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum,
+       |    (min(lat) + max(lat)) / 2.0 AS lat_c,
+       |    (min(lon) + max(lon)) / 2.0 AS lon_c
+       |  FROM t0 GROUP BY parent, cell),
+       |$steps,
+       |l1 AS MATERIALIZED ($union)""".stripMargin
+  }
+
   /** Exclusive greedy pair-merge (J6, ≙ raptor/merge_tree_builder.py:
     * 320-408): deterministic hotness-ordered 1-to-1 tile pairing within
-    * res-6 neighborhoods. Sequential matching is not SQL-expressible ->
-    * no oracle (driver rows-only check); GreedyPairSpec proves the
-    * distributed operator equals a driver-side recomputation. */
+    * res-6 neighborhoods. The inherently sequential matching runs
+    * partition-locally in the engine (flatMapGroups) and is REPLAYED by
+    * the oracle as an unrolled chain of window rounds
+    * ([[pairMergeOracleCtes]]) — formerly rows-only, now hash-proven;
+    * GreedyPairSpec additionally proves the operator equals a
+    * driver-side recomputation. */
   private val qPairMerge = Q(
     "q_pair_merge",
     (s, dir) => PairMerge.greedyPairMerge(
       TilePyramid.leafTiles(Images.images(s, dir), 8), 6),
-    None)
+    Some(
+      s"""$cte,
+         |$pairMergeOracleCtes
+         |SELECT parent, cell, cell_a, cell_b, merged, cnt, bytes_sum,
+         |  lat_c, lon_c
+         |FROM l1""".stripMargin))
 
   /** Two-layer merge tree (merge_tree_builder.py:414-461): layer 2 =
-    * learned k-means clusters over the greedy-pair layer 1. Like
-    * q_pair_merge the sequential pairing admits no SQL oracle (driver
-    * rows-only); GreedyPairSpec pins the reference's layer invariants
-    * (counts, partition, conservation — test_merge_layer.py:63-124). */
+    * learned k-means clusters over the greedy-pair layer 1. The oracle
+    * composes the layer-1 greedy fold with the Lloyd CTE chain over the
+    * layer-1 centroids (pts = l1), so BOTH layers are hash-proven
+    * end-to-end; GreedyPairSpec pins the reference's layer invariants
+    * (counts, partition, conservation — test_merge_layer.py:63-124).
+    * k here is the configured k2 = 8 (the engine applies min(k2, n1);
+    * n1 >> 8 at every verify SF). */
   private val qMergeTree2 = Q(
     "q_merge_tree2",
     (s, dir) => PairMerge.mergeTree(
       TilePyramid.leafTiles(Images.images(s, dir), 8), 6, k2 = 8)._2,
-    None)
+    Some {
+      val iters = KmeansAssign.DefaultIters
+      s"""$cte,
+         |$pairMergeOracleCtes,
+         |pts AS MATERIALIZED (SELECT CAST(cell AS VARCHAR) AS image_id,
+         |                     lat_c AS lat, lon_c AS lon FROM l1),
+         |${kmeansChainSql("m_", 8, iters)},
+         |${kmeansAssignCteSql("af", s"m_c$iters")}
+         |SELECT a.cid,
+         |  CAST(count(*) AS BIGINT) AS n_children,
+         |  CAST(sum(l.cnt) AS BIGINT) AS cnt,
+         |  CAST(sum(l.bytes_sum) AS BIGINT) AS bytes_sum
+         |FROM l1 l JOIN (SELECT CAST(image_id AS BIGINT) AS cell, cid FROM af) a
+         |  ON a.cell = l.cell
+         |GROUP BY a.cid""".stripMargin
+    })
 
   // ------------------------------------------------------------ skew handling
 
@@ -355,54 +450,115 @@ object Queries {
     * Lloyd iterations; the oracle REPLAYS the identical iterations as
     * chained CTEs (same seeding order, same integer-quantized means, same
     * argmin tie-break), so the learned assignment is hash-proven. */
+  /** Squared planar distance from a `pts` row `p` to a centroid row `c` —
+    * the shared distance fragment of every Lloyd-replay oracle. */
+  // def, not val: referenced by Q vals declared ABOVE this point — a val
+  // would still be null during their object initialization.
+  private def kmeansDistSql = "(p.lat - c.clat) * (p.lat - c.clat)" +
+    " + (p.lon - c.clon) * (p.lon - c.clon)"
+
+  /** CTE assigning each `pts` row to its nearest centroid in `cents`
+    * (ties to the smaller cid — same tie-break as the engine's argmin). */
+  private def kmeansAssignCteSql(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT image_id, lat, lon, cid FROM (
+       |    SELECT p.image_id, p.lat, p.lon, c.cid,
+       |      row_number() OVER (PARTITION BY p.image_id
+       |        ORDER BY $kmeansDistSql, c.cid) AS rn
+       |    FROM pts p CROSS JOIN $cents c
+       |  ) WHERE rn = 1)""".stripMargin
+
+  /** CTE chain replaying `iters` exact Lloyd iterations over a `pts`
+    * (image_id, lat, lon) CTE: emits `{p}c0` (seed: first k anchors in
+    * md5 order) through `{p}c{iters}` (final centroids), with the same
+    * integer-quantized means and empty-cluster carry as [[KmeansAssign]].
+    * `p` prefixes every CTE name so chains for different k can coexist;
+    * the point SOURCE is always the caller's `pts` CTE, so the same chain
+    * replays k-means over raw anchors (q_kmeans_assign, q_bic_k) or over
+    * derived layer-1 centroids (q_merge_tree2). */
+  private def kmeansChainSql(p: String, k: Int, iters: Int): String = {
+    val seed =
+      s"""${p}c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY md5(image_id), image_id) AS INT) AS cid,
+         |         lat AS clat, lon AS clon
+         |  FROM (SELECT image_id, lat, lon FROM pts
+         |        ORDER BY md5(image_id), image_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${kmeansAssignCteSql(s"${p}a$i", s"${p}c${i - 1}")},
+         |${p}u$i AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS BIGINT) AS slat,
+         |    CAST(sum(CAST(floor(lon * 1000000) AS BIGINT)) AS BIGINT) AS slon
+         |  FROM ${p}a$i GROUP BY cid),
+         |${p}c$i AS (
+         |  SELECT c.cid,
+         |    CASE WHEN u.n IS NULL THEN c.clat
+         |         ELSE CAST(u.slat AS DOUBLE) / (CAST(u.n AS DOUBLE) * 1000000.0)
+         |    END AS clat,
+         |    CASE WHEN u.n IS NULL THEN c.clon
+         |         ELSE CAST(u.slon AS DOUBLE) / (CAST(u.n AS DOUBLE) * 1000000.0)
+         |    END AS clon
+         |  FROM ${p}c${i - 1} c LEFT JOIN ${p}u$i u ON u.cid = c.cid)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
   private val qKmeansAssign = Q(
     "q_kmeans_assign",
     (s, dir) => KmeansAssign.assign(Images.images(s, dir)),
     Some {
       val k = KmeansAssign.DefaultK
       val iters = KmeansAssign.DefaultIters
-      val dist = "(p.lat - c.clat) * (p.lat - c.clat)" +
-        " + (p.lon - c.clon) * (p.lon - c.clon)"
-      def assignCte(name: String, cents: String) =
-        s"""$name AS (
-           |  SELECT image_id, lat, lon, cid FROM (
-           |    SELECT p.image_id, p.lat, p.lon, c.cid,
-           |      row_number() OVER (PARTITION BY p.image_id
-           |        ORDER BY $dist, c.cid) AS rn
-           |    FROM pts p CROSS JOIN $cents c
-           |  ) WHERE rn = 1)""".stripMargin
-      val steps = (1 to iters).map { i =>
-        s"""${assignCte(s"a$i", s"c${i - 1}")},
-           |u$i AS (
-           |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
-           |    CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS BIGINT) AS slat,
-           |    CAST(sum(CAST(floor(lon * 1000000) AS BIGINT)) AS BIGINT) AS slon
-           |  FROM a$i GROUP BY cid),
-           |c$i AS (
-           |  SELECT c.cid,
-           |    CASE WHEN u.n IS NULL THEN c.clat
-           |         ELSE CAST(u.slat AS DOUBLE) / (CAST(u.n AS DOUBLE) * 1000000.0)
-           |    END AS clat,
-           |    CASE WHEN u.n IS NULL THEN c.clon
-           |         ELSE CAST(u.slon AS DOUBLE) / (CAST(u.n AS DOUBLE) * 1000000.0)
-           |    END AS clon
-           |  FROM c${i - 1} c LEFT JOIN u$i u ON u.cid = c.cid)""".stripMargin
-      }.mkString(",\n")
       s"""$cte,
          |pts AS (SELECT image_id, lat, lon FROM images),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY md5(image_id), image_id) AS INT) AS cid,
-         |         lat AS clat, lon AS clon
-         |  FROM (SELECT image_id, lat, lon FROM images
-         |        ORDER BY md5(image_id), image_id LIMIT $k)),
-         |$steps,
-         |${assignCte("af", s"c$iters")}
+         |${kmeansChainSql("", k, iters)},
+         |${kmeansAssignCteSql("af", s"c$iters")}
          |SELECT image_id, cid FROM af""".stripMargin
+    })
+
+  /** A6 — BIC model selection (VERDICT r2 coverage table's one N/A row,
+    * now implemented; ≙ cluster_utils.py:50-61 `get_optimal_clusters`):
+    * [[KmeansAssign.bicSweep]] fits the seeded exact-Lloyd model per
+    * candidate k, scores each with the spherical BIC over an
+    * integer-quantized SSE, and flags the argmin. The oracle replays the
+    * ENTIRE sweep — one Lloyd CTE chain per candidate k, the same
+    * floor(min-dist·1e6) SSE, the same fixed-order BIC double — so model
+    * selection itself is hash-proven, not just each fit. */
+  private val qBicK = Q(
+    "q_bic_k",
+    (s, dir) => KmeansAssign.bicSweep(Images.images(s, dir)),
+    Some {
+      val iters = KmeansAssign.DefaultIters
+      val chains = KmeansAssign.BicKs
+        .map(k => kmeansChainSql(s"k${k}_", k, iters)).mkString(",\n")
+      val sses = KmeansAssign.BicKs.map { k =>
+        s"""k${k}_sse AS (
+           |  SELECT CAST(coalesce(sum(CAST(floor(mind * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS sse_q
+           |  FROM (SELECT min($kmeansDistSql) AS mind
+           |        FROM pts p CROSS JOIN k${k}_c$iters c GROUP BY p.image_id))""".stripMargin
+      }.mkString(",\n")
+      val union = KmeansAssign.BicKs
+        .map(k => s"SELECT $k AS k, sse_q FROM k${k}_sse")
+        .mkString("\nUNION ALL ")
+      s"""$cte,
+         |pts AS (SELECT image_id, lat, lon FROM images),
+         |$chains,
+         |$sses,
+         |allk AS ($union),
+         |scored AS (
+         |  SELECT k, n, sse_q,
+         |    CAST(n AS DOUBLE) * ln(CAST(sse_q AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) + 1e-12)
+         |      + CAST(k AS DOUBLE) * 2.0 * ln(CAST(n AS DOUBLE)) AS bic
+         |  FROM allk CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM pts) n0)
+         |SELECT k, n, sse_q, bic,
+         |  CASE WHEN row_number() OVER (ORDER BY bic, k) = 1 THEN 1 ELSE 0 END AS best
+         |FROM scored""".stripMargin
     })
 
   val all: Seq[Q] = Seq(
     qTileAssign,
     qKmeansAssign,
+    qBicK,
     qPyramidRes5,
     qPipJoin,
     qPolyTileCov,

@@ -37,14 +37,18 @@ object KmeansAssign {
   private def mean(sq: Long, n: Long): Double =
     sq.toDouble / (n.toDouble * 1000000.0)
 
+  /** Squared planar distance to each centroid, in ascending-cid order. */
+  private def distCols(cents: Seq[Centroid]): Seq[Column] =
+    cents.sortBy(_.cid).map { c =>
+      (col("lat") - lit(c.clat)) * (col("lat") - lit(c.clat)) +
+        (col("lon") - lit(c.clon)) * (col("lon") - lit(c.clon))
+    }
+
   /** Argmin-of-k distance expression: 1-based cid of the nearest centroid,
     * ties to the smallest cid (array_position returns the FIRST index of
     * the minimum). */
   private def nearestCid(cents: Seq[Centroid]): Column = {
-    val dists = cents.sortBy(_.cid).map { c =>
-      (col("lat") - lit(c.clat)) * (col("lat") - lit(c.clat)) +
-        (col("lon") - lit(c.clon)) * (col("lon") - lit(c.clon))
-    }
+    val dists = distCols(cents)
     array_position(array(dists: _*), array_min(array(dists: _*))).cast("int")
   }
 
@@ -92,6 +96,62 @@ object KmeansAssign {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitPts(pts, k, iters)
     finally pts.unpersist(blocking = false) // all jobs collect-terminated
+  }
+
+  // ------------------------------------------------------ BIC model selection
+
+  /** Candidate cluster counts for [[bicSweep]] — mirrors the reference's
+    * `np.arange(1, max_clusters)` sweep shape (cluster_utils.py:50-61) with
+    * a fixed small grid: at 10^12 rows each candidate costs `iters + 1` full
+    * passes, so the candidate set is a configuration, not data-derived. */
+  val BicKs: Seq[Int] = 1 to 6
+
+  /** SSE quantizer. 1e6 keeps the summed Long bounded: planar squared
+    * distance ≤ 180²+360² ≈ 1.62e5, so each point contributes ≤ 1.62e11 —
+    * safe to ~5e7 rows per exact sum, and the partial sums that Spark's
+    * partial+final aggregation folds first are far smaller. */
+  val BicScale: Double = 1000000.0
+
+  final case class BicRow(k: Int, n: Long, sse_q: Long, bic: Double, best: Int)
+
+  /** A6 — BIC model selection over candidate k (≙ cluster_utils.py:50-61
+    * `get_optimal_clusters`: fit per k, score with BIC, argmin). The
+    * reference fits a GaussianMixture per k; re-expressed Spark-first and
+    * DETERMINISTIC: per candidate k, run the same seeded exact-Lloyd fit as
+    * [[fit]], take SSE = Σ floor(min-sq-dist · 1e6) as an exact integer,
+    * and score with the X-means-style spherical BIC
+    * `n·ln(sse/n + ε) + k·d·ln(n)` (d = 2 planar dims, ε = 1e-12 guards
+    * sse = 0). `best = 1` marks the argmin-BIC row, ties to the smaller k.
+    *
+    * Scale shape: the anchor projection is persisted ONCE across the whole
+    * sweep; each candidate then costs `iters` assignment+update passes plus
+    * one map-only SSE pass, all keyed or scan-shaped — no driver data beyond
+    * the k-row centroid sets and the per-k (n, sse) scalars. The output is
+    * |ks| rows. Every arithmetic step is integer or a fixed-order double
+    * expression, so a SQL oracle can replay the sweep exactly. */
+  def bicSweep(images: DataFrame, ks: Seq[Int] = BicKs,
+               iters: Int = DefaultIters): DataFrame = {
+    val spark = images.sparkSession
+    val pts = points(images)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = pts.count()
+      val nD = n.toDouble
+      val scored = ks.map { k =>
+        val cents = fitPts(pts, k, iters)
+        val mind = array_min(array(distCols(cents): _*))
+        val sseQ = pts
+          .select(coalesce(sum(floor(mind * lit(BicScale))), lit(0L)).as("s"))
+          .head().getLong(0)
+        val bic = nD * math.log(sseQ.toDouble / BicScale / nD + 1.0e-12) +
+          k * 2.0 * math.log(nD)
+        (k, sseQ, bic)
+      }
+      val bestK = scored.minBy(t => (t._3, t._1))._1
+      spark.createDataFrame(scored.map { case (k, sseQ, bic) =>
+        BicRow(k, n, sseQ, bic, if (k == bestK) 1 else 0)
+      })
+    } finally pts.unpersist(blocking = false)
   }
 
   /** Final 1-NN assignment join (J4): every image row labeled with the

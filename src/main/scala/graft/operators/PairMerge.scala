@@ -26,8 +26,10 @@ import graft.geo.{functions => G, GridCell}
   * on the parent key and runs the O(m^2) matching on each small
   * neighborhood (m = tiles per parent cell, bounded by the grid fan-out).
   * Verified by GreedyPairSpec against an independent driver-side
-  * recomputation (no oracle SQL: sequential matching is not
-  * SQL-expressible; the driver records the rows-only check).
+  * recomputation AND hash-proven by q_pair_merge's DuckDB oracle, which
+  * unrolls the greedy walk into a fixed chain of hottest-remaining /
+  * argmin-partner window rounds (the fan-out bound makes the round count
+  * a constant).
   */
 object PairMerge {
 

@@ -63,6 +63,57 @@ class KmeansSpec extends SparkFunSuite {
     assert(gotAssign.values.toSet.size > 1)
   }
 
+  test("BIC sweep: one row per k, exact SSE, argmin flagged once") {
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    val ks = Seq(1, 2, 3)
+    val rows = KmeansAssign.bicSweep(imgs, ks, Iters).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == ks)
+    val n = anchors.length.toLong
+    assert(rows.forall(_._2 == n))
+    // exact SSE recomputation per k with the operator's arithmetic
+    val pts = anchors
+    ks.zip(rows).foreach { case (k, (_, _, gotSse, gotBic, _)) =>
+      var cents = pts.take(k).zipWithIndex
+        .map { case ((_, la, lo), i) => KmeansAssign.Centroid(i + 1, la, lo) }.toSeq
+      (1 to Iters).foreach { _ =>
+        val groups = pts.groupBy { case (_, la, lo) =>
+          val ds = cents.sortBy(_.cid).map(c =>
+            (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon))
+          ds.indexOf(ds.min) + 1
+        }
+        cents = cents.map { c =>
+          groups.get(c.cid) match {
+            case Some(ms) =>
+              val cn = ms.length.toLong
+              val sla = ms.map(m => math.floor(m._2 * 1000000).toLong).sum
+              val slo = ms.map(m => math.floor(m._3 * 1000000).toLong).sum
+              KmeansAssign.Centroid(c.cid,
+                sla.toDouble / (cn.toDouble * 1000000.0),
+                slo.toDouble / (cn.toDouble * 1000000.0))
+            case None => c
+          }
+        }
+      }
+      val wantSse = pts.map { case (_, la, lo) =>
+        val mind = cents.map(c =>
+          (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon)).min
+        math.floor(mind * 1000000.0).toLong
+      }.sum
+      assert(gotSse == wantSse, s"SSE mismatch at k=$k")
+      val nD = n.toDouble
+      val wantBic = nD * math.log(wantSse.toDouble / 1000000.0 / nD + 1.0e-12) +
+        k * 2.0 * math.log(nD)
+      assert(gotBic == wantBic, s"BIC mismatch at k=$k")
+    }
+    // exactly one best row, and it is the (bic, k)-argmin
+    assert(rows.count(_._5 == 1) == 1)
+    val argmin = rows.minBy(r => (r._4, r._1))
+    assert(argmin._5 == 1)
+  }
+
   test("assignment is a true argmin under the final centroids") {
     val imgs = Images.images(spark, SparkSpec.Sf)
     val cents = KmeansAssign.fit(imgs, K, Iters)
