@@ -120,6 +120,7 @@ object Queries {
   def clearSharedCaches(): Unit = {
     knnRankedCache.clear()
     QueriesRetrieval.clearPyramidCache()
+    KmeansAssign.clearSweepCache()
   }
 
   /** Exact kNN: ring expansion + window top-k; the oracle is the brute-force
@@ -524,41 +525,77 @@ object Queries {
     * ENTIRE sweep — one Lloyd CTE chain per candidate k, the same
     * floor(min-dist·1e6) SSE, the same fixed-order BIC double — so model
     * selection itself is hash-proven, not just each fit. */
+  /** Shared CTE block for the BIC sweep oracles: one Lloyd chain per
+    * candidate k (`k{k}_c0..c{iters}`), the per-k quantized SSE, and a
+    * `scored(k, n, sse_q, bic)` CTE with the identical fixed-order BIC
+    * double as [[KmeansAssign.bicSweep]]. Callers append their selection. */
+  private def bicScoredCtesSql(iters: Int): String = {
+    val chains = KmeansAssign.BicKs
+      .map(k => kmeansChainSql(s"k${k}_", k, iters)).mkString(",\n")
+    val sses = KmeansAssign.BicKs.map { k =>
+      s"""k${k}_sse AS (
+         |  SELECT CAST(coalesce(sum(CAST(floor(mind * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS sse_q
+         |  FROM (SELECT min($kmeansDistSql) AS mind
+         |        FROM pts p CROSS JOIN k${k}_c$iters c GROUP BY p.image_id))""".stripMargin
+    }.mkString(",\n")
+    val union = KmeansAssign.BicKs
+      .map(k => s"SELECT $k AS k, sse_q FROM k${k}_sse")
+      .mkString("\nUNION ALL ")
+    s"""pts AS (SELECT image_id, lat, lon FROM images),
+       |$chains,
+       |$sses,
+       |allk AS ($union),
+       |scored AS (
+       |  SELECT k, n, sse_q,
+       |    CAST(n AS DOUBLE) * ln(CAST(sse_q AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) + 1e-12)
+       |      + CAST(k AS DOUBLE) * 2.0 * ln(CAST(n AS DOUBLE)) AS bic
+       |  FROM allk CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM pts) n0)""".stripMargin
+  }
+
   private val qBicK = Q(
     "q_bic_k",
-    (s, dir) => KmeansAssign.bicSweep(Images.images(s, dir)),
-    Some {
-      val iters = KmeansAssign.DefaultIters
-      val chains = KmeansAssign.BicKs
-        .map(k => kmeansChainSql(s"k${k}_", k, iters)).mkString(",\n")
-      val sses = KmeansAssign.BicKs.map { k =>
-        s"""k${k}_sse AS (
-           |  SELECT CAST(coalesce(sum(CAST(floor(mind * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS sse_q
-           |  FROM (SELECT min($kmeansDistSql) AS mind
-           |        FROM pts p CROSS JOIN k${k}_c$iters c GROUP BY p.image_id))""".stripMargin
-      }.mkString(",\n")
-      val union = KmeansAssign.BicKs
-        .map(k => s"SELECT $k AS k, sse_q FROM k${k}_sse")
-        .mkString("\nUNION ALL ")
+    (s, dir) => KmeansAssign.bicSweep(Images.images(s, dir),
+      memoKey = Some(dir)),
+    Some(
       s"""$cte,
-         |pts AS (SELECT image_id, lat, lon FROM images),
-         |$chains,
-         |$sses,
-         |allk AS ($union),
-         |scored AS (
-         |  SELECT k, n, sse_q,
-         |    CAST(n AS DOUBLE) * ln(CAST(sse_q AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) + 1e-12)
-         |      + CAST(k AS DOUBLE) * 2.0 * ln(CAST(n AS DOUBLE)) AS bic
-         |  FROM allk CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM pts) n0)
+         |${bicScoredCtesSql(KmeansAssign.DefaultIters)}
          |SELECT k, n, sse_q, bic,
          |  CASE WHEN row_number() OVER (ORDER BY bic, k) = 1 THEN 1 ELSE 0 END AS best
-         |FROM scored""".stripMargin
+         |FROM scored""".stripMargin))
+
+  /** The reference's complete model-selection flow (≙ cluster_utils.py:
+    * 64-70 `GMM_cluster`: pick k by BIC, fit, label every row):
+    * [[KmeansAssign.assignAuto]] labels the table under the argmin-BIC
+    * model and carries the winning k. The oracle re-runs the whole sweep,
+    * picks the argmin-BIC k in SQL, and selects THAT candidate's
+    * assignment CTE — so the selection feeding the labels is itself
+    * hash-proven, end to end. */
+  private val qKmeansAuto = Q(
+    "q_kmeans_auto",
+    (s, dir) => KmeansAssign.assignAuto(Images.images(s, dir),
+      memoKey = Some(dir)),
+    Some {
+      val iters = KmeansAssign.DefaultIters
+      val assigns = KmeansAssign.BicKs
+        .map(k => kmeansAssignCteSql(s"k${k}_af", s"k${k}_c$iters"))
+        .mkString(",\n")
+      val union = KmeansAssign.BicKs
+        .map(k => s"SELECT $k AS k, image_id, cid FROM k${k}_af")
+        .mkString("\nUNION ALL ")
+      s"""$cte,
+         |${bicScoredCtesSql(iters)},
+         |best AS (SELECT k FROM scored ORDER BY bic, k LIMIT 1),
+         |$assigns,
+         |afk AS ($union)
+         |SELECT a.image_id, a.cid, a.k
+         |FROM afk a JOIN best b ON a.k = b.k""".stripMargin
     })
 
   val all: Seq[Q] = Seq(
     qTileAssign,
     qKmeansAssign,
     qBicK,
+    qKmeansAuto,
     qPyramidRes5,
     qPipJoin,
     qPolyTileCov,

@@ -65,9 +65,13 @@ object KmeansAssign {
 
   /** Lloyd loop over a PREPARED (id, lat, lon) frame — callers persist it
     * (seed + every iteration scans it; unpersisted, a derived input would
-    * re-run its projection once per job). */
-  private def fitPts(pts: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
-    var cents = seedCentroids(pts, k)
+    * re-run its projection once per job). `seeded` lets sweep callers
+    * reuse one max-k seed job: the md5-order seeding is PREFIX-STABLE, so
+    * the k-seed is exactly the first k of the max-k seed. */
+  private def fitPts(pts: DataFrame, k: Int, iters: Int,
+                     seeded: Option[Seq[Centroid]] = None): Seq[Centroid] = {
+    var cents = seeded.getOrElse(seedCentroids(pts, k))
+    require(cents.size == k, s"seed size ${cents.size} != k=$k")
     var it = 0
     while (it < iters) {
       val upd = pts.withColumn("cid", nearestCid(cents))
@@ -129,29 +133,84 @@ object KmeansAssign {
     * the k-row centroid sets and the per-k (n, sse) scalars. The output is
     * |ks| rows. Every arithmetic step is integer or a fixed-order double
     * expression, so a SQL oracle can replay the sweep exactly. */
+  private[graft] case class Scored(k: Int, cents: Seq[Centroid], sseQ: Long,
+                                   bic: Double)
+
+  /** Memoized sweep results: q_bic_k and q_kmeans_auto consume the SAME
+    * candidate fits (the knnRanked sharing pattern — VERDICT r2 #3 class);
+    * the cached value is a handful of driver-side scalars/centroids, not a
+    * DataFrame, so there is no Spark cache lifetime to manage. Key includes
+    * the caller's fixture-dir token plus (ks, iters); same immutable-fixture
+    * contract as Queries' shared frames ([[clearSweepCache]] is the
+    * regeneration escape hatch). */
+  private val sweepCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Seq[Int], Int),
+      (Long, Seq[Scored])]
+  private[graft] def clearSweepCache(): Unit = sweepCache.clear()
+
+  private def sweptFor(images: DataFrame, memoKey: Option[String],
+                       ks: Seq[Int], iters: Int): (Long, Seq[Scored]) = {
+    def compute(): (Long, Seq[Scored]) = {
+      val pts = points(images)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = pts.count()
+        (n, sweepScores(pts, ks, iters, n))
+      } finally pts.unpersist(blocking = false)
+    }
+    memoKey match {
+      case Some(key) =>
+        if (sweepCache.size > 8) sweepCache.clear()
+        sweepCache.getOrElseUpdate(
+          (images.sparkSession, key, ks, iters), compute())
+      case None => compute()
+    }
+  }
+
+  /** The sweep core over a PERSISTED pts frame: per candidate k, an
+    * exact-Lloyd fit (one seed job at max k — md5-order seeding is
+    * prefix-stable, so each candidate's seed is a prefix slice) plus one
+    * map-only quantized-SSE pass, scored with the spherical BIC. */
+  private def sweepScores(pts: DataFrame, ks: Seq[Int], iters: Int,
+                          n: Long): Seq[Scored] = {
+    val nD = n.toDouble
+    val seedMax = seedCentroids(pts, ks.max)
+    ks.map { k =>
+      val cents = fitPts(pts, k, iters, Some(seedMax.take(k)))
+      val mind = array_min(array(distCols(cents): _*))
+      val sseQ = pts
+        .select(coalesce(sum(floor(mind * lit(BicScale))), lit(0L)).as("s"))
+        .head().getLong(0)
+      val bic = nD * math.log(sseQ.toDouble / BicScale / nD + 1.0e-12) +
+        k * 2.0 * math.log(nD)
+      Scored(k, cents, sseQ, bic)
+    }
+  }
+
   def bicSweep(images: DataFrame, ks: Seq[Int] = BicKs,
-               iters: Int = DefaultIters): DataFrame = {
-    val spark = images.sparkSession
-    val pts = points(images)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = pts.count()
-      val nD = n.toDouble
-      val scored = ks.map { k =>
-        val cents = fitPts(pts, k, iters)
-        val mind = array_min(array(distCols(cents): _*))
-        val sseQ = pts
-          .select(coalesce(sum(floor(mind * lit(BicScale))), lit(0L)).as("s"))
-          .head().getLong(0)
-        val bic = nD * math.log(sseQ.toDouble / BicScale / nD + 1.0e-12) +
-          k * 2.0 * math.log(nD)
-        (k, sseQ, bic)
-      }
-      val bestK = scored.minBy(t => (t._3, t._1))._1
-      spark.createDataFrame(scored.map { case (k, sseQ, bic) =>
-        BicRow(k, n, sseQ, bic, if (k == bestK) 1 else 0)
-      })
-    } finally pts.unpersist(blocking = false)
+               iters: Int = DefaultIters,
+               memoKey: Option[String] = None): DataFrame = {
+    val (n, scored) = sweptFor(images, memoKey, ks, iters)
+    val bestK = scored.minBy(s => (s.bic, s.k)).k
+    images.sparkSession.createDataFrame(scored.map { s =>
+      BicRow(s.k, n, s.sseQ, s.bic, if (s.k == bestK) 1 else 0)
+    })
+  }
+
+  /** The reference's full model-selection flow (≙ cluster_utils.py:64-70
+    * `GMM_cluster`: `get_optimal_clusters` then fit with the chosen k and
+    * label every row): sweep candidate k by BIC, fit is already done per
+    * candidate, label the table under the argmin-BIC model. Output carries
+    * the chosen k so downstream operators (and the oracle) see WHICH model
+    * won. Same scale shape as [[bicSweep]] plus one final map-only
+    * assignment scan. */
+  def assignAuto(images: DataFrame, ks: Seq[Int] = BicKs,
+                 iters: Int = DefaultIters,
+                 memoKey: Option[String] = None): DataFrame = {
+    val (_, scored) = sweptFor(images, memoKey, ks, iters)
+    val best = scored.minBy(s => (s.bic, s.k))
+    points(images).withColumn("cid", nearestCid(best.cents))
+      .select(col("image_id"), col("cid"), lit(best.k).as("k"))
   }
 
   /** Final 1-NN assignment join (J4): every image row labeled with the

@@ -114,6 +114,21 @@ class KmeansSpec extends SparkFunSuite {
     assert(argmin._5 == 1)
   }
 
+  test("assignAuto labels under the argmin-BIC model") {
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    val ks = Seq(1, 2, 3)
+    val sweep = KmeansAssign.bicSweep(imgs, ks, Iters).collect()
+      .map(r => (r.getInt(0), r.getDouble(3), r.getInt(4)))
+    val bestK = sweep.find(_._3 == 1).get._1
+    val auto = KmeansAssign.assignAuto(imgs, ks, Iters)
+    val got = auto.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got.forall(_._3 == bestK))
+    // labels equal a direct fixed-k fit at the winning k
+    val want = KmeansAssign.assign(imgs, bestK, Iters).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got.map(t => t._1 -> t._2).toMap == want)
+  }
+
   test("assignment is a true argmin under the final centroids") {
     val imgs = Images.images(spark, SparkSpec.Sf)
     val cents = KmeansAssign.fit(imgs, K, Iters)
