@@ -523,8 +523,15 @@ object Queries {
     * candidate k, scores each with the spherical BIC over an
     * integer-quantized SSE, and flags the argmin. The oracle replays the
     * ENTIRE sweep — one Lloyd CTE chain per candidate k, the same
-    * floor(min-dist·1e6) SSE, the same fixed-order BIC double — so model
-    * selection itself is hash-proven, not just each fit. */
+    * floor(min-dist·1e6) SSE (summed as DECIMAL(38,0) on both engines for
+    * exactness past Long range), the same fixed-order BIC double — so
+    * model selection itself is hash-proven, not just each fit. The `bic`
+    * column is the one hash-compared double that passes through `ln`:
+    * JVM Math.log and DuckDB ln may differ in the last ulp, invisible at
+    * the gate's 10-significant-digit rendering unless a value sits within
+    * ~1e-6 relative of a rounding boundary; the fixtures are fixed, the
+    * comparison is deterministic, and the integer sse_q column pins the
+    * underlying quantity exactly either way. */
   /** Shared CTE block for the BIC sweep oracles: one Lloyd chain per
     * candidate k (`k{k}_c0..c{iters}`), the per-k quantized SSE, and a
     * `scored(k, n, sse_q, bic)` CTE with the identical fixed-order BIC
@@ -534,7 +541,7 @@ object Queries {
       .map(k => kmeansChainSql(s"k${k}_", k, iters)).mkString(",\n")
     val sses = KmeansAssign.BicKs.map { k =>
       s"""k${k}_sse AS (
-         |  SELECT CAST(coalesce(sum(CAST(floor(mind * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS sse_q
+         |  SELECT CAST(coalesce(sum(CAST(floor(mind * 1000000.0) AS BIGINT)), 0) AS DECIMAL(38,0)) AS sse_q
          |  FROM (SELECT min($kmeansDistSql) AS mind
          |        FROM pts p CROSS JOIN k${k}_c$iters c GROUP BY p.image_id))""".stripMargin
     }.mkString(",\n")

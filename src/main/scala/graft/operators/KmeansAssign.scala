@@ -65,13 +65,9 @@ object KmeansAssign {
 
   /** Lloyd loop over a PREPARED (id, lat, lon) frame — callers persist it
     * (seed + every iteration scans it; unpersisted, a derived input would
-    * re-run its projection once per job). `seeded` lets sweep callers
-    * reuse one max-k seed job: the md5-order seeding is PREFIX-STABLE, so
-    * the k-seed is exactly the first k of the max-k seed. */
-  private def fitPts(pts: DataFrame, k: Int, iters: Int,
-                     seeded: Option[Seq[Centroid]] = None): Seq[Centroid] = {
-    var cents = seeded.getOrElse(seedCentroids(pts, k))
-    require(cents.size == k, s"seed size ${cents.size} != k=$k")
+    * re-run its projection once per job). */
+  private def fitPts(pts: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    var cents = seedCentroids(pts, k)
     var it = 0
     while (it < iters) {
       val upd = pts.withColumn("cid", nearestCid(cents))
@@ -110,13 +106,15 @@ object KmeansAssign {
     * passes, so the candidate set is a configuration, not data-derived. */
   val BicKs: Seq[Int] = 1 to 6
 
-  /** SSE quantizer. 1e6 keeps the summed Long bounded: planar squared
-    * distance ≤ 180²+360² ≈ 1.62e5, so each point contributes ≤ 1.62e11 —
-    * safe to ~5e7 rows per exact sum, and the partial sums that Spark's
-    * partial+final aggregation folds first are far smaller. */
+  /** SSE quantizer: each point contributes the exact integer
+    * floor(min-sq-dist · 1e6). The SUM is carried as DECIMAL(38,0)
+    * (Spark's exact 128-bit decimal aggregation), not Long: a point can
+    * contribute up to floor((180²+360²)·1e6) ≈ 1.62e11, so a Long total
+    * would overflow near 5.7e7 rows — decimal keeps the sum exact to
+    * ~6e26 rows, far past the 10^12-row design point. DuckDB mirrors this
+    * for free (BIGINT sums accumulate in HUGEINT; the oracle casts to the
+    * same DECIMAL(38,0)). */
   val BicScale: Double = 1000000.0
-
-  final case class BicRow(k: Int, n: Long, sse_q: Long, bic: Double, best: Int)
 
   /** A6 — BIC model selection over candidate k (≙ cluster_utils.py:50-61
     * `get_optimal_clusters`: fit per k, score with BIC, argmin). The
@@ -133,7 +131,7 @@ object KmeansAssign {
     * the k-row centroid sets and the per-k (n, sse) scalars. The output is
     * |ks| rows. Every arithmetic step is integer or a fixed-order double
     * expression, so a SQL oracle can replay the sweep exactly. */
-  private[graft] case class Scored(k: Int, cents: Seq[Centroid], sseQ: Long,
+  private[graft] case class Scored(k: Int, cents: Seq[Centroid], sseQ: BigInt,
                                    bic: Double)
 
   /** Memoized sweep results: q_bic_k and q_kmeans_auto consume the SAME
@@ -167,34 +165,96 @@ object KmeansAssign {
     }
   }
 
-  /** The sweep core over a PERSISTED pts frame: per candidate k, an
-    * exact-Lloyd fit (one seed job at max k — md5-order seeding is
-    * prefix-stable, so each candidate's seed is a prefix slice) plus one
-    * map-only quantized-SSE pass, scored with the spherical BIC. */
+  /** The sweep core over a PERSISTED pts frame, BATCHED across candidates:
+    * all k's iterate in lockstep, so iteration t is ONE scan computing the
+    * conditional (count, Σfloor(lat·1e6), Σfloor(lon·1e6)) triple for every
+    * (candidate k, cid) pair — Σk·3 ≈ 63 simple conditional sums for the
+    * default grid, comfortably inside one whole-stage-codegen aggregate —
+    * and the final SSEs are one more scan with |ks| sums. Job count is
+    * seed + iters + 1 instead of |ks|·(iters + 2) (7.8 s → ~2 s in the
+    * suite at sf0.1). The conditional sums aggregate exactly the same Long
+    * terms as the per-k groupBy (`when` is null on non-members, so a
+    * null total ≙ an absent group = empty cluster keeps its centroid), and
+    * the md5-order seeding is prefix-stable, so one max-k seed job slices
+    * to every candidate's seed — per-candidate results are bit-identical
+    * to independent [[fitPts]] runs (KmeansSpec pins this). */
   private def sweepScores(pts: DataFrame, ks: Seq[Int], iters: Int,
                           n: Long): Seq[Scored] = {
     val nD = n.toDouble
     val seedMax = seedCentroids(pts, ks.max)
+    var cents: Map[Int, Seq[Centroid]] =
+      ks.map(k => k -> seedMax.take(k)).toMap
+    var it = 0
+    while (it < iters) {
+      val aggs = ks.flatMap { k =>
+        val cid = nearestCid(cents(k))
+        (1 to cents(k).size).flatMap { c =>
+          val m = cid === lit(c)
+          Seq(sum(when(m, lit(1L))).as(s"n_${k}_$c"),
+            sum(when(m, floor(col("lat") * 1000000).cast("long")))
+              .as(s"slat_${k}_$c"),
+            sum(when(m, floor(col("lon") * 1000000).cast("long")))
+              .as(s"slon_${k}_$c"))
+        }
+      }
+      val row = pts.select(aggs: _*).head()
+      def grab(name: String): Option[Long] = {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) None else Some(row.getLong(i))
+      }
+      cents = cents.map { case (k, cs) =>
+        k -> cs.map { c =>
+          grab(s"n_${k}_${c.cid}") match {
+            case Some(cn) if cn > 0 =>
+              Centroid(c.cid,
+                mean(grab(s"slat_${k}_${c.cid}").get, cn),
+                mean(grab(s"slon_${k}_${c.cid}").get, cn))
+            case _ => c // empty cluster keeps its centroid
+          }
+        }
+      }
+      it += 1
+    }
+    val dec0 = lit(0).cast("decimal(38,0)")
+    val sseAggs = ks.map { k =>
+      val mind = array_min(array(distCols(cents(k)): _*))
+      coalesce(sum(floor(mind * lit(BicScale)).cast("decimal(38,0)")), dec0)
+        .as(s"sse_$k")
+    }
+    val sseRow = pts.select(sseAggs: _*).head()
     ks.map { k =>
-      val cents = fitPts(pts, k, iters, Some(seedMax.take(k)))
-      val mind = array_min(array(distCols(cents): _*))
-      val sseQ = pts
-        .select(coalesce(sum(floor(mind * lit(BicScale))), lit(0L)).as("s"))
-        .head().getLong(0)
+      val sseQ = BigInt(
+        sseRow.getDecimal(sseRow.fieldIndex(s"sse_$k")).toBigInteger)
+      // BigInt -> Double is correctly rounded (exact below 2^53), matching
+      // DuckDB's DECIMAL -> DOUBLE cast in the oracle's bic expression.
       val bic = nD * math.log(sseQ.toDouble / BicScale / nD + 1.0e-12) +
         k * 2.0 * math.log(nD)
-      Scored(k, cents, sseQ, bic)
+      Scored(k, cents(k), sseQ, bic)
     }
   }
 
   def bicSweep(images: DataFrame, ks: Seq[Int] = BicKs,
                iters: Int = DefaultIters,
                memoKey: Option[String] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val (n, scored) = sweptFor(images, memoKey, ks, iters)
     val bestK = scored.minBy(s => (s.bic, s.k)).k
-    images.sparkSession.createDataFrame(scored.map { s =>
-      BicRow(s.k, n, s.sseQ, s.bic, if (s.k == bestK) 1 else 0)
-    })
+    // sse_q is DECIMAL(38,0): exact at any scale (see BicScale) — built
+    // with an explicit schema so the parquet scale is 0, matching the
+    // oracle's CAST(... AS DECIMAL(38,0)) rendering digit-for-digit.
+    val schema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("sse_q", DecimalType(38, 0), nullable = false),
+      StructField("bic", DoubleType, nullable = false),
+      StructField("best", IntegerType, nullable = false)))
+    val rows = scored.map { s =>
+      Row(s.k, n, new java.math.BigDecimal(s.sseQ.bigInteger), s.bic,
+        if (s.k == bestK) 1 else 0)
+    }
+    images.sparkSession.createDataFrame(rows.asJava, schema)
   }
 
   /** The reference's full model-selection flow (≙ cluster_utils.py:64-70

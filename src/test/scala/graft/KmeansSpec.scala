@@ -23,16 +23,17 @@ class KmeansSpec extends SparkFunSuite {
       .map(r => (r._1, r._2, r._3))
 
   /** Driver-side Lloyd with the operator's exact arithmetic. */
-  private def lloyd(pts: Array[(String, Double, Double)])
+  private def lloyd(pts: Array[(String, Double, Double)], k: Int = K,
+                    iters: Int = Iters)
       : (Seq[KmeansAssign.Centroid], Map[String, Int]) = {
-    var cents = pts.take(K).zipWithIndex
+    var cents = pts.take(k).zipWithIndex
       .map { case ((_, la, lo), i) => KmeansAssign.Centroid(i + 1, la, lo) }.toSeq
     def nearest(la: Double, lo: Double): Int = {
       val ds = cents.sortBy(_.cid).map(c =>
         (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon))
       ds.indexOf(ds.min) + 1 // first occurrence = smallest cid on ties
     }
-    (1 to Iters).foreach { _ =>
+    (1 to iters).foreach { _ =>
       val groups = pts.groupBy { case (_, la, lo) => nearest(la, lo) }
       cents = cents.map { c =>
         groups.get(c.cid) match {
@@ -67,40 +68,21 @@ class KmeansSpec extends SparkFunSuite {
     val imgs = Images.images(spark, SparkSpec.Sf)
     val ks = Seq(1, 2, 3)
     val rows = KmeansAssign.bicSweep(imgs, ks, Iters).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getInt(4)))
+      .map(r => (r.getInt(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), r.getDouble(3), r.getInt(4)))
       .sortBy(_._1)
     assert(rows.map(_._1).toSeq == ks)
     val n = anchors.length.toLong
     assert(rows.forall(_._2 == n))
-    // exact SSE recomputation per k with the operator's arithmetic
+    // exact SSE recomputation per k with the operator's arithmetic,
+    // against the SAME driver-side Lloyd used by the fixed-k parity test
     val pts = anchors
     ks.zip(rows).foreach { case (k, (_, _, gotSse, gotBic, _)) =>
-      var cents = pts.take(k).zipWithIndex
-        .map { case ((_, la, lo), i) => KmeansAssign.Centroid(i + 1, la, lo) }.toSeq
-      (1 to Iters).foreach { _ =>
-        val groups = pts.groupBy { case (_, la, lo) =>
-          val ds = cents.sortBy(_.cid).map(c =>
-            (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon))
-          ds.indexOf(ds.min) + 1
-        }
-        cents = cents.map { c =>
-          groups.get(c.cid) match {
-            case Some(ms) =>
-              val cn = ms.length.toLong
-              val sla = ms.map(m => math.floor(m._2 * 1000000).toLong).sum
-              val slo = ms.map(m => math.floor(m._3 * 1000000).toLong).sum
-              KmeansAssign.Centroid(c.cid,
-                sla.toDouble / (cn.toDouble * 1000000.0),
-                slo.toDouble / (cn.toDouble * 1000000.0))
-            case None => c
-          }
-        }
-      }
+      val (cents, _) = lloyd(pts, k)
       val wantSse = pts.map { case (_, la, lo) =>
         val mind = cents.map(c =>
           (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon)).min
-        math.floor(mind * 1000000.0).toLong
+        BigInt(math.floor(mind * 1000000.0).toLong)
       }.sum
       assert(gotSse == wantSse, s"SSE mismatch at k=$k")
       val nD = n.toDouble
