@@ -47,6 +47,33 @@ object StreamingTiles {
       .agg(count(lit(1)).as("cnt"),
         sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
 
+  /** Streaming EXACT DEDUP — the incremental form of the pipeline's
+    * exact dedup (SURVEY §2 A7 / q_dedup_exact): as event files land,
+    * emit each key's FIRST occurrence and drop the rest, with an
+    * event-time watermark bounding the dedup state (keys older than the
+    * horizon are evicted — at 10^12 rows/day unbounded dedup state is the
+    * failure mode, and the reference's batch `dropDuplicates` has no
+    * arrival-time story at all). Built on Spark's own watermarked
+    * `dropDuplicates` state machine; key state shards by the dedup key.
+    * Emitted columns are the key only: which duplicate row survives is
+    * arrival-order-dependent by definition, so the deterministic contract
+    * (and the StreamingSpec parity) is the KEY SET == batch distinct.
+    * `delay` is the dedup horizon: keys silent for longer may re-emit,
+    * and rows older than the watermark are dropped as late — the explicit
+    * state/recall trade every streaming dedup at scale must pick (the
+    * spec uses a horizon wider than its fixture's time span, where the
+    * semantics are exactly batch distinct). */
+  def dedupStream(spark: SparkSession, dir: String,
+                  delay: String = "1 hour"): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+      // ts is TIMESTAMP_NTZ in the fixture; watermarks require TIMESTAMP
+      // (session TZ is UTC everywhere in this engine, so the cast is a
+      // relabel, not a shift)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Streaming WHOLE-PYRAMID maintenance: every level `minRes..maxRes`
     * kept incrementally current in ONE stateful aggregation. The batched
     * multi-res projection emits each image's cell at all levels; state is

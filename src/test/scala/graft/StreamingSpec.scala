@@ -49,6 +49,40 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("streaming exact dedup == batch distinct keys, across a resume") {
+    val inDir = Files.createTempDirectory("graft-dedup-in").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ck").toString
+    val evs = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val outDir = Files.createTempDirectory("graft-dedup-out").toString
+    def run(): Unit = {
+      // append-mode resume needs a fault-tolerant sink (memory sink
+      // cannot recover from a checkpoint) — same device as the
+      // sessionization tests: exactly-once parquet sink.
+      val q = StreamingTiles.dedupStream(spark, inDir, "3650 days")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // two arrivals with overlapping keys; resume from the same checkpoint
+    evs.filter(col("event_id") % 3 =!= 0).write.mode("append").parquet(inDir)
+    run()
+    evs.filter(col("event_id") % 3 === 0).write.mode("append").parquet(inDir)
+    run()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // each key emitted exactly once across BOTH increments
+    assert(got.length == got.distinct.length)
+    val want = evs.select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == want.toSet)
+  }
+
   test("streaming pyramid (all levels) == batch pyramid, across a resume") {
     val inDir = Files.createTempDirectory("graft-stream-pyr").toString
     val ckpt = Files.createTempDirectory("graft-stream-pyrck").toString
