@@ -196,6 +196,44 @@ object Queries {
     * 0), persist the merged snapshot, emit it. The oracle is the direct
     * two-groupby left join, so equality proves the write -> join ->
     * rewrite -> read chain is lossless. */
+  /** Snapshot TIME TRAVEL (the Iceberg semantic the north rule's
+    * "resumable from Iceberg-snapshot checkpoints" implies): two versioned
+    * builds land under one root ([[Snapshot.writeVersioned]] — append
+    * under a snapshot_id partition), and a reader pinned to v1 still sees
+    * EXACTLY the v1 tiles after v2 lands (partition-pruned past v2's
+    * files). The output unions both pinned reads tagged by snapshot; the
+    * oracle recomputes each version's tile set from the raw corpus, so a
+    * hash match proves versions neither leak into each other nor drift. */
+  private val qTimeTravel = Q(
+    "q_time_travel", {
+      val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-tt").toString
+        val imgs = Images.images(s, dir)
+        Snapshot.writeVersioned(
+          TilePyramid.leafTiles(imgs.filter(expr(h) === 0), 7),
+          root, snapshotId = "v1", buildTs = 1L)
+        Snapshot.writeVersioned(TilePyramid.leafTiles(imgs, 7),
+          root, snapshotId = "v2", buildTs = 2L)
+        def pick(id: String) = Snapshot.readAsOf(s, root, id)
+          .select(lit(id).as("snap"), col("cell"), col("cnt"),
+            col("bytes_sum"))
+        pick("v1").unionByName(pick("v2"))
+      }
+    },
+    Some {
+      val h = "(('0x' || substr(md5(image_id), 1, 8))::BIGINT) % 2"
+      def half(id: String, where: String) =
+        s"""SELECT '$id' AS snap, cell, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+           |FROM (SELECT ${cellSql(7)} AS cell, w, h FROM images $where) t
+           |GROUP BY cell""".stripMargin
+      s"""$cte
+         |${half("v1", s"WHERE $h = 0")}
+         |UNION ALL
+         |${half("v2", "")}""".stripMargin
+    })
+
   private val qStatsTransfer = Q(
     "q_stats_transfer", {
       val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
@@ -615,6 +653,7 @@ object Queries {
     qPairMerge,
     qMergeTree2,
     qResumeRes6,
+    qTimeTravel,
     qStatsTransfer) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all
 

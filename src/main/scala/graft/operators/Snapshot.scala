@@ -45,7 +45,14 @@ object Snapshot {
     * round-2 shape re-read the freshly written snapshot to count it,
     * doubling write-path IO at scale. */
   def write(pyramid: DataFrame, root: String, snapshotId: String,
-            buildTs: Long): Map[Int, Long] = {
+            buildTs: Long): Map[Int, Long] =
+    writeWith(pyramid, root, snapshotId, buildTs,
+      partCols = Seq("res"), mode = "overwrite",
+      recountRoot = s"$root/tiles")
+
+  private def writeWith(pyramid: DataFrame, root: String, snapshotId: String,
+                        buildTs: Long, partCols: Seq[String], mode: String,
+                        recountRoot: String): Map[Int, Long] = {
     val withLineage = pyramid
       .withColumn("snapshot_id", lit(snapshotId))
       .withColumn("build_ts", lit(buildTs))
@@ -58,7 +65,7 @@ object Snapshot {
         col("res") < ResRange.head || col("res") > ResRange.last, 1L)
         .otherwise(0L)), lit(0L)).as("c_other")
     withLineage.observe(obs, metrics.head, metrics.tail: _*)
-      .write.mode("overwrite").partitionBy("res")
+      .write.mode(mode).partitionBy(partCols: _*)
       .parquet(s"$root/tiles")
     val got = obs.get
     val counts =
@@ -68,7 +75,7 @@ object Snapshot {
           if (n > 0) Some(r -> n) else None
         }.toMap
       else // exotic levels: graceful fallback to counting what was written
-        withLineage.sparkSession.read.parquet(s"$root/tiles")
+        withLineage.sparkSession.read.parquet(recountRoot)
           .groupBy(col("res")).count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val levels = counts.keys.toSeq.sorted
@@ -79,6 +86,48 @@ object Snapshot {
       json.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     counts
+  }
+
+  /** Versioned write — the Iceberg-semantics counterpart of [[write]]:
+    * snapshots APPEND under a `snapshot_id=` partition, so every prior
+    * version stays readable (time travel) and a reader pinned to one id is
+    * partition-pruned past all other versions' files at the listing level.
+    * Retention is directory removal of `tiles/snapshot_id=<id>` plus its
+    * manifest — no rewrite of surviving snapshots. Layout:
+    *
+    *   <root>/tiles/snapshot_id=<id>/res=<r>/part-*.parquet
+    *   <root>/MANIFEST-<id>.json
+    *
+    * The manifest counts ride the write job via the same single-pass
+    * `observe` metrics as [[write]]. */
+  def writeVersioned(pyramid: DataFrame, root: String, snapshotId: String,
+                     buildTs: Long): Map[Int, Long] =
+    writeWith(pyramid, root, snapshotId, buildTs,
+      partCols = Seq("snapshot_id", "res"), mode = "append",
+      recountRoot = s"$root/tiles/snapshot_id=$snapshotId")
+
+  /** Time travel: read exactly one snapshot version (partition-pruned). */
+  def readAsOf(spark: SparkSession, root: String, snapshotId: String): DataFrame =
+    read(spark, root).filter(col("snapshot_id") === snapshotId)
+
+  /** List (snapshot_id, build_ts) recorded under `root`, oldest first —
+    * driver-side manifest scan (manifests are one tiny JSON each). */
+  def snapshots(root: String): Seq[(String, Long)] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val Name = "MANIFEST-(.+)\\.json".r
+    val Ts = """"build_ts": (\d+)""".r.unanchored
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case Name(id) =>
+          new String(Files.readAllBytes(p), "UTF-8") match {
+            case Ts(ts) => Some(id -> ts.toLong)
+            case _      => None
+          }
+        case _ => None
+      }
+    }.toSeq.sortBy(s => (s._2, s._1))
   }
 
   /** Read a snapshot (all levels). `res` is a partition column — filters on

@@ -38,6 +38,31 @@ class SnapshotSpec extends SparkFunSuite {
     assert(canon(rebuilt) == canon(pyr))
   }
 
+  test("versioned snapshots: time travel, isolation, manifest listing") {
+    val root = Files.createTempDirectory("graft-snap-tt").toString
+    val v1src = TilePyramid.leafTiles(
+      images.filter(col("phash") % 2 === 0), 8)
+    val v2src = TilePyramid.leafTiles(images, 8)
+    val m1 = Snapshot.writeVersioned(v1src, root, "v1", buildTs = 10L)
+    // v1 pinned read BEFORE v2 exists
+    val v1Before = canon(Snapshot.readAsOf(spark, root, "v1"))
+    val m2 = Snapshot.writeVersioned(v2src, root, "v2", buildTs = 20L)
+    assert(m1(8) > 0 && m2(8) > m1(8))
+    // time travel: v1 unchanged after v2 landed
+    assert(canon(Snapshot.readAsOf(spark, root, "v1")) == v1Before)
+    assert(canon(Snapshot.readAsOf(spark, root, "v1")) == canon(v1src))
+    assert(canon(Snapshot.readAsOf(spark, root, "v2")) == canon(v2src))
+    // full read sees both versions, disjoint by snapshot_id
+    val all = Snapshot.read(spark, root)
+    assert(all.count() == m1(8) + m2(8))
+    // manifest listing, oldest first
+    assert(Snapshot.snapshots(root) == Seq("v1" -> 10L, "v2" -> 20L))
+    // pinned read is partition-pruned: only v1's files are listed
+    val files = Snapshot.readAsOf(spark, root, "v1")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("snapshot_id=v1")))
+  }
+
   test("level read is partition-pruned (res is a partition dir)") {
     val root = Files.createTempDirectory("graft-snap-prune").toString
     Snapshot.write(TilePyramid.build(images, 10, 12)._1, root, "snapB", 1L)

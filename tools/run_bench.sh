@@ -17,7 +17,7 @@ if [[ "${1:-}" == "-e" ]]; then MODE=executors; shift; fi
 N="${1:-8}"
 cd "$(dirname "$0")/.."
 sbt -batch package >&2
-JAR=$(ls target/scala-2.13/raptorspark_*.jar | head -1)
+JAR=$(ls target/scala-2.13/raptorspark_*.jar | grep -v -- '-tests' | head -1)
 if [[ "$MODE" == executors ]]; then
   MASTER="local-cluster[$N,2,8192]"
   CPUS=$((N * 2))
