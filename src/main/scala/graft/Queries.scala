@@ -188,33 +188,38 @@ object Queries {
          |FROM (SELECT ${cellSql(6)} AS cell, * FROM images) t
          |GROUP BY cell""".stripMargin))
 
-  /** Stats maintenance across snapshots (≙ `update_kmean_with_index`,
-    * raptor/merge_distance&tree_exam.py:687-766): split the corpus into two
-    * halves by md5(image_id) parity (spatially UNCORRELATED — a k-parity
-    * split would be disjoint by the LCG lattice structure), snapshot each,
-    * transfer half A's per-cell counts into half B as `hot_cnt` (default
-    * 0), persist the merged snapshot, emit it. The oracle is the direct
-    * two-groupby left join, so equality proves the write -> join ->
-    * rewrite -> read chain is lossless. */
   /** Snapshot TIME TRAVEL (the Iceberg semantic the north rule's
     * "resumable from Iceberg-snapshot checkpoints" implies): two versioned
     * builds land under one root ([[Snapshot.writeVersioned]] — append
     * under a snapshot_id partition), and a reader pinned to v1 still sees
-    * EXACTLY the v1 tiles after v2 lands (partition-pruned past v2's
-    * files). The output unions both pinned reads tagged by snapshot; the
+    * EXACTLY the v1 tiles after v2 lands (only v1's files are even
+    * listed). The output unions both pinned reads tagged by snapshot; the
     * oracle recomputes each version's tile set from the raw corpus, so a
-    * hash match proves versions neither leak into each other nor drift. */
+    * hash match proves versions neither leak into each other nor drift.
+    * Both versions derive from ONE corpus pass (the qStatsTransfer
+    * extraKeys device): v1 is the half-0 slice of the (cell, half)
+    * partials, v2 re-aggregates the partials — count/byte sums are
+    * associative, so the merge is exact. */
   private val qTimeTravel = Q(
     "q_time_travel", {
       val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
       (s, dir) => {
         val root = java.nio.file.Files.createTempDirectory("graft-tt").toString
         val imgs = Images.images(s, dir)
-        Snapshot.writeVersioned(
-          TilePyramid.leafTiles(imgs.filter(expr(h) === 0), 7),
-          root, snapshotId = "v1", buildTs = 1L)
-        Snapshot.writeVersioned(TilePyramid.leafTiles(imgs, 7),
+        val partials = TilePyramid.withCell(imgs, 7)
+          .withColumn("half", expr(h))
+          .groupBy(col("cell"), col("half"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
+          .withColumn("res", lit(7))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Snapshot.writeVersioned(partials.filter(col("half") === 0)
+          .drop("half"), root, snapshotId = "v1", buildTs = 1L)
+        Snapshot.writeVersioned(partials.groupBy(col("res"), col("cell"))
+          .agg(sum(col("cnt")).as("cnt"),
+            sum(col("bytes_sum")).as("bytes_sum")),
           root, snapshotId = "v2", buildTs = 2L)
+        partials.unpersist(blocking = false)
         def pick(id: String) = Snapshot.readAsOf(s, root, id)
           .select(lit(id).as("snap"), col("cell"), col("cnt"),
             col("bytes_sum"))
@@ -234,6 +239,14 @@ object Queries {
          |${half("v2", "")}""".stripMargin
     })
 
+  /** Stats maintenance across snapshots (≙ `update_kmean_with_index`,
+    * raptor/merge_distance&tree_exam.py:687-766): split the corpus into two
+    * halves by md5(image_id) parity (spatially UNCORRELATED — a k-parity
+    * split would be disjoint by the LCG lattice structure), snapshot each,
+    * transfer half A's per-cell counts into half B as `hot_cnt` (default
+    * 0), persist the merged snapshot, emit it. The oracle is the direct
+    * two-groupby left join, so equality proves the write -> join ->
+    * rewrite -> read chain is lossless. */
   private val qStatsTransfer = Q(
     "q_stats_transfer", {
       val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"

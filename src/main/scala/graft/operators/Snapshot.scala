@@ -101,14 +101,27 @@ object Snapshot {
     * The manifest counts ride the write job via the same single-pass
     * `observe` metrics as [[write]]. */
   def writeVersioned(pyramid: DataFrame, root: String, snapshotId: String,
-                     buildTs: Long): Map[Int, Long] =
+                     buildTs: Long): Map[Int, Long] = {
+    // A snapshot id is immutable once committed (Iceberg semantics):
+    // appending the same id again would silently double the version's
+    // rows while TRUNCATE_EXISTING replaced its manifest. A retried
+    // build must mint a NEW id.
+    require(!Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
+      s"snapshot '$snapshotId' already exists under $root — snapshot ids " +
+        "are immutable; retry with a new id")
     writeWith(pyramid, root, snapshotId, buildTs,
       partCols = Seq("snapshot_id", "res"), mode = "append",
       recountRoot = s"$root/tiles/snapshot_id=$snapshotId")
+  }
 
-  /** Time travel: read exactly one snapshot version (partition-pruned). */
+  /** Time travel: read exactly one snapshot version. The read is scoped
+    * to the version's own directory (with `basePath` preserving the
+    * snapshot_id partition column), so file LISTING touches only this
+    * version — a filter over the root would list every version's files
+    * before planner pruning discarded them. */
   def readAsOf(spark: SparkSession, root: String, snapshotId: String): DataFrame =
-    read(spark, root).filter(col("snapshot_id") === snapshotId)
+    spark.read.option("basePath", s"$root/tiles")
+      .parquet(s"$root/tiles/snapshot_id=$snapshotId")
 
   /** List (snapshot_id, build_ts) recorded under `root`, oldest first —
     * driver-side manifest scan (manifests are one tiny JSON each). */
@@ -118,16 +131,18 @@ object Snapshot {
     val Name = "MANIFEST-(.+)\\.json".r
     val Ts = """"build_ts": (\d+)""".r.unanchored
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case Name(id) =>
-          new String(Files.readAllBytes(p), "UTF-8") match {
-            case Ts(ts) => Some(id -> ts.toLong)
-            case _      => None
-          }
-        case _ => None
-      }
-    }.toSeq.sortBy(s => (s._2, s._1))
+    scala.util.Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case Name(id) =>
+            new String(Files.readAllBytes(p), "UTF-8") match {
+              case Ts(ts) => Some(id -> ts.toLong)
+              case _      => None
+            }
+          case _ => None
+        }
+      }.toSeq
+    }.sortBy(s => (s._2, s._1))
   }
 
   /** Read a snapshot (all levels). `res` is a partition column — filters on

@@ -53,8 +53,13 @@ object StreamingTiles {
     * event-time watermark bounding the dedup state (keys older than the
     * horizon are evicted — at 10^12 rows/day unbounded dedup state is the
     * failure mode, and the reference's batch `dropDuplicates` has no
-    * arrival-time story at all). Built on Spark's own watermarked
-    * `dropDuplicates` state machine; key state shards by the dedup key.
+    * arrival-time story at all). Built on Spark's
+    * `dropDuplicatesWithinWatermark` state machine — NOT plain
+    * `dropDuplicates`, which with a watermark only evicts state when the
+    * event-time column is part of the dedup key, i.e. would keep one
+    * state row per distinct key forever here; the WithinWatermark variant
+    * expires each key's state once the watermark passes its event time +
+    * delay. Key state shards by the dedup key.
     * Emitted columns are the key only: which duplicate row survives is
     * arrival-order-dependent by definition, so the deterministic contract
     * (and the StreamingSpec parity) is the KEY SET == batch distinct.
@@ -71,7 +76,7 @@ object StreamingTiles {
       // relabel, not a shift)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", delay)
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
   /** Streaming WHOLE-PYRAMID maintenance: every level `minRes..maxRes`

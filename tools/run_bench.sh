@@ -21,9 +21,12 @@ JAR=$(ls target/scala-2.13/raptorspark_*.jar | grep -v -- '-tests' | head -1)
 if [[ "$MODE" == executors ]]; then
   MASTER="local-cluster[$N,2,8192]"
   CPUS=$((N * 2))
-  # executor JVMs need the app classes on their own classpath
-  EXTRA=(--conf "spark.executor.extraClassPath=$PWD/target/scala-2.13/classes"
-         --conf "spark.executor.memory=8g")
+  # Executor JVMs need the app classes on their own classpath; Bench.scala
+  # sets spark.executor.extraClassPath itself for local-cluster masters
+  # (session-builder confs override --conf, so setting it here too would
+  # just be dead code) — the script only sizes executor memory. Bench's
+  # path is cwd-relative; this script cd's to the repo root above.
+  EXTRA=(--conf "spark.executor.memory=8g")
   export SPARK_SCALA_VERSION=2.13
 else
   MASTER="local[$N]"
