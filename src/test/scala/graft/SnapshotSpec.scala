@@ -57,6 +57,12 @@ class SnapshotSpec extends SparkFunSuite {
     assert(all.count() == m1(8) + m2(8))
     // manifest listing, oldest first
     assert(Snapshot.snapshots(root) == Seq("v1" -> 10L, "v2" -> 20L))
+    // snapshot ids are immutable: a re-commit of an existing id is refused
+    // (append would double the version's rows under a replaced manifest)
+    intercept[IllegalArgumentException] {
+      Snapshot.writeVersioned(v1src, root, "v1", buildTs = 30L)
+    }
+    assert(canon(Snapshot.readAsOf(spark, root, "v1")) == v1Before)
     // pinned read is partition-pruned: only v1's files are listed
     val files = Snapshot.readAsOf(spark, root, "v1")
       .select(input_file_name()).distinct().collect().map(_.getString(0))
