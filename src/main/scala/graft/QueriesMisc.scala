@@ -50,9 +50,14 @@ object QueriesMisc {
          |FROM images GROUP BY fmt""".stripMargin))
 
   /** Thumbnail pipeline (decode -> resize 4x4 -> stats): exercises the
-    * binary-column plumbing end-to-end. Pixel stats are not derivable in
-    * SQL -> no oracle (driver records the weaker rows-only check);
-    * RasterSpec pins the resize math. */
+    * binary-column plumbing end-to-end. The oracle replays the FULL pixel
+    * path relationally: a recursive CTE advances the per-image splitmix64
+    * seed chain ([[graft.multimodal.Raster.duckMixSql]] — 32-bit-limb
+    * wrapping multiplies in HUGEINT), variant 0 = truth bytes, variant 1 =
+    * the lossy noise stream (only materialized for lossy rows), then joins
+    * the 48 nearest-neighbor-sampled positions of the 4x4 thumb to their
+    * seed blocks and aggregates the mean — bit-identical to the engine's
+    * byte kernels (sum of <=48 ints in double is exact). */
   private val qThumbStats = Q(
     "q_thumb_stats",
     (s, dir) => Images.imagesWithBytes(s, dir)
@@ -62,7 +67,40 @@ object QueriesMisc {
       .withColumn("st", M.raster_stats(col("thumb")))
       .select(col("image_id"), col("st.n_bytes").as("n_bytes"),
         col("st.mean_px").as("mean_px")),
-    None)
+    Some {
+      val mixS = graft.multimodal.Raster.duckMixSql("s")
+      // nb = highest seed-block index any sampled position touches, +1:
+      // max idx = ((3h/4)*w + 3w/4)*3 + 2 (integer div), block = idx/8;
+      // chain row m holds mix^m(seed), block j reads m = j + 2.
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, seeds AS (
+         |  SELECT k, 0 AS variant, CAST(k AS UBIGINT) AS s0,
+         |    CAST(((((3*h)//4)*w + (3*w)//4)*3 + 2) // 8 + 1 AS INTEGER) AS nb
+         |  FROM images
+         |  UNION ALL
+         |  SELECT k, 1, xor(CAST(k AS UBIGINT), CAST(25214903917 AS UBIGINT)),
+         |    CAST(((((3*h)//4)*w + (3*w)//4)*3 + 2) // 8 + 1 AS INTEGER)
+         |  FROM images WHERE fmt = 'lossy'
+         |), chain AS (
+         |  SELECT k, variant, 0 AS m, s0 AS s, nb FROM seeds
+         |  UNION ALL
+         |  SELECT k, variant, m + 1, $mixS, nb FROM chain WHERE m <= nb
+         |), pos AS (
+         |  SELECT i.k, i.image_id, i.fmt,
+         |    ((oy.r * i.h // 4) * i.w + (ox.r * i.w // 4)) * 3 + c.r AS idx
+         |  FROM images i, range(0,4) oy(r), range(0,4) ox(r), range(0,3) c(r)
+         |), px AS (
+         |  SELECT p.image_id, p.fmt,
+         |    CAST((c0.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) AS truth,
+         |    CAST((c1.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) % 5 - 2 AS delta
+         |  FROM pos p
+         |  JOIN chain c0 ON c0.k = p.k AND c0.variant = 0 AND c0.m = p.idx // 8 + 2
+         |  LEFT JOIN chain c1 ON c1.k = p.k AND c1.variant = 1 AND c1.m = p.idx // 8 + 2
+         |)
+         |SELECT image_id, CAST(48 AS INTEGER) AS n_bytes,
+         |  CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |    ELSE least(255, greatest(0, truth + delta)) END) AS DOUBLE) / 48 AS mean_px
+         |FROM px GROUP BY image_id""".stripMargin
+    })
 
   /** Video-modality pipeline: synthesize an 8-frame video blob per image,
     * sample every 2nd frame, run the per-frame stats kernel — the

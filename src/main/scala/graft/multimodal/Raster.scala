@@ -163,4 +163,32 @@ object Raster {
     }
     out
   }
+
+  /** DuckDB SQL expression applying ONE [[mix]] step to UBIGINT expression
+    * `a` — the oracle-side replica of the splitmix64 kernel, so the
+    * q_thumb_stats oracle can replay the per-image PRNG chain relationally
+    * (recursive CTE) and hash-match the engine's pixel math bit-for-bit.
+    *
+    * DuckDB has no wrapping 64-bit multiply (UBIGINT ops raise on overflow,
+    * and a direct HUGEINT product of two 64-bit values can exceed 2^127-1),
+    * so each `* C mod 2^64` is decomposed into 32-bit limbs:
+    * `a*C = a_lo*C_lo + 2^32*(a_lo*C_hi + a_hi*C_lo)  (mod 2^64)`,
+    * every partial bounded by ~2^97 — safely inside HUGEINT. xor and `>>`
+    * are native on UBIGINT (logical shift, which matches `>>>`). */
+  def duckMixSql(a: String): String = {
+    val u64 = "18446744073709551616" // 2^64 as a HUGEINT literal
+    def mulmod(x: String, c: Long): String = {
+      val hi = c >>> 32
+      val lo = c & 0xffffffffL
+      s"CAST((CAST($x % 4294967296 AS HUGEINT) * $lo + " +
+        s"(CAST($x % 4294967296 AS HUGEINT) * $hi + " +
+        s"CAST($x // 4294967296 AS HUGEINT) * $lo) * 4294967296) " +
+        s"% $u64 AS UBIGINT)"
+    }
+    def xs(x: String, n: Int): String = s"xor($x, ($x) >> $n)"
+    val add = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val z1 = s"CAST((CAST($a AS HUGEINT) + $add) % $u64 AS UBIGINT)"
+    xs(mulmod(xs(mulmod(xs(z1, 30), 0xbf58476d1ce4e5b9L), 27),
+      0x94d049bb133111ebL), 31)
+  }
 }
