@@ -143,15 +143,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PolygonBBoxPrefilter)
     ext.injectOptimizerRule(_ => PipJoinToCoverJoin)
+    GraftFunctions.all.foreach(ext.injectFunction)
   }
 }
 
-/** Runtime installation on an already-built session. */
+/** Runtime installation on an already-built session: the optimizer rules
+  * (via `experimental.extraOptimizations`) plus the SQL function surface
+  * ([[GraftFunctions]]). */
 object GraftOptimizations {
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     Seq(PolygonBBoxPrefilter, PipJoinToCoverJoin).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
     }
+    GraftFunctions.install(spark)
+  }
 }

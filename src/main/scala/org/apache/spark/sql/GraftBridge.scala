@@ -9,4 +9,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-BUILT session (the
+    * `spark.sql.extensions` path needs the config set before the session
+    * exists; this is the runtime equivalent, mirroring
+    * `experimental.extraOptimizations` for optimizer rules). The session
+    * `FunctionRegistry` is private[sql], hence bridged here. */
+  def registerFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
 }
