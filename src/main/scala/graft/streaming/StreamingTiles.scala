@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.geo.{functions => G}
+import graft.geo.{QuadkeyTiling, TilingStrategy, functions => G}
+import graft.operators.SpatialJoin
+import graft.sources.Fixtures
 
 /** Custom sessionization state: the currently-open session of one user. */
 case class OpenSession(sess: Long, startUs: Long, lastUs: Long, nEvents: Long)
@@ -97,6 +99,31 @@ object StreamingTiles {
         (col("w") * col("h") * 3).cast("long").as("b"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), sum(col("b")).as("bytes_sum"))
+
+  /** STREAM-STATIC point-in-polygon join: images land as files and each
+    * arriving row is joined against the static vector layer — continuous
+    * tile assignment / geofencing, the streaming form of
+    * [[graft.operators.SpatialJoin.pipJoin]]. The static side is the same
+    * broadcast covering-cell index the batch join builds, so the stream
+    * side stays MAP-ONLY: encode cell → broadcast-hash probe → codegen
+    * ray-cast refine. No state store, no watermark — a stateless
+    * stream-static inner join emits (poly_id, image_id) pairs exactly
+    * once per arriving image (append mode), which is what makes it safe
+    * at 10^12 rows/day: per-micro-batch cost is O(new rows), zero
+    * shuffle, state size zero. Batch/stream parity across a
+    * checkpointed resume is pinned in StreamingSpec. */
+  def pipJoinStream(spark: SparkSession, dir: String,
+                    polys: Seq[Fixtures.Poly] = Fixtures.polys,
+                    res: Int = SpatialJoin.CoverRes,
+                    strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    val idx = SpatialJoin.coverIndex(spark, polys, res, strategy)
+    spark.readStream.schema(imageSchema).parquet(dir)
+      .select(col("image_id"), col("lat"), col("lon"))
+      .withColumn("cell", strategy.encodeCol(col("lat"), col("lon"), res))
+      .join(broadcast(idx), Seq("cell"))
+      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select(col("poly_id"), col("image_id"))
+  }
 
   val SessionGapUs = 1800000000L // 30 min, matches q_events_sessions
 

@@ -317,6 +317,35 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("stream-static pip join == batch pip join, across a resume") {
+    val inDir = Files.createTempDirectory("graft-stream-pip").toString
+    val ckpt = Files.createTempDirectory("graft-stream-pipck").toString
+    val outDir = Files.createTempDirectory("graft-stream-pipout").toString
+    val imgs = Images.images(spark, SparkSpec.Sf)
+      .select("image_id", "lat", "lon", "w", "h", "phash")
+    def run(): Unit = {
+      // stateless append: each arriving image emits its containment pairs
+      // exactly once; parquet sink for checkpointed resume
+      val q = StreamingTiles.pipJoinStream(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    imgs.filter(col("phash") % 2 === 0).write.mode("append").parquet(inDir)
+    run()
+    imgs.filter(col("phash") % 2 =!= 0).write.mode("append").parquet(inDir)
+    run()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("poly_id"), r.getAs[String]("image_id")))
+    // exactly-once: no pair duplicated across the two increments
+    assert(got.length == got.distinct.length)
+    val want = graft.operators.SpatialJoin.pipJoin(imgs, spark).collect()
+      .map(r => (r.getAs[Long]("poly_id"), r.getAs[String]("image_id")))
+    assert(got.toSet == want.toSet && got.nonEmpty)
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
