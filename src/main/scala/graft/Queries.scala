@@ -200,11 +200,32 @@ object Queries {
     * extraKeys device): v1 is the half-0 slice of the (cell, half)
     * partials, v2 re-aggregates the partials — count/byte sums are
     * associative, so the merge is exact. */
+  /** Scratch roots for [[qTimeTravel]]: each invocation needs a FRESH root
+    * (committed snapshot ids are immutable, so a reused root would refuse
+    * the v1/v2 re-commit), but an unbounded trail of materialized parquet
+    * under /tmp is a leak — so each new build deletes the previous
+    * invocation's root (the driver contract consumes each query's result
+    * before building the next), and a shutdown hook removes the last. */
+  private object TtRoots {
+    private var last: Option[java.nio.file.Path] = None
+    private def drop(p: java.nio.file.Path): Unit =
+      try operators.Snapshot.deleteRecursively(p)
+      catch { case _: java.io.IOException => () } // best-effort scratch GC
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      TtRoots.synchronized { last.foreach(drop) }))
+    def fresh(): String = synchronized {
+      last.foreach(drop)
+      val p = java.nio.file.Files.createTempDirectory("graft-tt")
+      last = Some(p)
+      p.toString
+    }
+  }
+
   private val qTimeTravel = Q(
     "q_time_travel", {
       val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
       (s, dir) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-tt").toString
+        val root = TtRoots.fresh()
         val imgs = Images.images(s, dir)
         val partials = TilePyramid.withCell(imgs, 7)
           .withColumn("half", expr(h))

@@ -102,6 +102,15 @@ object Snapshot {
     * `observe` metrics as [[write]]. */
   def writeVersioned(pyramid: DataFrame, root: String, snapshotId: String,
                      buildTs: Long): Map[Int, Long] = {
+    // Ids must survive Hive partition-path encoding verbatim: partitionBy
+    // percent-escapes characters like ':' '=' '%' in the directory name,
+    // so an id containing them would WRITE to `snapshot_id=a%3Ab` while
+    // readAsOf probes `snapshot_id=a:b`. Reject rather than escape — the
+    // id is user-facing in paths, manifests and lineage columns.
+    require(snapshotId.matches("[A-Za-z0-9._-]+"),
+      s"snapshot id '$snapshotId' contains characters the partition-path " +
+        "encoding would rewrite; use [A-Za-z0-9._-] only")
+    require(buildTs >= 0L, s"build_ts must be non-negative, got $buildTs")
     // A snapshot id is immutable once committed (Iceberg semantics):
     // appending the same id again would silently double the version's
     // rows while TRUNCATE_EXISTING replaced its manifest. A retried
@@ -109,19 +118,38 @@ object Snapshot {
     require(!Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
       s"snapshot '$snapshotId' already exists under $root — snapshot ids " +
         "are immutable; retry with a new id")
+    // The MANIFEST is the commit point (written after the data job). Data
+    // files WITHOUT a manifest are a half-commit from a crashed write —
+    // readAsOf refuses them, and a retry of the same id must not append
+    // onto them: clear the orphaned partition directory first.
+    val partDir = Paths.get(s"$root/tiles/snapshot_id=$snapshotId")
+    if (Files.exists(partDir)) deleteRecursively(partDir)
     writeWith(pyramid, root, snapshotId, buildTs,
       partCols = Seq("snapshot_id", "res"), mode = "append",
       recountRoot = s"$root/tiles/snapshot_id=$snapshotId")
+  }
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(p)) { stream =>
+      stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+    }
   }
 
   /** Time travel: read exactly one snapshot version. The read is scoped
     * to the version's own directory (with `basePath` preserving the
     * snapshot_id partition column), so file LISTING touches only this
     * version — a filter over the root would list every version's files
-    * before planner pruning discarded them. */
-  def readAsOf(spark: SparkSession, root: String, snapshotId: String): DataFrame =
+    * before planner pruning discarded them. Gated on the MANIFEST (the
+    * commit point): data files from a crashed, never-committed write are
+    * not readable as a version. */
+  def readAsOf(spark: SparkSession, root: String, snapshotId: String): DataFrame = {
+    require(Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
+      s"snapshot '$snapshotId' is not committed under $root (no manifest)")
     spark.read.option("basePath", s"$root/tiles")
       .parquet(s"$root/tiles/snapshot_id=$snapshotId")
+  }
 
   /** List (snapshot_id, build_ts) recorded under `root`, oldest first —
     * driver-side manifest scan (manifests are one tiny JSON each). */
@@ -129,7 +157,7 @@ object Snapshot {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return Seq.empty
     val Name = "MANIFEST-(.+)\\.json".r
-    val Ts = """"build_ts": (\d+)""".r.unanchored
+    val Ts = """"build_ts": (-?\d+)""".r.unanchored
     import scala.jdk.CollectionConverters._
     scala.util.Using.resource(Files.list(dir)) { stream =>
       stream.iterator().asScala.flatMap { p =>

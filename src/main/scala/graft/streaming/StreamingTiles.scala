@@ -115,15 +115,13 @@ object StreamingTiles {
   def pipJoinStream(spark: SparkSession, dir: String,
                     polys: Seq[Fixtures.Poly] = Fixtures.polys,
                     res: Int = SpatialJoin.CoverRes,
-                    strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
-    val idx = SpatialJoin.coverIndex(spark, polys, res, strategy)
-    spark.readStream.schema(imageSchema).parquet(dir)
-      .select(col("image_id"), col("lat"), col("lon"))
-      .withColumn("cell", strategy.encodeCol(col("lat"), col("lon"), res))
-      .join(broadcast(idx), Seq("cell"))
-      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
-      .select(col("poly_id"), col("image_id"))
-  }
+                    strategy: TilingStrategy = QuadkeyTiling): DataFrame =
+    // the batch plan IS the streaming plan: pipJoin builds a purely
+    // stateless select→encode→broadcast-probe→refine chain, which Spark
+    // accepts unchanged on a streaming DataFrame
+    SpatialJoin.pipJoin(
+      spark.readStream.schema(imageSchema).parquet(dir),
+      spark, polys, res, strategy)
 
   val SessionGapUs = 1800000000L // 30 min, matches q_events_sessions
 

@@ -69,6 +69,38 @@ class SnapshotSpec extends SparkFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("snapshot_id=v1")))
   }
 
+  test("versioned commit point: half-commits are unreadable and retry-safe") {
+    val root = Files.createTempDirectory("graft-snap-crash").toString
+    val src = TilePyramid.leafTiles(images, 8)
+    val n = src.count()
+    // simulate a crash AFTER the data job but BEFORE the manifest: data
+    // files land under the partition dir with no MANIFEST-v1.json
+    src.withColumn("snapshot_id", lit("v1"))
+      .write.mode("append").partitionBy("snapshot_id", "res")
+      .parquet(s"$root/tiles")
+    // the half-commit is not readable as a version (manifest is the
+    // commit point)...
+    intercept[IllegalArgumentException] {
+      Snapshot.readAsOf(spark, root, "v1")
+    }
+    assert(Snapshot.snapshots(root).isEmpty)
+    // ...and a RETRY of the same id commits exactly once (the orphaned
+    // files are cleared, not appended onto)
+    val m = Snapshot.writeVersioned(src, root, "v1", buildTs = 5L)
+    assert(m(8) == n)
+    assert(Snapshot.readAsOf(spark, root, "v1").count() == n)
+
+    // ids that Hive partition-path escaping would rewrite are refused
+    // (write would land under snapshot_id=a%3Ab while reads probe a:b)
+    intercept[IllegalArgumentException] {
+      Snapshot.writeVersioned(src, root, "a:b", buildTs = 6L)
+    }
+    // negative build_ts would vanish from the manifest listing's regex
+    intercept[IllegalArgumentException] {
+      Snapshot.writeVersioned(src, root, "v9", buildTs = -1L)
+    }
+  }
+
   test("level read is partition-pruned (res is a partition dir)") {
     val root = Files.createTempDirectory("graft-snap-prune").toString
     Snapshot.write(TilePyramid.build(images, 10, 12)._1, root, "snapB", 1L)
