@@ -60,6 +60,30 @@ object Queries {
          |FROM (SELECT ${cellSql(5)} AS cell, * FROM images) t
          |GROUP BY cell""".stripMargin))
 
+  /** Tile assignment under the HEXAGONAL grid ([[graft.geo.HexTiling]] —
+    * the literal "H3 cells" of the north star): same leaf rollup as
+    * q_tile_assign but keyed by the pointy-top hex id. The oracle replays
+    * the fractional-axial + cube-rounding encode double-for-double
+    * ([[graft.geo.HexCell.oracleHexCtes]]), so a hash match proves the
+    * hex math cross-engine, not just the aggregation. */
+  private val qHexAssign = Q(
+    "q_hex_assign",
+    (s, dir) => Images.images(s, dir)
+      .withColumn("cell",
+        graft.geo.functions.hex_encode(col("lat"), col("lon"), 8))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum")),
+    Some {
+      val (hx, last) = graft.geo.HexCell.oracleHexCtes("images", 8, Seq("w", "h"))
+      s"""$cte
+         |$hx
+         |SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+         |FROM $last
+         |GROUP BY cell""".stripMargin
+    })
+
   // --------------------------------------------------------- spatial queries
 
   /** Point-in-polygon join: broadcast covering-cell prefilter + ray-casting
@@ -672,6 +696,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     qTileAssign,
+    qHexAssign,
     qKmeansAssign,
     qBicK,
     qKmeansAuto,

@@ -70,6 +70,34 @@ object QuadkeyTiling extends TilingStrategy {
   def resCol(cell: Column): Column = shiftrightunsigned(cell, 58).cast("int")
 }
 
+/** Pointy-top hexagonal grid ([[HexCell]]) — the H3-style index the north
+  * star names. Exactness bound for the kNN settle: a point in a cell at
+  * hex distance > k from the query's cell is at planar distance
+  * >= 1.5(k+1)R − 2R = (1.5k − 0.5)R >= k·R for k >= 1 (cell points lie
+  * within the circumradius R of their center; centers at hex distance d
+  * are >= 1.5·d·R apart — the hex-ball incircle), so minUnitDeg = R is
+  * conservative. Hierarchy is H3-style center rounding: exact partition,
+  * approximate geometry (see [[HexCell]]). */
+object HexTiling extends TilingStrategy {
+  val name = "hex"
+  def minUnitDeg(res: Int): Double = HexCell.circumDeg(res)
+  val defaultCoverRes = 6
+  def encode(lat: Double, lon: Double, res: Int): Long =
+    HexCell.encode(lat, lon, res)
+  def parentAt(cell: Long, toRes: Int): Long = HexCell.parentAt(cell, toRes)
+  def ring(cell: Long, k: Int): Array[Long] = HexCell.ring(cell, k)
+  def cover(latMin: Double, latMax: Double, lonMin: Double, lonMax: Double,
+            res: Int): Array[Long] =
+    HexCell.cover(latMin, latMax, lonMin, lonMax, res)
+  def encodeCol(lat: Column, lon: Column, res: Int): Column =
+    functions.hex_encode(lat, lon, res)
+  def ringCol(cell: Column, k: Column): Column = functions.hex_ring(cell, k)
+  def parentAtCol(cell: Column, toRes: Int): Column =
+    functions.hex_parent_at(cell, toRes)
+  def parentOnceCol(cell: Column): Column = functions.hex_parent_once(cell)
+  def resCol(cell: Column): Column = shiftrightunsigned(cell, 58).cast("int")
+}
+
 /** S2-style cube-face Hilbert index ([[S2Cell]]). Exactness bound: min
   * cell width ≈ 0.94 * 2^-l rad ≈ 54° * 2^-l; halved for the planar-vs-arc
   * factor (planar deg >= arc deg / sqrt 2) and cross-face corner slack. */

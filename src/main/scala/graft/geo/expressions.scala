@@ -268,6 +268,70 @@ case class S2ParentAt(id: Expression, toLevel: Expression) extends BinaryExpress
   override def prettyName: String = "s2_parent_at"
 }
 
+/** `HEX_ENCODE(lat, lon, res) -> Long` pointy-top hexagonal cell id
+  * ([[HexCell]]) — the H3-style third grid index. Codegen'd: runs on the
+  * corpus hot path like [[CellEncode]]. */
+case class HexEncode(lat: Expression, lon: Expression, res: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = res
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(la: Any, lo: Any, r: Any): Any =
+    HexCell.encode(la.asInstanceOf[Double], lo.asInstanceOf[Double],
+      r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, r) => s"graft.geo.HexCell.encode($la, $lo, $r)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "hex_encode"
+}
+
+/** `HEX_RING(cell, k) -> Array[Long]` axial disk (hex distance <= k,
+  * 1 + 3k(k+1) cells) — query-side tiny, eval-based like [[CellRing]]. */
+case class HexRing(cell: Expression, k: Expression) extends BinaryExpression
+    with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, kk: Any): Any =
+    new GenericArrayData(HexCell.ring(c.asInstanceOf[Long], kk.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "hex_ring"
+}
+
+/** `HEX_PARENT_AT(cell, toRes) -> Long` H3-style center-rounded ancestor. */
+case class HexParentAt(cell: Expression, toRes: Expression) extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = toRes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    HexCell.parentAt(c.asInstanceOf[Long], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) => s"graft.geo.HexCell.parentAt($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "hex_parent_at"
+}
+
+/** `HEX_PARENT_ONCE(cell) -> Long` one level coarser, literal-free (the
+  * rollup key for index-agnostic pyramid builds). */
+case class HexParentOnce(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any =
+    HexCell.parentOnce(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geo.HexCell.parentOnce($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "hex_parent_once"
+}
+
 /** Column-level API over the expressions, mirroring
   * `org.apache.spark.sql.functions`. */
 object functions {
@@ -305,6 +369,15 @@ object functions {
   def s2_ring(cell: Column, k: Column): Column =
     col(S2Ring(expr(cell), expr(k)))
   def s2_level(id: Column): Column = col(S2Level(expr(id)))
+  def hex_encode(lat: Column, lon: Column, res: Int): Column =
+    col(HexEncode(expr(lat), expr(lon),
+      expr(org.apache.spark.sql.functions.lit(res))))
+  def hex_ring(cell: Column, k: Column): Column =
+    col(HexRing(expr(cell), expr(k)))
+  def hex_parent_at(cell: Column, toRes: Int): Column =
+    col(HexParentAt(expr(cell),
+      expr(org.apache.spark.sql.functions.lit(toRes))))
+  def hex_parent_once(cell: Column): Column = col(HexParentOnce(expr(cell)))
 
   /** Register SQL names so `spark.sql` queries can use the extensions too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

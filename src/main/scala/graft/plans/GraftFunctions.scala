@@ -59,6 +59,12 @@ object GraftFunctions {
       case Seq(las, los, r) => PolyCoverCells(las, los, r, QuadkeyTiling) },
     fn("s2_poly_cover_cells", 3) {
       case Seq(las, los, r) => PolyCoverCells(las, los, r, S2Tiling) },
+    fn("hex_encode", 3) { case Seq(la, lo, r) => HexEncode(la, lo, r) },
+    fn("hex_ring", 2) { case Seq(c, k) => HexRing(c, k) },
+    fn("hex_parent_at", 2) { case Seq(c, r) => HexParentAt(c, r) },
+    fn("hex_parent_once", 1) { case Seq(c) => HexParentOnce(c) },
+    fn("hex_poly_cover_cells", 3) {
+      case Seq(las, los, r) => PolyCoverCells(las, los, r, HexTiling) },
     fn("s2_encode", 3) { case Seq(la, lo, l) => S2Encode(la, lo, l) },
     fn("s2_level", 1) { case Seq(c) => S2Level(c) },
     fn("s2_ring", 2) { case Seq(c, k) => S2Ring(c, k) },

@@ -56,6 +56,42 @@ class SpatialParitySpec extends SparkFunSuite {
     assert(fast == brute)
   }
 
+  test("pip prefilter+refine == brute force under the HEX strategy") {
+    val fast = SpatialJoin.pipJoin(images, spark,
+        strategy = graft.geo.HexTiling, res = graft.geo.HexTiling.defaultCoverRes)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = SpatialJoin.pipBrute(images, spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast.nonEmpty && fast == brute)
+  }
+
+  test("ring-expansion kNN == brute-force kNN under the HEX strategy") {
+    val qs = Fixtures.knnQueries(spark)
+    val fast = Knn.knnExact(images, qs, 10, res = 8,
+        strategy = graft.geo.HexTiling).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    val brute = Knn.knnBrute(images, qs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+    assert(fast.size == 48 * 10)
+    assert(fast == brute)
+  }
+
+  test("pyramid under the HEX strategy: totals invariant, parent partition") {
+    val leaves = TilePyramid.leafTiles(images, 8, graft.geo.HexTiling)
+    val rolled = TilePyramid.rollupOnce(leaves, graft.geo.HexTiling)
+    val leafTot = leaves.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val rollTot = rolled.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    assert(leafTot == rollTot) // every leaf lands in exactly one parent
+    val l8 = leaves.select(col("cell"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val l7 = rolled.select(col("cell"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = l8.groupBy { case (c, _) => graft.geo.HexCell.parentOnce(c) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(want == l7)
+    assert(l7.keys.forall(c => graft.geo.HexCell.resOf(c) == 7))
+  }
+
   test("knn(k) is a prefix of knn(k+5)") {
     val qs = Fixtures.knnQueries(spark).limit(8)
     val k10 = Knn.knnExact(images, qs, 10).collect()

@@ -26,6 +26,10 @@ class SqlFunctionsSpec extends SparkFunSuite {
         |  cell_parent_at(cell_encode(lat, lon, 12), 6) AS p6,
         |  cell_encode_multi(lat, lon, 10, 12) AS multi,
         |  size(cell_ring(cell_encode(lat, lon, 8), 1)) AS ring_n,
+        |  hex_encode(lat, lon, 8) AS hx,
+        |  hex_parent_at(hex_encode(lat, lon, 12), 6) AS hxp,
+        |  hex_parent_once(hex_encode(lat, lon, 8)) AS hxp1,
+        |  size(hex_ring(hex_encode(lat, lon, 8), 2)) AS hxr,
         |  s2_encode(lat, lon, 10) AS s2,
         |  s2_level(s2_encode(lat, lon, 10)) AS s2l,
         |  s2_parent_at(s2_encode(lat, lon, 12), 8) AS s2p,
@@ -39,6 +43,10 @@ class SqlFunctionsSpec extends SparkFunSuite {
       G.cell_encode_multi(col("lat"), col("lon"), 10, 12).as("multi"),
       size(G.cell_ring(G.cell_encode(col("lat"), col("lon"), 8), lit(1)))
         .as("ring_n"),
+      G.hex_encode(col("lat"), col("lon"), 8).as("hx"),
+      G.hex_parent_at(G.hex_encode(col("lat"), col("lon"), 12), 6).as("hxp"),
+      G.hex_parent_once(G.hex_encode(col("lat"), col("lon"), 8)).as("hxp1"),
+      size(G.hex_ring(G.hex_encode(col("lat"), col("lon"), 8), lit(2))).as("hxr"),
       G.s2_encode(col("lat"), col("lon"), 10).as("s2"),
       G.s2_level(G.s2_encode(col("lat"), col("lon"), 10)).as("s2l"),
       G.s2_parent_at(G.s2_encode(col("lat"), col("lon"), 12), 8).as("s2p"),
