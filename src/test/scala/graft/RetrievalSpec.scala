@@ -70,6 +70,45 @@ class RetrievalSpec extends SparkFunSuite {
     assert(got == want.toSet)
   }
 
+  test("descendTopK under the HEX strategy equals driver-side descent") {
+    import graft.geo.{HexCell, HexTiling}
+    // hex hierarchy is CENTER-ROUNDED (H3 semantics): a level-r tile is
+    // the parent-chain ancestor of the leaf cell, NOT the direct coarse
+    // encode — the driver truth must mirror the rollup chain exactly
+    val leafRes = 7
+    def hexTilesAt(r: Int): Map[Long, Tile] =
+      points.groupBy(p =>
+        HexCell.parentAt(HexCell.encode(p._1, p._2, leafRes), r))
+        .map { case (c, ps) =>
+          c -> Tile(c, r, ps.length,
+            ps.map(_._1).min, ps.map(_._1).max,
+            ps.map(_._2).min, ps.map(_._2).max)
+        }
+    val levels = (4 to leafRes).map(r => r -> hexTilesAt(r)).toMap
+    val want = scala.collection.mutable.Set.empty[(Int, Int, Long, Int, Double)]
+    queries.foreach { case (qid, qlat, qlon) =>
+      var sel = topK(levels(4).values, qlat, qlon, K)
+      sel.zipWithIndex.foreach { case ((t, d), i) =>
+        want += ((qid, 4, t.cell, i + 1, d)) }
+      (5 to leafRes).foreach { r =>
+        val parents = sel.map(_._1.cell).toSet
+        val cand = levels(r).values
+          .filter(t => parents.contains(HexCell.parentAt(t.cell, r - 1)))
+        sel = topK(cand, qlat, qlon, K)
+        sel.zipWithIndex.foreach { case ((t, d), i) =>
+          want += ((qid, r, t.cell, i + 1, d)) }
+      }
+    }
+    val got = Retrieval.descendTopK(
+      TilePyramid.pyramidLazy(Images.images(spark, SparkSpec.Sf), 4, leafRes,
+        HexTiling),
+      Fixtures.knnQueries(spark), 4, leafRes, K, strategy = HexTiling)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(5),
+        r.getDouble(4))).toSet
+    assert(got == want.toSet)
+  }
+
   test("collapseTopK equals driver-side all-level budgeted ranking exactly") {
     val all = (4 to 7).flatMap(r => tilesAt(r).values)
     val want = scala.collection.mutable.Set.empty[(Int, Int, Long, Int, Double)]
