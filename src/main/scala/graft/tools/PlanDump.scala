@@ -86,6 +86,11 @@ object PlanDump {
         "keyed histogram + broadcast cumulative inequality join — the" +
           " partitionless global window is gone (PlanSpec forbids them)",
         graft.Queries.queryMap("q_token_dist")(spark, dir)),
+      ("Hex tile assignment (round 3)",
+        "codegen'd hex_encode (axial + cube rounding) in the scan" +
+          " projection, one partial+final agg on the hex cell — swapping" +
+          " the grid index changes ZERO plan structure vs quadkey",
+        graft.Queries.queryMap("q_hex_assign")(spark, dir)),
       ("k-means assignment stage (round 3)",
         "argmin over k broadcast centroid literals, fully codegen'd" +
           " map-only scan; each Lloyd iteration adds one k-row keyed agg",
