@@ -32,59 +32,133 @@ object GraftFunctions {
 
   private type Builder = Seq[Expression] => Expression
 
-  private def fn(name: String, arity: Int)(b: Builder)
+  private def fn(name: String, arity: Int, usage: String = "")(b: Builder)
       : (FunctionIdentifier, ExpressionInfo, Builder) = {
     val checked: Builder = { args =>
       require(args.length == arity,
         s"$name expects $arity arguments, got ${args.length}")
       b(args)
     }
-    (FunctionIdentifier(name), new ExpressionInfo("graft", name), checked)
+    val info =
+      if (usage.isEmpty) new ExpressionInfo("graft", name)
+      else new ExpressionInfo("graft", null, name, usage, "")
+    (FunctionIdentifier(name), info, checked)
   }
 
   /** Every registrable kernel. A Seq (not Map): registration order is the
     * documentation order. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     // ---- tiling / spatial (geo/expressions.scala)
-    fn("cell_encode", 3) { case Seq(la, lo, r) => CellEncode(la, lo, r) },
-    fn("cell_encode_multi", 4) {
+    fn("cell_encode", 3,
+      "cell_encode(lat, lon, res) - quadkey grid cell id of the point at " +
+        "resolution res (0-14); id carries res in its top 6 bits.") {
+      case Seq(la, lo, r) => CellEncode(la, lo, r) },
+    fn("cell_encode_multi", 4,
+      "cell_encode_multi(lat, lon, minRes, maxRes) - array of quadkey cell " +
+        "ids at every resolution minRes..maxRes from one batched encode.") {
       case Seq(la, lo, mn, mx) => MultiResCells(la, lo, mn, mx) },
-    fn("cell_parent_at", 2) { case Seq(c, r) => CellParentAt(c, r) },
-    fn("cell_ring", 2) { case Seq(c, k) => CellRing(c, k) },
-    fn("haversine_m", 4) {
+    fn("cell_parent_at", 2,
+      "cell_parent_at(cell, toRes) - ancestor of a quadkey cell at the " +
+        "coarser resolution toRes (bit truncation).") {
+      case Seq(c, r) => CellParentAt(c, r) },
+    fn("cell_ring", 2,
+      "cell_ring(cell, k) - array of all quadkey cells within Chebyshev " +
+        "distance k ((2k+1)^2 cells; longitude wraps).") {
+      case Seq(c, k) => CellRing(c, k) },
+    fn("haversine_m", 4,
+      "haversine_m(lat1, lon1, lat2, lon2) - great-circle distance in " +
+        "meters.") {
       case Seq(a, b, c, d) => HaversineM(a, b, c, d) },
-    fn("point_in_poly", 4) {
+    fn("point_in_poly", 4,
+      "point_in_poly(lat, lon, lats, lons) - ray-casting containment of " +
+        "the point in the polygon given as parallel vertex arrays; a theta " +
+        "join on this predicate is rewritten to a covering-cell equi-join " +
+        "by the graft optimizer rules.") {
       case Seq(la, lo, las, los) => PointInPoly(la, lo, las, los) },
-    fn("poly_cover_cells", 3) {
+    fn("poly_cover_cells", 3,
+      "poly_cover_cells(lats, lons, res) - quadkey cells covering the " +
+        "polygon's bounding box (the broadcast prefilter index).") {
       case Seq(las, los, r) => PolyCoverCells(las, los, r, QuadkeyTiling) },
-    fn("s2_poly_cover_cells", 3) {
+    fn("s2_poly_cover_cells", 3,
+      "s2_poly_cover_cells(lats, lons, res) - S2-index covering cells of " +
+        "the polygon's bounding box.") {
       case Seq(las, los, r) => PolyCoverCells(las, los, r, S2Tiling) },
-    fn("hex_encode", 3) { case Seq(la, lo, r) => HexEncode(la, lo, r) },
-    fn("hex_ring", 2) { case Seq(c, k) => HexRing(c, k) },
-    fn("hex_parent_at", 2) { case Seq(c, r) => HexParentAt(c, r) },
-    fn("hex_parent_once", 1) { case Seq(c) => HexParentOnce(c) },
-    fn("hex_poly_cover_cells", 3) {
+    fn("hex_encode", 3,
+      "hex_encode(lat, lon, res) - pointy-top hexagonal (H3-style) cell id " +
+        "via fractional-axial + cube rounding.") {
+      case Seq(la, lo, r) => HexEncode(la, lo, r) },
+    fn("hex_ring", 2,
+      "hex_ring(cell, k) - array of all hex cells within hex distance k " +
+        "(1 + 3k(k+1) cells).") {
+      case Seq(c, k) => HexRing(c, k) },
+    fn("hex_parent_at", 2,
+      "hex_parent_at(cell, toRes) - H3-style center-rounded ancestor at " +
+        "the coarser resolution toRes.") {
+      case Seq(c, r) => HexParentAt(c, r) },
+    fn("hex_parent_once", 1,
+      "hex_parent_once(cell) - hex parent one resolution coarser " +
+        "(center-rounded, literal-free rollup key).") {
+      case Seq(c) => HexParentOnce(c) },
+    fn("hex_poly_cover_cells", 3,
+      "hex_poly_cover_cells(lats, lons, res) - hex-grid covering cells of " +
+        "the polygon's bounding box.") {
       case Seq(las, los, r) => PolyCoverCells(las, los, r, HexTiling) },
-    fn("s2_encode", 3) { case Seq(la, lo, l) => S2Encode(la, lo, l) },
-    fn("s2_level", 1) { case Seq(c) => S2Level(c) },
-    fn("s2_ring", 2) { case Seq(c, k) => S2Ring(c, k) },
-    fn("s2_parent_at", 2) { case Seq(c, l) => S2ParentAt(c, l) },
+    fn("s2_encode", 3,
+      "s2_encode(lat, lon, level) - S2-style cube-face Hilbert cell id at " +
+        "the given level.") {
+      case Seq(la, lo, l) => S2Encode(la, lo, l) },
+    fn("s2_level", 1,
+      "s2_level(id) - level of an S2 cell id (trailing-bit position).") {
+      case Seq(c) => S2Level(c) },
+    fn("s2_ring", 2,
+      "s2_ring(cell, k) - array of the S2 cells within Chebyshev distance " +
+        "k, crossing cube faces where needed.") {
+      case Seq(c, k) => S2Ring(c, k) },
+    fn("s2_parent_at", 2,
+      "s2_parent_at(id, level) - ancestor S2 cell at the coarser level " +
+        "(bit truncation).") {
+      case Seq(c, l) => S2ParentAt(c, l) },
     // ---- text / similarity kernels
-    fn("simhash32", 1) { case Seq(t) => SimHash32(t) },
-    fn("vec_dot", 2) { case Seq(a, b) => VecDot(a, b) },
+    fn("simhash32", 1,
+      "simhash32(hashes) - 32-bit SimHash of an array of 64-bit token " +
+        "hashes (bit-majority vote).") {
+      case Seq(t) => SimHash32(t) },
+    fn("vec_dot", 2,
+      "vec_dot(a, b) - dot product of two double arrays (the cosine/ANN " +
+        "kernel; strict IEEE-754 left-to-right accumulation).") {
+      case Seq(a, b) => VecDot(a, b) },
     // ---- multimodal (binary-column) kernels
-    fn("psnr_db", 2) { case Seq(a, b) => PsnrDb(a, b) },
-    fn("raster_stats", 1) { case Seq(b) => RasterStats(b) },
-    fn("raster_decode", 2) { case Seq(b, f) => RasterDecode(b, f) },
-    fn("raster_resize", 5) {
+    fn("psnr_db", 2,
+      "psnr_db(bytes_a, bytes_b) - peak signal-to-noise ratio in dB " +
+        "between two equal-length binary rasters (Infinity if identical).") {
+      case Seq(a, b) => PsnrDb(a, b) },
+    fn("raster_stats", 1,
+      "raster_stats(bytes) - struct(n_bytes, mean_px, min_px, max_px) of a " +
+        "decoded raster byte stream.") {
+      case Seq(b) => RasterStats(b) },
+    fn("raster_decode", 2,
+      "raster_decode(bytes, fmt) - decode a stored raster ('raw' " +
+        "passthrough, 'lossy' delta stream) to raw pixel bytes.") {
+      case Seq(b, f) => RasterDecode(b, f) },
+    fn("raster_resize", 5,
+      "raster_resize(bytes, w, h, outW, outH) - nearest-neighbor resize of " +
+        "a raw w*h*3 raster to outW*outH*3.") {
       case Seq(b, w, h, ow, oh) => RasterResize(b, w, h, ow, oh) },
-    fn("raster_crop", 7) {
+    fn("raster_crop", 7,
+      "raster_crop(bytes, w, h, x0, y0, cw, ch) - crop a raw w*h*3 raster " +
+        "to the cw*ch window at (x0, y0).") {
       case Seq(b, w, h, x0, y0, cw, ch) => RasterCrop(b, w, h, x0, y0, cw, ch) },
-    fn("synthetic_raster", 4) {
+    fn("synthetic_raster", 4,
+      "synthetic_raster(k, w, h, fmt) - deterministic seeded w*h*3 raster " +
+        "bytes for key k ('raw' or 'lossy' encoding).") {
       case Seq(k, w, h, f) => SyntheticRaster(k, w, h, f) },
-    fn("synthetic_video", 4) {
+    fn("synthetic_video", 4,
+      "synthetic_video(k, w, h, nFrames) - deterministic seeded video: " +
+        "nFrames concatenated w*h*3 frames.") {
       case Seq(k, w, h, n) => SyntheticVideo(k, w, h, n) },
-    fn("frame_sample", 3) {
+    fn("frame_sample", 3,
+      "frame_sample(video, frameBytes, stride) - array of every stride-th " +
+        "frame (as binary) from a concatenated-frames video blob.") {
       case Seq(v, fb, st) => FrameSample(v, fb, st) })
 
   /** Runtime registration on an existing session (idempotent:

@@ -136,6 +136,19 @@ class SqlFunctionsSpec extends SparkFunSuite {
     assert(df.exceptAll(want).isEmpty && want.exceptAll(df).isEmpty)
   }
 
+  test("every registered function self-documents via DESCRIBE FUNCTION") {
+    ready()
+    graft.plans.GraftFunctions.all.foreach { case (id, info, _) =>
+      assert(info.getUsage != null && info.getUsage.trim.nonEmpty,
+        s"${id.funcName} registered without a usage doc")
+      assert(info.getUsage.contains(id.funcName),
+        s"${id.funcName} usage does not show its own signature")
+    }
+    val desc = spark.sql("DESCRIBE FUNCTION cell_encode")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("quadkey"), s"usage not surfaced by DESCRIBE:\n$desc")
+  }
+
   test("arity errors carry the function name") {
     ready()
     val e = intercept[Exception](spark.sql("SELECT cell_encode(1.0D, 2.0D)"))
