@@ -329,6 +329,52 @@ object Queries {
          |FROM b LEFT JOIN a ON a.cell = b.cell""".stripMargin
     })
 
+  /** Co-located tile-profile join over the BUCKETED tile store
+    * ([[BucketStore]]): two per-cell aggregates of the corpus at res 8 are
+    * persisted as catalog tables bucketed+sorted by `cell` (the SCALE.md
+    * store layout), then equi-joined on `cell` — a join that plans with
+    * ZERO shuffle exchanges because both scans inherit the catalog's
+    * HashPartitioning (BucketStoreSpec pins the plan). ≙ the reference's
+    * same-key tree-stats joins (merge_distance&tree_exam.py:687-766),
+    * which at 100 TB should zip co-located buckets, not re-shuffle both
+    * corpora. The oracle is the direct two-aggregate join, so a hash match
+    * proves the write → catalog → bucketed-scan → join chain is lossless. */
+  private val qBucketJoin = Q(
+    "q_bucket_join",
+    (s, dir) => {
+      val imgs = TilePyramid.withCell(Images.images(s, dir), 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      BucketStore.write(
+        imgs.groupBy(col("cell"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum")),
+        "graft_bkt_counts", nBuckets = 8)
+      BucketStore.write(
+        imgs.groupBy(col("cell"))
+          .agg(min(col("phash")).as("phash_min"),
+            max(col("phash")).as("phash_max"),
+            sum(when(col("fmt") === "lossy", 1L).otherwise(0L)).as("n_lossy")),
+        "graft_bkt_profile", nBuckets = 8)
+      imgs.unpersist(blocking = false)
+      BucketStore.colocatedJoin(s, "graft_bkt_counts", "graft_bkt_profile")
+        .select("cell", "cnt", "bytes_sum", "phash_min", "phash_max", "n_lossy")
+    },
+    Some(
+      s"""$cte,
+         |t AS (SELECT ${cellSql(8)} AS cell, w, h, fmt, phash FROM images),
+         |a AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+         |  FROM t GROUP BY cell),
+         |b AS (
+         |  SELECT cell, min(phash) AS phash_min, max(phash) AS phash_max,
+         |    CAST(sum(CASE WHEN fmt = 'lossy' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_lossy
+         |  FROM t GROUP BY cell)
+         |SELECT a.cell, a.cnt, a.bytes_sum, b.phash_min, b.phash_max,
+         |  b.n_lossy
+         |FROM a JOIN b ON a.cell = b.cell""".stripMargin))
+
   /** DuckDB replay of [[PairMerge.matchGroup]]'s sequential greedy
     * matching, ending in CTE `l1` with the exact layer-1 schema. The
     * greedy walk unrolls into a FIXED chain of relational steps (group
@@ -713,7 +759,8 @@ object Queries {
     qMergeTree2,
     qResumeRes6,
     qTimeTravel,
-    qStatsTransfer) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
+    qStatsTransfer,
+    qBucketJoin) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -94,7 +94,23 @@ object PlanDump {
       ("k-means assignment stage (round 3)",
         "argmin over k broadcast centroid literals, fully codegen'd" +
           " map-only scan; each Lloyd iteration adds one k-row keyed agg",
-        graft.operators.KmeansAssign.assign(imgs, 4, 1)))
+        graft.operators.KmeansAssign.assign(imgs, 4, 1)),
+      ("Bucketed co-located join (round 3)",
+        "both scans inherit the catalog HashPartitioning (Bucketed: true," +
+          " one file per bucket) — sort-merge join with ZERO exchanges;" +
+          " the residual sorts are partition-local and move no bytes" +
+          " between executors",
+        {
+          val t = TilePyramid.withCell(imgs, 8)
+          graft.operators.BucketStore.write(
+            t.groupBy(col("cell")).agg(count(lit(1)).as("cnt")),
+            "plandump_bkt_counts", nBuckets = 8)
+          graft.operators.BucketStore.write(
+            t.groupBy(col("cell")).agg(max(col("phash")).as("phash_max")),
+            "plandump_bkt_profile", nBuckets = 8)
+          graft.operators.BucketStore.colocatedJoin(
+            spark, "plandump_bkt_counts", "plandump_bkt_profile")
+        }))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
