@@ -151,6 +151,56 @@ object Snapshot {
       .parquet(s"$root/tiles/snapshot_id=$snapshotId")
   }
 
+  /** Compact a committed version's data files in place (the Iceberg
+    * `rewrite_data_files` analog): each `res=` partition of
+    * `tiles/snapshot_id=<id>` is rewritten into ceil(bytes/targetBytes)
+    * files. Rows, schema, partition layout and the MANIFEST are unchanged —
+    * only the file count. Incremental writers (micro-batches, per-executor
+    * appends) fragment a version into many small files; at scale that
+    * multiplies scan tasks and listing cost, so compaction is the standing
+    * maintenance job. Returns the per-level file count after compaction.
+    *
+    * Each level is rewritten to a dot-prefixed scratch dir (invisible to
+    * Spark's file listing) and swapped in with two same-directory renames —
+    * atomic on a real filesystem; on an object store this maintenance slot
+    * must be scheduled around readers (true snapshot isolation needs
+    * manifest-level file tracking, out of scope for the plain-parquet
+    * layout). Idempotent: re-running compacts to the same layout. */
+  def compact(spark: SparkSession, root: String, snapshotId: String,
+              targetBytes: Long = 128L << 20): Map[Int, Int] = {
+    require(Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
+      s"snapshot '$snapshotId' is not committed under $root (no manifest)")
+    val base = Paths.get(s"$root/tiles/snapshot_id=$snapshotId")
+    import scala.jdk.CollectionConverters._
+    val resDirs = scala.util.Using.resource(Files.list(base)) { s =>
+      s.iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith("res=")).toSeq
+    }
+    resDirs.map { dir =>
+      val res = dir.getFileName.toString.stripPrefix("res=").toInt
+      val bytes = scala.util.Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+      }
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = base.resolve(s".compact-res=$res")
+      if (Files.exists(tmp)) deleteRecursively(tmp)
+      spark.read.parquet(dir.toString).coalesce(n)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val trash = base.resolve(s".old-res=$res")
+      if (Files.exists(trash)) deleteRecursively(trash)
+      Files.move(dir, trash)
+      Files.move(tmp, dir)
+      deleteRecursively(trash)
+      val filesAfter = scala.util.Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+      }
+      res -> filesAfter
+    }.toMap
+  }
+
   /** List (snapshot_id, build_ts) recorded under `root`, oldest first —
     * driver-side manifest scan (manifests are one tiny JSON each). */
   def snapshots(root: String): Seq[(String, Long)] = {

@@ -69,6 +69,37 @@ class SnapshotSpec extends SparkFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("snapshot_id=v1")))
   }
 
+  test("compaction rewrites a fragmented version to few files, losslessly") {
+    val root = Files.createTempDirectory("graft-snap-compact").toString
+    val tiles = TilePyramid.leafTiles(images, 8)
+    // fragment the version the way a micro-batch writer would
+    Snapshot.writeVersioned(tiles.repartition(16), root, "f1", buildTs = 1L)
+    Snapshot.writeVersioned(tiles, root, "f2", buildTs = 2L)
+    val before = canon(Snapshot.readAsOf(spark, root, "f1"))
+    def nFiles(id: String) = Snapshot.readAsOf(spark, root, id)
+      .select(input_file_name()).distinct().count()
+    val f2Files = Snapshot.readAsOf(spark, root, "f2")
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(nFiles("f1") == 16)
+
+    val counts = Snapshot.compact(spark, root, "f1")
+    assert(counts == Map(8 -> 1), s"expected one compacted file: $counts")
+    assert(nFiles("f1") == 1)
+    // lossless: same rows, manifest listing untouched, sibling untouched
+    assert(canon(Snapshot.readAsOf(spark, root, "f1")) == before)
+    assert(Snapshot.snapshots(root) == Seq("f1" -> 1L, "f2" -> 2L))
+    assert(Snapshot.readAsOf(spark, root, "f2")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+      .toSet == f2Files)
+    // idempotent
+    assert(Snapshot.compact(spark, root, "f1") == Map(8 -> 1))
+    assert(canon(Snapshot.readAsOf(spark, root, "f1")) == before)
+    // uncommitted ids are refused, like readAsOf
+    intercept[IllegalArgumentException] {
+      Snapshot.compact(spark, root, "nope")
+    }
+  }
+
   test("versioned commit point: half-commits are unreadable and retry-safe") {
     val root = Files.createTempDirectory("graft-snap-crash").toString
     val src = TilePyramid.leafTiles(images, 8)
