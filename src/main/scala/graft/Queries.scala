@@ -375,6 +375,44 @@ object Queries {
          |  b.n_lossy
          |FROM a JOIN b ON a.cell = b.cell""".stripMargin))
 
+  /** Z-curve layout facts ([[graft.geo.CellZValue]]): per-image Morton
+    * value of the res-12 cell, bucketed by the top z-range bits — the sort
+    * key a data-skipping write clusters by (ZOrderSpec proves the skipping
+    * itself: a bbox scan over a z-sorted layout reads a fraction of the
+    * row groups a round-robin layout reads). The oracle replays the
+    * bit-spreading exactly as a 5-step integer CTE chain, so a hash match
+    * proves the interleave kernel cross-engine. */
+  private val qZcurve = Q(
+    "q_zcurve",
+    (s, dir) => Images.images(s, dir)
+      .withColumn("z", graft.geo.functions.cell_zvalue(
+        graft.geo.functions.cell_encode(col("lat"), col("lon"), 12)))
+      .groupBy(shiftright(col("z"), 14).as("zbucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("z")).as("z_min"),
+        max(col("z")).as("z_max")),
+    Some {
+      val spread = Seq(
+        16 -> "281470681808895",      // 0x0000FFFF0000FFFF
+        8 -> "71777214294589695",     // 0x00FF00FF00FF00FF
+        4 -> "1085102592571150095",   // 0x0F0F0F0F0F0F0F0F
+        2 -> "3689348814741910323",   // 0x3333333333333333
+        1 -> "6148914691236517205")   // 0x5555555555555555
+      val steps = spread.zipWithIndex.map { case ((sh, mask), i) =>
+        s"""z${i + 1} AS (SELECT
+           |  ((x | (x << $sh)) & $mask) AS x,
+           |  ((y | (y << $sh)) & $mask) AS y FROM z$i)""".stripMargin
+      }.mkString(",\n")
+      s"""$cte,
+         |cells AS (SELECT ${cellSql(12)} AS cell FROM images),
+         |z0 AS (SELECT (cell & 4095) AS x, ((cell >> 12) & 4095) AS y
+         |       FROM cells),
+         |$steps,
+         |zz AS (SELECT (x | (y << 1)) AS z FROM z5)
+         |SELECT (z >> 14) AS zbucket, CAST(count(*) AS BIGINT) AS cnt,
+         |  min(z) AS z_min, max(z) AS z_max
+         |FROM zz GROUP BY 1""".stripMargin
+    })
+
   /** DuckDB replay of [[PairMerge.matchGroup]]'s sequential greedy
     * matching, ending in CTE `l1` with the exact layer-1 schema. The
     * greedy walk unrolls into a FIXED chain of relational steps (group
@@ -760,7 +798,8 @@ object Queries {
     qResumeRes6,
     qTimeTravel,
     qStatsTransfer,
-    qBucketJoin) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
+    qBucketJoin,
+    qZcurve) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

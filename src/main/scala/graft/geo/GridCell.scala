@@ -66,6 +66,28 @@ object GridCell {
   @inline def pack(res: Int, x: Long, y: Long): Long =
     (res.toLong << ResShift) | (y << res) | x
 
+  /** Morton (z-curve) value of a cell: its x and y indices bit-interleaved
+    * (x in even bits, y in odd), so a 1-D sort by the z-value clusters 2-D
+    * neighbors — the layout key for data-skipping writes (sorting files by
+    * z tightens per-row-group lat/lon min/max, letting parquet pushdown
+    * skip row groups for bbox filters). Pure integer bit ops, so the
+    * DuckDB oracle replays it exactly (same 5-step spread masks). */
+  def interleave(cell: Long): Long = {
+    val r = resOf(cell)
+    part1by1(cell & (dim(r) - 1L)) | (part1by1((cell >> r) & (dim(r) - 1L)) << 1)
+  }
+
+  /** Spread the low 32 bits of `v0` into the even bit positions (classic
+    * magic-mask bit spreading). */
+  @inline private def part1by1(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    (v | (v << 1)) & 0x5555555555555555L
+  }
+
   /** Immediate parent (one resolution coarser). Res-0 cells are their own
     * parent — callers stop the pyramid loop before that (SURVEY.md O4). */
   def parent(cell: Long): Long = {

@@ -56,6 +56,21 @@ case class CellParentAt(cell: Expression, toRes: Expression) extends BinaryExpre
   override def prettyName: String = "cell_parent_at"
 }
 
+/** `CELL_ZVALUE(cell) -> Long` Morton z-curve value of a cell (x/y indices
+  * bit-interleaved) — the 1-D layout key that preserves 2-D locality for
+  * data-skipping writes ([[GridCell.interleave]]). */
+case class CellZValue(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any =
+    GridCell.interleave(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geo.GridCell.interleave($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "cell_zvalue"
+}
+
 /** `CELL_RING(cell, k) -> Array[Long]` Chebyshev-k neighborhood (≙ H3 kRing;
   * the kNN candidate-gathering primitive, SURVEY.md J4). Array-producing, so
   * eval-based; the array is tiny (queries side, broadcast). */
@@ -352,6 +367,7 @@ object functions {
     cell_parent_at(cell, org.apache.spark.sql.functions.lit(toRes))
   def cell_ring(cell: Column, k: Column): Column =
     col(CellRing(expr(cell), expr(k)))
+  def cell_zvalue(cell: Column): Column = col(CellZValue(expr(cell)))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     col(HaversineM(expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
   def point_in_poly(lat: Column, lon: Column, lats: Column, lons: Column): Column =
@@ -388,6 +404,8 @@ object functions {
       es => CellParentAt(es(0), es(1)), "builtin")
     reg.createOrReplaceTempFunction("cell_ring",
       es => CellRing(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("cell_zvalue",
+      es => CellZValue(es(0)), "builtin")
     reg.createOrReplaceTempFunction("haversine_m",
       es => HaversineM(es(0), es(1), es(2), es(3)), "builtin")
     reg.createOrReplaceTempFunction("point_in_poly",

@@ -65,6 +65,11 @@ object GraftFunctions {
       "cell_ring(cell, k) - array of all quadkey cells within Chebyshev " +
         "distance k ((2k+1)^2 cells; longitude wraps).") {
       case Seq(c, k) => CellRing(c, k) },
+    fn("cell_zvalue", 1,
+      "cell_zvalue(cell) - Morton z-curve value of a quadkey cell (x/y " +
+        "bit-interleaved); the 1-D sort key that preserves 2-D locality " +
+        "for data-skipping layouts.") {
+      case Seq(c) => CellZValue(c) },
     fn("haversine_m", 4,
       "haversine_m(lat1, lon1, lat2, lon2) - great-circle distance in " +
         "meters.") {

@@ -26,6 +26,7 @@ class SqlFunctionsSpec extends SparkFunSuite {
         |  cell_parent_at(cell_encode(lat, lon, 12), 6) AS p6,
         |  cell_encode_multi(lat, lon, 10, 12) AS multi,
         |  size(cell_ring(cell_encode(lat, lon, 8), 1)) AS ring_n,
+        |  cell_zvalue(cell_encode(lat, lon, 12)) AS zv,
         |  hex_encode(lat, lon, 8) AS hx,
         |  hex_parent_at(hex_encode(lat, lon, 12), 6) AS hxp,
         |  hex_parent_once(hex_encode(lat, lon, 8)) AS hxp1,
@@ -43,6 +44,7 @@ class SqlFunctionsSpec extends SparkFunSuite {
       G.cell_encode_multi(col("lat"), col("lon"), 10, 12).as("multi"),
       size(G.cell_ring(G.cell_encode(col("lat"), col("lon"), 8), lit(1)))
         .as("ring_n"),
+      G.cell_zvalue(G.cell_encode(col("lat"), col("lon"), 12)).as("zv"),
       G.hex_encode(col("lat"), col("lon"), 8).as("hx"),
       G.hex_parent_at(G.hex_encode(col("lat"), col("lon"), 12), 6).as("hxp"),
       G.hex_parent_once(G.hex_encode(col("lat"), col("lon"), 8)).as("hxp1"),
