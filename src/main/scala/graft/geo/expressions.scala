@@ -62,6 +62,11 @@ case class CellParentAt(cell: Expression, toRes: Expression) extends BinaryExpre
 case class CellZValue(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cell_zvalue expects a bigint cell id, got ${child.dataType}")
   override protected def nullSafeEval(c: Any): Any =
     GridCell.interleave(c.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -41,25 +41,42 @@ object BucketStore {
   /** Persist `df` into the session catalog as a parquet table bucketed AND
     * sorted by `key` into `nBuckets` buckets (one file per bucket).
     *
-    * The write is self-healing against ORPHANED locations: a session-scoped
-    * (in-memory) catalog forgets its tables when the application exits but
-    * their managed directories survive, so a later CREATE of the same name
-    * fails with LOCATION_ALREADY_EXISTS. Drop + clear the default location
-    * first (through the Hadoop FS API, so the same code heals on an object
-    * store). */
+    * The rewrite is STAGED so the previous table survives a failed job:
+    * the data lands under `<table>__staging` first, and only after that
+    * write succeeds is the old table dropped and the staging table renamed
+    * into place (two metadata ops — a crash between them leaves the data
+    * safe under the staging name). Destroy-then-recreate would leave every
+    * downstream consumer with no table at all if the multi-hour 100 TB
+    * rewrite died midway.
+    *
+    * Both names are also self-healed against ORPHANED locations: a
+    * session-scoped (in-memory) catalog forgets its tables when the
+    * application exits but their managed directories survive, so a later
+    * CREATE fails with LOCATION_ALREADY_EXISTS. Drop + clear the default
+    * location first (through the Hadoop FS API, so the same code heals on
+    * an object store). */
   def write(df: DataFrame, table: String, nBuckets: Int,
             key: String = "cell"): Unit = {
     val spark = df.sparkSession
+    val staging = s"${table}__staging"
+    dropWithLocation(spark, staging)
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(staging)
+    dropWithLocation(spark, table) // old table outlived the whole rewrite
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
+  /** Drop `table` if registered AND clear its default managed location if a
+    * forgotten previous session left files there. */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.repartition(nBuckets, col(key))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, key).sortBy(key)
-      .saveAsTable(table)
   }
 
   /** Scan a bucketed table; the plan carries the catalog's bucket

@@ -161,43 +161,51 @@ object Snapshot {
     * maintenance job. Returns the per-level file count after compaction.
     *
     * Each level is rewritten to a dot-prefixed scratch dir (invisible to
-    * Spark's file listing) and swapped in with two same-directory renames —
-    * atomic on a real filesystem; on an object store this maintenance slot
-    * must be scheduled around readers (true snapshot isolation needs
-    * manifest-level file tracking, out of scope for the plain-parquet
-    * layout). Idempotent: re-running compacts to the same layout. */
+    * Spark's file listing) and swapped in with two same-directory renames.
+    * Each rename is atomic but the PAIR is not, so compaction first
+    * RECOVERS any half-swap a crashed run left behind: a `.old-res=<r>`
+    * dir with no live `res=<r>` sibling is the old level mid-swap — it is
+    * moved back before anything else, so a killed run never loses a
+    * committed level and a re-run heals it. Levels already at the target
+    * file count are skipped (a standing nightly job over an
+    * already-compact version does no IO). On an object store this
+    * maintenance slot must still be scheduled around readers (true
+    * snapshot isolation needs manifest-level file tracking, out of scope
+    * for the plain-parquet layout). */
   def compact(spark: SparkSession, root: String, snapshotId: String,
               targetBytes: Long = 128L << 20): Map[Int, Int] = {
     require(Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
       s"snapshot '$snapshotId' is not committed under $root (no manifest)")
     val base = Paths.get(s"$root/tiles/snapshot_id=$snapshotId")
     import scala.jdk.CollectionConverters._
-    val resDirs = scala.util.Using.resource(Files.list(base)) { s =>
-      s.iterator().asScala.filter(p =>
-        p.getFileName.toString.startsWith("res=")).toSeq
+    def ls(p: java.nio.file.Path, pred: String => Boolean) =
+      scala.util.Using.resource(Files.list(p)) { s =>
+        s.iterator().asScala.filter(q =>
+          pred(q.getFileName.toString)).toSeq
+      }
+    // crash recovery: restore levels a killed swap left in the trash dir
+    ls(base, _.startsWith(".old-res=")).foreach { trash =>
+      val live = base.resolve(trash.getFileName.toString.stripPrefix(".old-"))
+      if (!Files.exists(live)) Files.move(trash, live)
+      else deleteRecursively(trash) // swap had completed; drop the old copy
     }
-    resDirs.map { dir =>
+    ls(base, _.startsWith("res=")).map { dir =>
       val res = dir.getFileName.toString.stripPrefix("res=").toInt
-      val bytes = scala.util.Using.resource(Files.list(dir)) { s =>
-        s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(Files.size).sum
-      }
+      val parts = ls(dir, _.endsWith(".parquet"))
+      val bytes = parts.map(Files.size).sum
       val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val tmp = base.resolve(s".compact-res=$res")
-      if (Files.exists(tmp)) deleteRecursively(tmp)
-      spark.read.parquet(dir.toString).coalesce(n)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val trash = base.resolve(s".old-res=$res")
-      if (Files.exists(trash)) deleteRecursively(trash)
-      Files.move(dir, trash)
-      Files.move(tmp, dir)
-      deleteRecursively(trash)
-      val filesAfter = scala.util.Using.resource(Files.list(dir)) { s =>
-        s.iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet"))
+      if (parts.size <= n) res -> parts.size // already compact: no IO
+      else {
+        val tmp = base.resolve(s".compact-res=$res")
+        if (Files.exists(tmp)) deleteRecursively(tmp)
+        spark.read.parquet(dir.toString).coalesce(n)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val trash = base.resolve(s".old-res=$res")
+        Files.move(dir, trash)
+        Files.move(tmp, dir)
+        deleteRecursively(trash)
+        res -> ls(dir, _.endsWith(".parquet")).size
       }
-      res -> filesAfter
     }.toMap
   }
 

@@ -51,7 +51,7 @@ object GraftFunctions {
     // ---- tiling / spatial (geo/expressions.scala)
     fn("cell_encode", 3,
       "cell_encode(lat, lon, res) - quadkey grid cell id of the point at " +
-        "resolution res (0-14); id carries res in its top 6 bits.") {
+        "resolution res (0-16); id carries res in its top 6 bits.") {
       case Seq(la, lo, r) => CellEncode(la, lo, r) },
     fn("cell_encode_multi", 4,
       "cell_encode_multi(lat, lon, minRes, maxRes) - array of quadkey cell " +

@@ -100,17 +100,9 @@ object PlanDump {
           " one file per bucket) — sort-merge join with ZERO exchanges;" +
           " the residual sorts are partition-local and move no bytes" +
           " between executors",
-        {
-          val t = TilePyramid.withCell(imgs, 8)
-          graft.operators.BucketStore.write(
-            t.groupBy(col("cell")).agg(count(lit(1)).as("cnt")),
-            "plandump_bkt_counts", nBuckets = 8)
-          graft.operators.BucketStore.write(
-            t.groupBy(col("cell")).agg(max(col("phash")).as("phash_max")),
-            "plandump_bkt_profile", nBuckets = 8)
-          graft.operators.BucketStore.colocatedJoin(
-            spark, "plandump_bkt_counts", "plandump_bkt_profile")
-        }))
+        // the exact frame the verify suite hash-checks (writes its two
+        // bucketed tables as a side effect)
+        graft.Queries.queryMap("q_bucket_join")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"

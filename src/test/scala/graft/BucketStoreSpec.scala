@@ -59,6 +59,19 @@ class BucketStoreSpec extends SparkFunSuite {
     assert(joined.exceptAll(direct).isEmpty && direct.exceptAll(joined).isEmpty)
   }
 
+  test("a failed rewrite leaves the previous table intact (staged write)") {
+    tiles
+    val rowsBefore = BucketStore.table(spark, "bktspec_counts").count()
+    val poisoned = BucketStore.table(spark, "bktspec_counts")
+      .withColumn("cnt", expr("assert_true(cnt < 0, 'boom')"))
+    intercept[Exception] {
+      BucketStore.write(poisoned, "bktspec_counts", nBuckets = 4)
+    }
+    // old table survived the failed job; no staging table lingers
+    assert(BucketStore.table(spark, "bktspec_counts").count() == rowsBefore)
+    assert(!spark.catalog.tableExists("bktspec_counts__staging"))
+  }
+
   test("groupBy on the bucket key also plans without an exchange") {
     tiles
     val agg = BucketStore.table(spark, "bktspec_counts")

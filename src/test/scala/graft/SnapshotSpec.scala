@@ -91,7 +91,20 @@ class SnapshotSpec extends SparkFunSuite {
     assert(Snapshot.readAsOf(spark, root, "f2")
       .select(input_file_name()).distinct().collect().map(_.getString(0))
       .toSet == f2Files)
-    // idempotent
+    // idempotent AND io-free when already compact: the data files must be
+    // the very same ones (no rewrite, so no new file names)
+    val filesBefore = Snapshot.readAsOf(spark, root, "f1")
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(Snapshot.compact(spark, root, "f1") == Map(8 -> 1))
+    assert(Snapshot.readAsOf(spark, root, "f1")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+      .toSet == filesBefore)
+    // crash recovery: simulate a run killed between the two swap renames
+    // (level moved to trash, replacement never landed) — compact restores
+    // the level before doing anything else
+    val lvl = java.nio.file.Paths.get(s"$root/tiles/snapshot_id=f1/res=8")
+    val trash = lvl.resolveSibling(".old-res=8")
+    Files.move(lvl, trash)
     assert(Snapshot.compact(spark, root, "f1") == Map(8 -> 1))
     assert(canon(Snapshot.readAsOf(spark, root, "f1")) == before)
     // uncommitted ids are refused, like readAsOf
