@@ -169,14 +169,15 @@ object Ann {
     * Scale: the codebook is tiny (broadcast); assignment and probing are
     * map-only over broadcast centroids; the candidate join is an equi-join
     * on the cell id (shuffle-partitioned, AQE-splittable for hot cells). */
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-              nprobe: Int): DataFrame = {
-    val w = vecs(spark, dir)
-    // codebook via posexplode + (label, dim) groupBy: same arithmetic as
-    // the oracle's 64 explicit sums (CAST(s AS DOUBLE)/(cnt*1e6)) but the
-    // generated aggregate is 2 slots instead of 65 — the 64-column agg's
-    // janino compile alone cost ~4 s of the cold query
-    val cent = w.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+  /** IVF codebook frame `(acell, c: centroid vector, cn: self-dot)` —
+    * per-label integer-quantized means, bit-reproducible under any
+    * aggregation order. Built via posexplode + (label, dim) groupBy: same
+    * arithmetic as the oracle's 64 explicit sums
+    * (CAST(s AS DOUBLE)/(cnt*1e6)) but the generated aggregate is 2 slots
+    * instead of 65 — the 64-column agg's janino compile alone cost ~4 s of
+    * the cold query. */
+  def centroidFrame(w: DataFrame): DataFrame =
+    w.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg(count(lit(1)).as("cnt"),
         sum(expr("cast(floor(x * 1000000) as bigint)")).as("s"))
@@ -187,6 +188,21 @@ object Ann {
         .as("c"))
       .select(col("label").as("acell"), col("c"))
       .withColumn("cn", V.vec_dot(col("c"), col("c")))
+
+  /** Driver-side codebook for literal-argmin assignment (the form a
+    * STREAMING assigner needs — window ranks are illegal on a streaming
+    * frame): `(acell, centroid, self-dot)` ascending by acell. K rows —
+    * the same "centroids live on the driver" shape as
+    * [[graft.operators.KmeansAssign]]. */
+  def codebook(spark: SparkSession, dir: String): Seq[(Int, Seq[Double], Double)] =
+    centroidFrame(vecs(spark, dir)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+              nprobe: Int): DataFrame = {
+    val w = vecs(spark, dir)
+    val cent = centroidFrame(w)
     // squared euclidean to a centroid: nrm - 2*dot(v,c) + cn (one fold)
     def nearestCells(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val wnd = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("acell"))

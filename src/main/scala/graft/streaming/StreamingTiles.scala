@@ -49,6 +49,44 @@ object StreamingTiles {
       .agg(count(lit(1)).as("cnt"),
         sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
 
+  /** Schema of the embeddings table (matches the driver's
+    * embeddings.parquet). */
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming IVF bucket assignment — CONTINUOUS INDEXING of new
+    * embeddings (the online half of [[graft.similarity.Ann.ivfTopK]]'s
+    * inverted file): as embedding files land, each vector is assigned to
+    * its nearest codebook centroid, i.e. appended to its ANN bucket. The
+    * codebook is fit once on the static corpus ([[graft.similarity.Ann
+    * .codebook]]) and embedded as LITERALS — a window rank (the batch
+    * assigner's shape) is illegal on a streaming frame, so the argmin runs
+    * as a codegen'd expression over the k centroid literals, exactly the
+    * [[graft.operators.KmeansAssign]] device. Distances use the identical
+    * op order as the batch path (`nrm - 2·dot(v,c) + cn`), ties to the
+    * smallest acell (array_position = first occurrence), so stream and
+    * batch assignments agree bit-for-bit (StreamingSpec). Stateless
+    * map-only per micro-batch: exactly-once with any replayable sink, no
+    * state store, arbitrary restart. */
+  def ivfAssignStream(spark: SparkSession, dir: String,
+                      codebook: Seq[(Int, Seq[Double], Double)]): DataFrame = {
+    import graft.similarity.{functions => V}
+    val base = spark.readStream.schema(embeddingSchema).parquet(dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", V.vec_dot(col("v"), col("v")))
+    val dists = codebook.map { case (_, c, cn) =>
+      col("nrm") - lit(2.0) * V.vec_dot(col("v"), typedLit(c)) + lit(cn)
+    }
+    val idx = array_position(array(dists: _*), array_min(array(dists: _*)))
+    base
+      .withColumn("acell",
+        element_at(typedLit(codebook.map(_._1)), idx.cast("int")))
+      .select(col("vec_id"), col("acell"))
+  }
+
   /** Streaming EXACT DEDUP — the incremental form of the pipeline's
     * exact dedup (SURVEY §2 A7 / q_dedup_exact): as event files land,
     * emit each key's FIRST occurrence and drop the rest, with an

@@ -49,6 +49,42 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("streaming IVF assignment == batch 1-NN assignment, across a resume") {
+    val inDir = Files.createTempDirectory("graft-ivfs-in").toString
+    val ckpt = Files.createTempDirectory("graft-ivfs-ck").toString
+    val outDir = Files.createTempDirectory("graft-ivfs-out").toString
+    val cb = graft.similarity.Ann.codebook(spark, SparkSpec.Sf)
+    def run(): Unit = {
+      val q = StreamingTiles.ivfAssignStream(spark, inDir, cb)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val emb = spark.read.parquet(s"${SparkSpec.Sf}/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(inDir)
+    run()
+    emb.filter(col("vec_id") % 2 =!= 0).write.mode("append").parquet(inDir)
+    run()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("acell")).toMap
+    // independent batch recomputation: broadcast codebook FRAME + window
+    // argmin (the batch assigner's shape), not the stream's literal argmin
+    val w = graft.similarity.Ann.vecs(spark, SparkSpec.Sf)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cdist"), col("acell"))
+    val want = w
+      .crossJoin(broadcast(graft.similarity.Ann.centroidFrame(w)))
+      .withColumn("cdist", col("nrm") -
+        lit(2.0) * graft.similarity.functions.vec_dot(col("v"), col("c")) +
+        col("cn"))
+      .withColumn("r", row_number().over(wnd)).filter(col("r") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("acell")).toMap
+    assert(got.size == emb.count())
+    assert(got == want)
+  }
+
   test("streaming exact dedup == batch distinct keys, across a resume") {
     val inDir = Files.createTempDirectory("graft-dedup-in").toString
     val ckpt = Files.createTempDirectory("graft-dedup-ck").toString
