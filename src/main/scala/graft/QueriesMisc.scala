@@ -102,6 +102,145 @@ object QueriesMisc {
          |FROM px GROUP BY image_id""".stripMargin
     })
 
+  /** Oracle CTE chunk for the dHash queries: WITH RECURSIVE ... ending in
+    * `dh(image_id, dhash)` — the 56-bit difference hash of every image's
+    * STORED bytes, replayed fully relationally (the q_thumb_stats pixel
+    * machinery: splitmix64 chain, truth + lossy-delta variants, 8x8
+    * nearest-neighbor grid, gray = R+G+B, adjacent-compare bits summed as
+    * powers of two). With `dupSide` also `dhd(dup_id, dhash)` over the
+    * forced-lossy re-encode of the k%20=0 subset. */
+  private def dhashOracleCtes(dupSide: Boolean): String = {
+    val mixS = graft.multimodal.Raster.duckMixSql("s")
+    val nb = "CAST(((((7*h)//8)*w + (7*w)//8)*3 + 2) // 8 + 1 AS INTEGER)"
+    val v1Where =
+      if (dupSide) "WHERE fmt = 'lossy' OR k % 20 = 0" else "WHERE fmt = 'lossy'"
+    val dupCtes = if (!dupSide) "" else s""", grayd AS (
+      |  SELECT image_id, oy, ox,
+      |    SUM(least(255, greatest(0, truth + delta))) AS g
+      |  FROM px WHERE k % 20 = 0 GROUP BY 1, 2, 3
+      |), bitsd AS (
+      |  SELECT a.image_id, a.oy * 7 + a.ox AS j
+      |  FROM grayd a JOIN grayd b
+      |    ON b.image_id = a.image_id AND b.oy = a.oy AND b.ox = a.ox + 1
+      |  WHERE a.ox < 7 AND a.g > b.g
+      |), dhd AS (
+      |  SELECT concat(i.image_id, '_d') AS dup_id,
+      |    CAST(coalesce(SUM(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0)
+      |      AS BIGINT) AS dhash
+      |  FROM images i LEFT JOIN bitsd b ON b.image_id = i.image_id
+      |  WHERE i.k % 20 = 0 GROUP BY i.image_id
+      |)""".stripMargin
+    s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, seeds AS (
+       |  SELECT k, 0 AS variant, CAST(k AS UBIGINT) AS s0, $nb AS nb
+       |  FROM images
+       |  UNION ALL
+       |  SELECT k, 1, xor(CAST(k AS UBIGINT), CAST(25214903917 AS UBIGINT)),
+       |    $nb
+       |  FROM images $v1Where
+       |), chain AS (
+       |  SELECT k, variant, 0 AS m, s0 AS s, nb FROM seeds
+       |  UNION ALL
+       |  SELECT k, variant, m + 1, $mixS, nb FROM chain WHERE m <= nb
+       |), pos AS (
+       |  SELECT i.k, i.image_id, i.fmt, oy.r AS oy, ox.r AS ox,
+       |    ((oy.r * i.h // 8) * i.w + (ox.r * i.w // 8)) * 3 + c.r AS idx
+       |  FROM images i, range(0,8) oy(r), range(0,8) ox(r), range(0,3) c(r)
+       |), px AS (
+       |  SELECT p.k, p.image_id, p.fmt, p.oy, p.ox,
+       |    CAST((c0.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) AS truth,
+       |    CAST((c1.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) % 5 - 2 AS delta
+       |  FROM pos p
+       |  JOIN chain c0 ON c0.k = p.k AND c0.variant = 0 AND c0.m = p.idx // 8 + 2
+       |  LEFT JOIN chain c1 ON c1.k = p.k AND c1.variant = 1 AND c1.m = p.idx // 8 + 2
+       |), gray AS (
+       |  SELECT image_id, oy, ox,
+       |    SUM(CASE WHEN fmt = 'raw' THEN truth
+       |      ELSE least(255, greatest(0, truth + delta)) END) AS g
+       |  FROM px GROUP BY 1, 2, 3
+       |), bits AS (
+       |  SELECT a.image_id, a.oy * 7 + a.ox AS j
+       |  FROM gray a JOIN gray b
+       |    ON b.image_id = a.image_id AND b.oy = a.oy AND b.ox = a.ox + 1
+       |  WHERE a.ox < 7 AND a.g > b.g
+       |), dh AS (
+       |  SELECT i.image_id,
+       |    CAST(coalesce(SUM(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0)
+       |      AS BIGINT) AS dhash
+       |  FROM images i LEFT JOIN bits b ON b.image_id = i.image_id
+       |  GROUP BY i.image_id
+       |)$dupCtes""".stripMargin
+  }
+
+  /** REAL perceptual hash from pixels (the table's `phash` is synthesized
+    * metadata; this computes one): 56-bit dHash of every stored image via
+    * the codegen'd [[graft.multimodal.Raster.dhash]] kernel — 8x8
+    * nearest-neighbor gray grid, adjacent-compare bits. The oracle replays
+    * the ENTIRE pixel path relationally, so a hash match proves the
+    * perceptual-hash kernel bit-for-bit cross-engine. Map-only at any
+    * scale. */
+  private val qImageDhash = Q(
+    "q_image_dhash",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .select(col("image_id"),
+        M.dhash56(M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h")).as("dhash")),
+    Some(s"""${dhashOracleCtes(dupSide = false)}
+            |SELECT image_id, dhash FROM dh""".stripMargin))
+
+  /** IMAGE NEAR-DUP DETECTION — the image-modality dedup operator of a
+    * training-data pipeline: plant a perturbed re-encode (forced-lossy
+    * variant, same ground truth) of 5% of the corpus, then find each
+    * dup's original by dHash: 7 pigeonhole bands of 8 bits generate
+    * candidates as an EQUI-JOIN (hamming <= 6 can leave at most 6 bands
+    * differing, so one band must match — lossless, linear, AQE-splittable;
+    * the simhash device over the image hash), exact `bit_count(xor)`
+    * refine. Random 56-bit hashes collide within hamming 6 with
+    * probability ~3e-10, so the output is exactly the planted pairs the
+    * noise didn't push past the threshold — and the oracle replays hash +
+    * banding + refine, so the row set is deterministic, not statistical. */
+  private val qImageNeardup = Q(
+    "q_image_neardup",
+    (s, dir) => {
+      val bands = "transform(sequence(0, 6), " +
+        "b -> struct(b AS b, shiftright(dh, b * 8) & 255 AS v))"
+      val dh = Images.imagesWithBytes(s, dir)
+        .select(col("image_id"),
+          M.dhash56(M.raster_decode(col("bytes"), col("fmt")),
+            col("w"), col("h")).as("dh"))
+        .select(col("image_id"), col("dh").as("dhash"),
+          explode(expr(bands)).as("bd"))
+        .select(col("image_id"), col("dhash"),
+          col("bd.b").as("b"), col("bd.v").as("v"))
+      val dhd = Images.images(s, dir).filter(col("k") % 20 === 0)
+        .select(concat(col("image_id"), lit("_d")).as("dup_id"),
+          M.dhash56(
+            M.synthetic_raster(col("k"), col("w"), col("h"), lit("lossy")),
+            col("w"), col("h")).as("dh"))
+        .select(col("dup_id"), col("dh").as("ddhash"),
+          explode(expr(bands)).as("bd"))
+        .select(col("dup_id"), col("ddhash"),
+          col("bd.b").as("b"), col("bd.v").as("v"))
+      dhd.join(dh, Seq("b", "v"))
+        .withColumn("hamming",
+          expr("cast(bit_count(dhash ^ ddhash) as int)"))
+        .filter(col("hamming") <= 6)
+        .select(col("dup_id"), col("image_id").as("orig_id"), col("hamming"))
+        .distinct()
+    },
+    Some(s"""${dhashOracleCtes(dupSide = true)},
+            |aband AS (
+            |  SELECT image_id, dhash, b.r AS b, (dhash >> (b.r * 8)) & 255 AS v
+            |  FROM dh, range(0,7) b(r)
+            |), dband AS (
+            |  SELECT dup_id, dhash AS ddhash, b.r AS b,
+            |    (dhash >> (b.r * 8)) & 255 AS v
+            |  FROM dhd, range(0,7) b(r)
+            |)
+            |SELECT DISTINCT d.dup_id, a.image_id AS orig_id,
+            |  CAST(bit_count(xor(a.dhash, d.ddhash)) AS INTEGER) AS hamming
+            |FROM dband d JOIN aband a ON a.b = d.b AND a.v = d.v
+            |WHERE bit_count(xor(a.dhash, d.ddhash)) <= 6""".stripMargin))
+
   /** Video-modality pipeline: synthesize an 8-frame video blob per image,
     * sample every 2nd frame, run the per-frame stats kernel — the
     * frame-sampling step of a video-training pipeline over the same binary
@@ -340,6 +479,7 @@ object QueriesMisc {
 
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qFrameSample,
+    qImageDhash, qImageNeardup,
     qEventsWindow, qEventsSessions, qEventsJson,
     qSampleTopN, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)

@@ -144,6 +144,38 @@ object Raster {
     out.toArray
   }
 
+  /** 56-bit difference hash (dHash) of a decoded w*h*3 raster — the REAL
+    * perceptual-hash kernel (the table's `phash` column is synthesized
+    * metadata; this computes one from pixels): sample an 8x8 grid with
+    * the same nearest-neighbor arithmetic as [[resize]], gray = R+G+B
+    * (integer, no division — no rounding divergence), bit oy*7+ox set iff
+    * gray(ox) > gray(ox+1) in row oy. 7 comparisons x 8 rows = 56 bits,
+    * so the hash is a POSITIVE Long and replays exactly in ANSI BIGINT
+    * (bit 63 would wrap signed in both engines). Robust to small
+    * per-pixel noise by construction — the image near-dup key. */
+  def dhash(bytes: Array[Byte], w: Int, h: Int): Long = {
+    val g = new Array[Int](8)
+    var hash = 0L
+    var oy = 0
+    while (oy < 8) {
+      val sy = oy * h / 8
+      var ox = 0
+      while (ox < 8) {
+        val base = (sy * w + ox * w / 8) * 3
+        g(ox) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+          (bytes(base + 2) & 0xff)
+        ox += 1
+      }
+      ox = 0
+      while (ox < 7) {
+        if (g(ox) > g(ox + 1)) hash |= 1L << (oy * 7 + ox)
+        ox += 1
+      }
+      oy += 1
+    }
+    hash
+  }
+
   def resize(bytes: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
     val out = new Array[Byte](ow * oh * 3)
     var oy = 0

@@ -163,9 +163,29 @@ case class FrameSample(video: Expression, frameBytes: Expression,
   override def prettyName: String = "frame_sample"
 }
 
+/** `DHASH56(bytes, w, h) -> Long` 56-bit perceptual difference hash of a
+  * decoded raster ([[Raster.dhash]] — the image near-dup key). */
+case class DHash56(bytes: Expression, w: Expression, h: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = bytes
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, ww: Any, hh: Any): Any =
+    Raster.dhash(b.asInstanceOf[Array[Byte]],
+      ww.asInstanceOf[Int], hh.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "dhash56"
+}
+
 object functions {
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  def dhash56(bytes: Column, w: Column, h: Column): Column =
+    col(DHash56(expr(bytes), expr(w), expr(h)))
 
   def synthetic_video(k: Column, w: Column, h: Column, nFrames: Column): Column =
     col(SyntheticVideo(expr(k), expr(w), expr(h), expr(nFrames)))

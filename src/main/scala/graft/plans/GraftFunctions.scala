@@ -161,6 +161,11 @@ object GraftFunctions {
       "synthetic_video(k, w, h, nFrames) - deterministic seeded video: " +
         "nFrames concatenated w*h*3 frames.") {
       case Seq(k, w, h, n) => SyntheticVideo(k, w, h, n) },
+    fn("dhash56", 3,
+      "dhash56(bytes, w, h) - 56-bit perceptual difference hash of a " +
+        "decoded w*h*3 raster (8x8 gray grid, adjacent-compare bits); " +
+        "the image near-dup key.") {
+      case Seq(b, w, h) => DHash56(b, w, h) },
     fn("frame_sample", 3,
       "frame_sample(video, frameBytes, stride) - array of every stride-th " +
         "frame (as binary) from a concatenated-frames video blob.") {

@@ -51,6 +51,33 @@ class RasterSpec extends AnyFunSuite {
     assert(PhashCentroid.centroidOf(bits4) == 0L)
   }
 
+  test("dhash: 56-bit range, determinism, noise robustness, sensitivity") {
+    val ks = (1L to 64L).map(_ * 97 + 13)
+    val hashes = ks.map { k =>
+      val (w, h) = (12, 10)
+      val dRaw = Raster.dhash(Raster.storedBytes(k, w, h, "raw"), w, h)
+      val dLossy = Raster.dhash(Raster.storedBytes(k, w, h, "lossy"), w, h)
+      // 56-bit: always a non-negative long below 2^56
+      assert(dRaw >= 0 && dRaw < (1L << 56))
+      // deterministic
+      assert(dRaw == Raster.dhash(Raster.storedBytes(k, w, h, "raw"), w, h))
+      (dRaw, dLossy)
+    }
+    // lossy re-encode stays NEAR its truth: mean hamming well under the
+    // ~28 expected of unrelated hashes (the ±2 noise flips only the
+    // comparisons whose gray margin is small)
+    val noise = hashes.map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+    assert(noise.sum.toDouble / noise.length < 12.0,
+      s"noise hamming too high: ${noise.sum.toDouble / noise.length}")
+    // unrelated images are FAR apart: min pairwise hamming of distinct
+    // keys stays above the near-dup threshold
+    val raws = hashes.map(_._1)
+    val minPair = (for {
+      i <- raws.indices; j <- raws.indices if i < j
+    } yield java.lang.Long.bitCount(raws(i) ^ raws(j))).min
+    assert(minPair > 6, s"unrelated hashes too close: $minPair")
+  }
+
   test("video frame sampling: length, stride slices, distinct frames") {
     import graft.multimodal.Raster
     val fb = 8 * 6 * 3
