@@ -95,6 +95,11 @@ object PlanDump {
         "argmin over k broadcast centroid literals, fully codegen'd" +
           " map-only scan; each Lloyd iteration adds one k-row keyed agg",
         graft.operators.KmeansAssign.assign(imgs, 4, 1)),
+      ("Image near-dup banded join (round 3)",
+        "both sides map-only dHash kernels + band posexplode, candidates" +
+          " from an 8-bit-band equi-join (lossless for hamming <= 6)," +
+          " exact bit_count refine — linear, never an all-pairs loop",
+        graft.Queries.queryMap("q_image_neardup")(spark, dir)),
       ("Bucketed co-located join (round 3)",
         "both scans inherit the catalog HashPartitioning (Bucketed: true," +
           " one file per bucket) — sort-merge join with ZERO exchanges;" +
