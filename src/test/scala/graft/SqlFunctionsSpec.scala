@@ -72,6 +72,7 @@ class SqlFunctionsSpec extends SparkFunSuite {
         |    synthetic_raster(k, w, h, 'raw'), w, h, 1, 1, 4, 4)).n_bytes AS cb,
         |  psnr_db(synthetic_raster(k, w, h, fmt),
         |          synthetic_raster(k, w, h, 'raw')) AS ps,
+        |  dhash56(synthetic_raster(k, w, h, 'raw'), w, h) AS dh,
         |  length(synthetic_video(k, w, h, 4)) AS vl,
         |  size(frame_sample(synthetic_video(k, w, h, 4), w * h * 3, 2)) AS fs
         |FROM sqlfn_imgs""".stripMargin)
@@ -96,6 +97,8 @@ class SqlFunctionsSpec extends SparkFunSuite {
       M.psnr_db(
         M.synthetic_raster(col("k"), col("w"), col("h"), col("fmt")),
         M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw"))).as("ps"),
+      M.dhash56(M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")),
+        col("w"), col("h")).as("dh"),
       length(M.synthetic_video(col("k"), col("w"), col("h"), lit(4))).as("vl"),
       size(M.frame_sample(M.synthetic_video(col("k"), col("w"), col("h"), lit(4)),
         col("w") * col("h") * lit(3), lit(2))).as("fs"))
