@@ -67,40 +67,52 @@ object QueriesMisc {
       .withColumn("st", M.raster_stats(col("thumb")))
       .select(col("image_id"), col("st.n_bytes").as("n_bytes"),
         col("st.mean_px").as("mean_px")),
-    Some {
-      val mixS = graft.multimodal.Raster.duckMixSql("s")
-      // nb = highest seed-block index any sampled position touches, +1:
-      // max idx = ((3h/4)*w + 3w/4)*3 + 2 (integer div), block = idx/8;
-      // chain row m holds mix^m(seed), block j reads m = j + 2.
-      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, seeds AS (
-         |  SELECT k, 0 AS variant, CAST(k AS UBIGINT) AS s0,
-         |    CAST(((((3*h)//4)*w + (3*w)//4)*3 + 2) // 8 + 1 AS INTEGER) AS nb
-         |  FROM images
-         |  UNION ALL
-         |  SELECT k, 1, xor(CAST(k AS UBIGINT), CAST(25214903917 AS UBIGINT)),
-         |    CAST(((((3*h)//4)*w + (3*w)//4)*3 + 2) // 8 + 1 AS INTEGER)
-         |  FROM images WHERE fmt = 'lossy'
-         |), chain AS (
-         |  SELECT k, variant, 0 AS m, s0 AS s, nb FROM seeds
-         |  UNION ALL
-         |  SELECT k, variant, m + 1, $mixS, nb FROM chain WHERE m <= nb
-         |), pos AS (
-         |  SELECT i.k, i.image_id, i.fmt,
-         |    ((oy.r * i.h // 4) * i.w + (ox.r * i.w // 4)) * 3 + c.r AS idx
-         |  FROM images i, range(0,4) oy(r), range(0,4) ox(r), range(0,3) c(r)
-         |), px AS (
-         |  SELECT p.image_id, p.fmt,
-         |    CAST((c0.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) AS truth,
-         |    CAST((c1.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) % 5 - 2 AS delta
-         |  FROM pos p
-         |  JOIN chain c0 ON c0.k = p.k AND c0.variant = 0 AND c0.m = p.idx // 8 + 2
-         |  LEFT JOIN chain c1 ON c1.k = p.k AND c1.variant = 1 AND c1.m = p.idx // 8 + 2
-         |)
+    Some(
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}
          |SELECT image_id, CAST(48 AS INTEGER) AS n_bytes,
          |  CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
          |    ELSE least(255, greatest(0, truth + delta)) END) AS DOUBLE) / 48 AS mean_px
-         |FROM px GROUP BY image_id""".stripMargin
-    })
+         |FROM px GROUP BY image_id""".stripMargin))
+
+  /** SHARED oracle pixel machinery (q_thumb_stats + the dHash queries):
+    * `WITH RECURSIVE ... seeds/chain/pos/px` — a recursive CTE advances the
+    * per-image splitmix64 seed chain ([[graft.multimodal.Raster.duckMixSql]]
+    * — 32-bit-limb wrapping multiplies in HUGEINT; variant 0 = truth bytes,
+    * variant 1 = the lossy noise stream, materialized only for `v1Where`
+    * rows), then `pos`/`px` sample the grid x grid nearest-neighbor
+    * positions (x3 channels) and expose each as (truth, delta). nb = the
+    * highest seed-block index any sampled position touches, +1: max idx =
+    * (((g-1)h/g)*w + (g-1)w/g)*3 + 2 (integer div), block = idx/8; chain
+    * row m holds mix^m(seed), block j reads m = j + 2. */
+  private def pixelChainCtes(grid: Int, v1Where: String): String = {
+    val mixS = graft.multimodal.Raster.duckMixSql("s")
+    val g1 = grid - 1
+    val nb = s"CAST((((($g1*h)//$grid)*w + ($g1*w)//$grid)*3 + 2) // 8 + 1" +
+      " AS INTEGER)"
+    s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, seeds AS (
+       |  SELECT k, 0 AS variant, CAST(k AS UBIGINT) AS s0, $nb AS nb
+       |  FROM images
+       |  UNION ALL
+       |  SELECT k, 1, xor(CAST(k AS UBIGINT), CAST(25214903917 AS UBIGINT)),
+       |    $nb
+       |  FROM images $v1Where
+       |), chain AS (
+       |  SELECT k, variant, 0 AS m, s0 AS s, nb FROM seeds
+       |  UNION ALL
+       |  SELECT k, variant, m + 1, $mixS, nb FROM chain WHERE m <= nb
+       |), pos AS (
+       |  SELECT i.k, i.image_id, i.fmt, oy.r AS oy, ox.r AS ox,
+       |    ((oy.r * i.h // $grid) * i.w + (ox.r * i.w // $grid)) * 3 + c.r AS idx
+       |  FROM images i, range(0,$grid) oy(r), range(0,$grid) ox(r), range(0,3) c(r)
+       |), px AS (
+       |  SELECT p.k, p.image_id, p.fmt, p.oy, p.ox,
+       |    CAST((c0.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) AS truth,
+       |    CAST((c1.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) % 5 - 2 AS delta
+       |  FROM pos p
+       |  JOIN chain c0 ON c0.k = p.k AND c0.variant = 0 AND c0.m = p.idx // 8 + 2
+       |  LEFT JOIN chain c1 ON c1.k = p.k AND c1.variant = 1 AND c1.m = p.idx // 8 + 2
+       |)""".stripMargin
+  }
 
   /** Oracle CTE chunk for the dHash queries: WITH RECURSIVE ... ending in
     * `dh(image_id, dhash)` — the 56-bit difference hash of every image's
@@ -110,8 +122,6 @@ object QueriesMisc {
     * powers of two). With `dupSide` also `dhd(dup_id, dhash)` over the
     * forced-lossy re-encode of the k%20=0 subset. */
   private def dhashOracleCtes(dupSide: Boolean): String = {
-    val mixS = graft.multimodal.Raster.duckMixSql("s")
-    val nb = "CAST(((((7*h)//8)*w + (7*w)//8)*3 + 2) // 8 + 1 AS INTEGER)"
     val v1Where =
       if (dupSide) "WHERE fmt = 'lossy' OR k % 20 = 0" else "WHERE fmt = 'lossy'"
     val dupCtes = if (!dupSide) "" else s""", grayd AS (
@@ -130,29 +140,7 @@ object QueriesMisc {
       |  FROM images i LEFT JOIN bitsd b ON b.image_id = i.image_id
       |  WHERE i.k % 20 = 0 GROUP BY i.image_id
       |)""".stripMargin
-    s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, seeds AS (
-       |  SELECT k, 0 AS variant, CAST(k AS UBIGINT) AS s0, $nb AS nb
-       |  FROM images
-       |  UNION ALL
-       |  SELECT k, 1, xor(CAST(k AS UBIGINT), CAST(25214903917 AS UBIGINT)),
-       |    $nb
-       |  FROM images $v1Where
-       |), chain AS (
-       |  SELECT k, variant, 0 AS m, s0 AS s, nb FROM seeds
-       |  UNION ALL
-       |  SELECT k, variant, m + 1, $mixS, nb FROM chain WHERE m <= nb
-       |), pos AS (
-       |  SELECT i.k, i.image_id, i.fmt, oy.r AS oy, ox.r AS ox,
-       |    ((oy.r * i.h // 8) * i.w + (ox.r * i.w // 8)) * 3 + c.r AS idx
-       |  FROM images i, range(0,8) oy(r), range(0,8) ox(r), range(0,3) c(r)
-       |), px AS (
-       |  SELECT p.k, p.image_id, p.fmt, p.oy, p.ox,
-       |    CAST((c0.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) AS truth,
-       |    CAST((c1.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) % 5 - 2 AS delta
-       |  FROM pos p
-       |  JOIN chain c0 ON c0.k = p.k AND c0.variant = 0 AND c0.m = p.idx // 8 + 2
-       |  LEFT JOIN chain c1 ON c1.k = p.k AND c1.variant = 1 AND c1.m = p.idx // 8 + 2
-       |), gray AS (
+    s"""${pixelChainCtes(grid = 8, v1Where = v1Where)}, gray AS (
        |  SELECT image_id, oy, ox,
        |    SUM(CASE WHEN fmt = 'raw' THEN truth
        |      ELSE least(255, greatest(0, truth + delta)) END) AS g
@@ -203,19 +191,25 @@ object QueriesMisc {
     (s, dir) => {
       val bands = "transform(sequence(0, 6), " +
         "b -> struct(b AS b, shiftright(dh, b * 8) & 255 AS v))"
+      // coalesce(-, 0): dhash56 never returns null here, but marking the
+      // column NON-NULLABLE stops InferFiltersFromConstraints from pushing
+      // an isnotnull(dhash56(...)) filter below the dedup aggregates on
+      // both join inputs — which would evaluate the query's dominant
+      // kernel (raster synthesis + hash) TWICE per image (caught in the
+      // PLANS.md audit); PlanSpec pins the single evaluation.
       val dh = Images.imagesWithBytes(s, dir)
         .select(col("image_id"),
-          M.dhash56(M.raster_decode(col("bytes"), col("fmt")),
-            col("w"), col("h")).as("dh"))
+          coalesce(M.dhash56(M.raster_decode(col("bytes"), col("fmt")),
+            col("w"), col("h")), lit(0L)).as("dh"))
         .select(col("image_id"), col("dh").as("dhash"),
           explode(expr(bands)).as("bd"))
         .select(col("image_id"), col("dhash"),
           col("bd.b").as("b"), col("bd.v").as("v"))
       val dhd = Images.images(s, dir).filter(col("k") % 20 === 0)
         .select(concat(col("image_id"), lit("_d")).as("dup_id"),
-          M.dhash56(
+          coalesce(M.dhash56(
             M.synthetic_raster(col("k"), col("w"), col("h"), lit("lossy")),
-            col("w"), col("h")).as("dh"))
+            col("w"), col("h")), lit(0L)).as("dh"))
         .select(col("dup_id"), col("dh").as("ddhash"),
           explode(expr(bands)).as("bd"))
         .select(col("dup_id"), col("ddhash"),

@@ -157,18 +157,6 @@ object Ann {
 
   // ------------------------------------------------------------- IVF ANN
 
-  /** IVF (inverted-file) top-k: a coarse quantizer of exact per-label
-    * centroids (integer-quantized means — order-free, so the codebook is
-    * bit-reproducible under any aggregation order), each vector assigned
-    * to its nearest centroid cell, queries probing their `nprobe` nearest
-    * cells, exact cosine refine within the probed cells. The DIRECT graft
-    * of the reference's kmeans retrieval (kmeans_retriever.py:76-124: top
-    * clusters -> cluster members -> brute refine) — the cluster-prefilter
-    * complement to the hyperplane [[lshTopK]].
-    *
-    * Scale: the codebook is tiny (broadcast); assignment and probing are
-    * map-only over broadcast centroids; the candidate join is an equi-join
-    * on the cell id (shuffle-partitioned, AQE-splittable for hot cells). */
   /** IVF codebook frame `(acell, c: centroid vector, cn: self-dot)` —
     * per-label integer-quantized means, bit-reproducible under any
     * aggregation order. Built via posexplode + (label, dim) groupBy: same
@@ -199,6 +187,18 @@ object Ann {
       .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
 
+  /** IVF (inverted-file) top-k: a coarse quantizer of exact per-label
+    * centroids (integer-quantized means — order-free, so the codebook is
+    * bit-reproducible under any aggregation order), each vector assigned
+    * to its nearest centroid cell, queries probing their `nprobe` nearest
+    * cells, exact cosine refine within the probed cells. The DIRECT graft
+    * of the reference's kmeans retrieval (kmeans_retriever.py:76-124: top
+    * clusters -> cluster members -> brute refine) — the cluster-prefilter
+    * complement to the hyperplane [[lshTopK]].
+    *
+    * Scale: the codebook is tiny (broadcast); assignment and probing are
+    * map-only over broadcast centroids; the candidate join is an equi-join
+    * on the cell id (shuffle-partitioned, AQE-splittable for hot cells). */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
               nprobe: Int): DataFrame = {
     val w = vecs(spark, dir)

@@ -71,8 +71,11 @@ object StreamingTiles {
     * map-only per micro-batch: exactly-once with any replayable sink, no
     * state store, arbitrary restart. */
   def ivfAssignStream(spark: SparkSession, dir: String,
-                      codebook: Seq[(Int, Seq[Double], Double)]): DataFrame = {
+                      codebook0: Seq[(Int, Seq[Double], Double)]): DataFrame = {
     import graft.similarity.{functions => V}
+    // the tie-break contract (smallest acell wins) is positional in the
+    // literal array — sort here so a caller-built codebook can't break it
+    val codebook = codebook0.sortBy(_._1)
     val base = spark.readStream.schema(embeddingSchema).parquet(dir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
