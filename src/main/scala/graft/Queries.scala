@@ -230,20 +230,25 @@ object Queries {
     * under /tmp is a leak — so each new build deletes the previous
     * invocation's root (the driver contract consumes each query's result
     * before building the next), and a shutdown hook removes the last. */
-  private object TtRoots {
+  /** Per-query scratch snapshot root: each fresh() drops the previous run's
+    * directory (bench loops would otherwise accumulate), and a shutdown
+    * hook GCs the last one. */
+  private final class ScratchRoots(prefix: String) {
     private var last: Option[java.nio.file.Path] = None
     private def drop(p: java.nio.file.Path): Unit =
       try operators.Snapshot.deleteRecursively(p)
       catch { case _: java.io.IOException => () } // best-effort scratch GC
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      TtRoots.synchronized { last.foreach(drop) }))
+      this.synchronized { last.foreach(drop) }))
     def fresh(): String = synchronized {
       last.foreach(drop)
-      val p = java.nio.file.Files.createTempDirectory("graft-tt")
+      val p = java.nio.file.Files.createTempDirectory(prefix)
       last = Some(p)
       p.toString
     }
   }
+  private val TtRoots = new ScratchRoots("graft-tt")
+  private val DmRoots = new ScratchRoots("graft-dm")
 
   private val qTimeTravel = Q(
     "q_time_travel", {
@@ -328,6 +333,40 @@ object Queries {
          |SELECT b.cell, b.cnt, b.bytes_sum, coalesce(a.c, 0) AS hot_cnt
          |FROM b LEFT JOIN a ON a.cell = b.cell""".stripMargin
     })
+
+  /** Incremental delta-merge ([[Snapshot.mergeDelta]]): snapshot a pyramid
+    * of the md5-parity-0 half, fold the parity-1 half in as a DELTA —
+    * recomputing only the branches the delta touches, untouched tiles pass
+    * through from the snapshot — and emit the merged res-6 level. The
+    * oracle is the DIRECT res-6 groupBy over the FULL corpus, so a hash
+    * match proves merged == from-scratch rebuild: the incremental path is
+    * exact, not approximate (a parity split touches most branches at this
+    * tiny scale; the cost model is |delta| x levels, not corpus size). */
+  private val qDeltaMerge = Q(
+    "q_delta_merge", {
+      val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
+      (s, dir) => {
+        val root = DmRoots.fresh()
+        val imgs = Images.images(s, dir)
+        val (pyr, _) = TilePyramid.build(imgs.filter(expr(h) === 0), 5, 8)
+        Snapshot.write(pyr, root, snapshotId = "base", buildTs = 1L)
+        Snapshot.mergeDelta(s, root, imgs.filter(expr(h) === 1),
+          leafRes = 8, minRes = 5)
+          .filter(col("res") === 6)
+          .select("cell", "cnt", "bytes_sum", "lat_min", "lat_max",
+            "lon_min", "lon_max", "phash_centroid")
+      }
+    },
+    Some(
+      s"""$cte
+         |SELECT cell,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum,
+         |  min(lat) AS lat_min, max(lat) AS lat_max,
+         |  min(lon) AS lon_min, max(lon) AS lon_max,
+         |  ${PhashCentroid.oracleCentroidSql("phash")} AS phash_centroid
+         |FROM (SELECT ${cellSql(6)} AS cell, * FROM images) t
+         |GROUP BY cell""".stripMargin))
 
   /** Co-located tile-profile join over the BUCKETED tile store
     * ([[BucketStore]]): two per-cell aggregates of the corpus at res 8 are
@@ -799,7 +838,8 @@ object Queries {
     qTimeTravel,
     qStatsTransfer,
     qBucketJoin,
-    qZcurve) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
+    qZcurve,
+    qDeltaMerge) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -258,6 +258,62 @@ object Snapshot {
     all
   }
 
+  /** INCREMENTAL pyramid maintenance — fold a DELTA corpus into an
+    * existing snapshot WITHOUT a full rebuild (the batch counterpart of
+    * the streaming maintenance, and the nightly-delta story at 100 TB:
+    * re-aggregating the whole corpus for a 0.1% addition is the failure
+    * mode). Additions only; every tile summary is a monotone combiner
+    * (sums, bbox min/max, phash bit counts), so:
+    *
+    *  1. delta leaf tiles — ONE scan of the delta corpus;
+    *  2. touched leaf cells = the delta's cells; combined leaf level =
+    *     untouched old rows (anti-join) ∪ combine(old ∩ touched ⊎ delta)
+    *     ([[TilePyramid.combineByCell]]);
+    *  3. per level upward: touched parents = parent(touched); recompute
+    *     ONLY them, from the new child level (the parent-key semi-join
+    *     pulls in untouched SIBLINGS, so each recomputed parent sees all
+    *     its children); untouched parents pass through from the snapshot.
+    *
+    * Work scales with |delta| + |touched branches| (bounded by |delta| x
+    * levels), never with corpus size; the touched-cell frames shrink 4x
+    * per level. Equality with a from-scratch rebuild of the full corpus
+    * is oracle-proven (q_delta_merge) and spec-pinned across every level
+    * (SnapshotSpec). Returns the merged pyramid `minRes..leafRes`. */
+  def mergeDelta(spark: SparkSession, root: String, delta: DataFrame,
+                 leafRes: Int, minRes: Int,
+                 strategy: graft.geo.TilingStrategy = graft.geo.QuadkeyTiling)
+      : DataFrame = {
+    val old = read(spark, root).drop(LineageCols: _*)
+    val cols = old.columns.map(col).toIndexedSeq
+    val dLeaf = TilePyramid.leafTiles(delta, leafRes, strategy)
+    val touchedLeaf = dLeaf.select(col("cell")).distinct()
+    val oldLeaf = old.filter(col("res") === leafRes)
+    val combined = TilePyramid.combineByCell(
+      oldLeaf.join(touchedLeaf, Seq("cell"), "left_semi")
+        .unionByName(dLeaf), strategy)
+    var newLevel = oldLeaf.join(touchedLeaf, Seq("cell"), "left_anti")
+      .unionByName(combined.select(cols: _*))
+    var all = newLevel
+    var touched = touchedLeaf
+    var r = leafRes
+    while (r > minRes) {
+      val touchedParents = touched
+        .select(strategy.parentOnceCol(col("cell")).as("cell")).distinct()
+      val children = newLevel
+        .withColumn("p", strategy.parentOnceCol(col("cell")))
+        .join(touchedParents.select(col("cell").as("p")), Seq("p"), "left_semi")
+        .drop("p")
+      val recomputed = TilePyramid.rollupOnce(children, strategy)
+      newLevel = old.filter(col("res") === r - 1)
+        .join(touchedParents, Seq("cell"), "left_anti")
+        .unionByName(recomputed.select(cols: _*))
+      all = all.unionByName(newLevel)
+      touched = touchedParents
+      r -= 1
+    }
+    all
+  }
+
   /** Stats transfer between snapshots (≙ `update_kmean_with_index`,
     * raptor/merge_distance&tree_exam.py:687-766 — compute index counts on
     * one tree, write them into another, save): per-cell stats of `srcRoot`

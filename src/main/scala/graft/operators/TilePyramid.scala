@@ -89,6 +89,26 @@ object TilePyramid {
         .withColumn("res", strategy.resCol(col("cell"))))
   }
 
+  /** Combine tile rows sharing the SAME cell — the delta-merge combiner:
+    * identical aggregate algebra to [[rollupOnce]] (every tile summary is
+    * a monotone combiner: sums, min/max bbox, phash bit counts) but keyed
+    * by the cell itself, so an old tile row and a delta tile row for one
+    * cell fold into the tile a from-scratch build would produce. */
+  def combineByCell(tiles: DataFrame,
+                    strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    val aggs = Seq(
+      sum(col("cnt")).as("cnt"),
+      sum(col("bytes_sum")).as("bytes_sum"),
+      min(col("lat_min")).as("lat_min"), max(col("lat_max")).as("lat_max"),
+      min(col("lon_min")).as("lon_min"), max(col("lon_max")).as("lon_max")) ++
+      PhashCentroid.bitMergeAggs(col("phash_bits"), "pb")
+    withCentroid(
+      PhashCentroid.assembleBits(
+        tiles.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*),
+        "pb", "phash_bits")
+        .withColumn("res", strategy.resCol(col("cell"))))
+  }
+
   /** Build the full pyramid `minRes..maxRes` as one DataFrame (union of
     * levels). Each level is persisted before deriving the next so the chain
     * of shuffles is linear, not exponential; the driver-side loop guard is

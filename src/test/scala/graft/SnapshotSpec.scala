@@ -69,6 +69,24 @@ class SnapshotSpec extends SparkFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("snapshot_id=v1")))
   }
 
+  test("delta-merge equals a from-scratch rebuild on every level") {
+    val root = Files.createTempDirectory("graft-snap-delta").toString
+    val base = images.filter(col("phash") % 4 =!= 0) // 75% base corpus
+    val delta = images.filter(col("phash") % 4 === 0) // 25% delta
+    val (pyr, _) = TilePyramid.build(base, 5, 8)
+    Snapshot.write(pyr, root, "base", buildTs = 1L)
+
+    val merged = Snapshot.mergeDelta(spark, root, delta, leafRes = 8, minRes = 5)
+    val (full, _) = TilePyramid.build(images, 5, 8)
+    assert(canon(merged) == canon(full),
+      "incremental merge diverged from the from-scratch rebuild")
+
+    // empty delta: the merged pyramid IS the snapshot, untouched
+    val noop = Snapshot.mergeDelta(spark, root, delta.limit(0),
+      leafRes = 8, minRes = 5)
+    assert(canon(noop) == canon(pyr))
+  }
+
   test("compaction rewrites a fragmented version to few files, losslessly") {
     val root = Files.createTempDirectory("graft-snap-compact").toString
     val tiles = TilePyramid.leafTiles(images, 8)
