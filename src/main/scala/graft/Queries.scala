@@ -348,7 +348,9 @@ object Queries {
       (s, dir) => {
         val root = DmRoots.fresh()
         val imgs = Images.images(s, dir)
-        val (pyr, _) = TilePyramid.build(imgs.filter(expr(h) === 0), 5, 8)
+        // lazy pyramid: the write is the only consumer, so skip build()'s
+        // instrumented counts pass — one scan feeds the snapshot
+        val pyr = TilePyramid.pyramidLazy(imgs.filter(expr(h) === 0), 5, 8)
         Snapshot.write(pyr, root, snapshotId = "base", buildTs = 1L)
         Snapshot.mergeDelta(s, root, imgs.filter(expr(h) === 1),
           leafRes = 8, minRes = 5)

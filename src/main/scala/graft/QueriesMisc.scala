@@ -178,19 +178,23 @@ object QueriesMisc {
   /** IMAGE NEAR-DUP DETECTION — the image-modality dedup operator of a
     * training-data pipeline: plant a perturbed re-encode (forced-lossy
     * variant, same ground truth) of 5% of the corpus, then find each
-    * dup's original by dHash: 7 pigeonhole bands of 8 bits generate
-    * candidates as an EQUI-JOIN (hamming <= 6 can leave at most 6 bands
-    * differing, so one band must match — lossless, linear, AQE-splittable;
-    * the simhash device over the image hash), exact `bit_count(xor)`
-    * refine. Random 56-bit hashes collide within hamming 6 with
-    * probability ~3e-10, so the output is exactly the planted pairs the
-    * noise didn't push past the threshold — and the oracle replays hash +
-    * banding + refine, so the row set is deterministic, not statistical. */
+    * dup's original by dHash: 4 pigeonhole bands of 14 bits generate
+    * candidates as an EQUI-JOIN (hamming <= 3 can leave at most 3 bands
+    * differing, so one band must match — lossless for the threshold,
+    * linear, AQE-splittable; the simhash device over the image hash),
+    * exact `bit_count(xor)` refine. The BAND WIDTH is the radius/cost
+    * dial: 14-bit bands collide at ~1/16384 per band (candidates ~
+    * |A||B|/4096 — scale-safe), where 8-bit bands (radius 6) collide at
+    * 1/256 and degrade to |A||B|/36 — effectively quadratic, measured 20 s
+    * at sf0.1 before this was tuned. Random 56-bit hashes inside hamming 3
+    * are ~1e-12, so the output is exactly the planted pairs whose noise
+    * stayed within the radius — and the oracle replays hash + banding +
+    * refine, so the row set is deterministic, not statistical. */
   private val qImageNeardup = Q(
     "q_image_neardup",
     (s, dir) => {
-      val bands = "transform(sequence(0, 6), " +
-        "b -> struct(b AS b, shiftright(dh, b * 8) & 255 AS v))"
+      val bands = "transform(sequence(0, 3), " +
+        "b -> struct(b AS b, shiftright(dh, b * 14) & 16383 AS v))"
       // coalesce(-, 0): dhash56 never returns null here, but marking the
       // column NON-NULLABLE stops InferFiltersFromConstraints from pushing
       // an isnotnull(dhash56(...)) filter below the dedup aggregates on
@@ -217,23 +221,24 @@ object QueriesMisc {
       dhd.join(dh, Seq("b", "v"))
         .withColumn("hamming",
           expr("cast(bit_count(dhash ^ ddhash) as int)"))
-        .filter(col("hamming") <= 6)
+        .filter(col("hamming") <= 3)
         .select(col("dup_id"), col("image_id").as("orig_id"), col("hamming"))
         .distinct()
     },
     Some(s"""${dhashOracleCtes(dupSide = true)},
             |aband AS (
-            |  SELECT image_id, dhash, b.r AS b, (dhash >> (b.r * 8)) & 255 AS v
-            |  FROM dh, range(0,7) b(r)
+            |  SELECT image_id, dhash, b.r AS b,
+            |    (dhash >> (b.r * 14)) & 16383 AS v
+            |  FROM dh, range(0,4) b(r)
             |), dband AS (
             |  SELECT dup_id, dhash AS ddhash, b.r AS b,
-            |    (dhash >> (b.r * 8)) & 255 AS v
-            |  FROM dhd, range(0,7) b(r)
+            |    (dhash >> (b.r * 14)) & 16383 AS v
+            |  FROM dhd, range(0,4) b(r)
             |)
             |SELECT DISTINCT d.dup_id, a.image_id AS orig_id,
             |  CAST(bit_count(xor(a.dhash, d.ddhash)) AS INTEGER) AS hamming
             |FROM dband d JOIN aband a ON a.b = d.b AND a.v = d.v
-            |WHERE bit_count(xor(a.dhash, d.ddhash)) <= 6""".stripMargin))
+            |WHERE bit_count(xor(a.dhash, d.ddhash)) <= 3""".stripMargin))
 
   /** Video-modality pipeline: synthesize an 8-frame video blob per image,
     * sample every 2nd frame, run the per-frame stats kernel — the

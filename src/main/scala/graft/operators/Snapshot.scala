@@ -285,20 +285,31 @@ object Snapshot {
       : DataFrame = {
     val old = read(spark, root).drop(LineageCols: _*)
     val cols = old.columns.map(col).toIndexedSeq
+    // the delta leaf aggregation is the only corpus-scan in the merge and
+    // is referenced three times (distinct cells, the semi-join filter, the
+    // combine union) — persist it or the delta scans once per reference
     val dLeaf = TilePyramid.leafTiles(delta, leafRes, strategy)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touchedLeaf = dLeaf.select(col("cell")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oldLeaf = old.filter(col("res") === leafRes)
     val combined = TilePyramid.combineByCell(
       oldLeaf.join(touchedLeaf, Seq("cell"), "left_semi")
         .unionByName(dLeaf), strategy)
+    // each merged level is PERSISTED: level r-1 is derived from level r
+    // AND unioned into the result, so without a cache the union's branch
+    // for level r' re-executes every finer level's semi/anti/combine —
+    // O(levels^2) work (measured ~20 s -> ~6 s at sf0.1)
     var newLevel = oldLeaf.join(touchedLeaf, Seq("cell"), "left_anti")
       .unionByName(combined.select(cols: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var all = newLevel
     var touched = touchedLeaf
     var r = leafRes
     while (r > minRes) {
       val touchedParents = touched
         .select(strategy.parentOnceCol(col("cell")).as("cell")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val children = newLevel
         .withColumn("p", strategy.parentOnceCol(col("cell")))
         .join(touchedParents.select(col("cell").as("p")), Seq("p"), "left_semi")
@@ -307,6 +318,7 @@ object Snapshot {
       newLevel = old.filter(col("res") === r - 1)
         .join(touchedParents, Seq("cell"), "left_anti")
         .unionByName(recomputed.select(cols: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       all = all.unionByName(newLevel)
       touched = touchedParents
       r -= 1
