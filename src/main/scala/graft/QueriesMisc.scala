@@ -268,6 +268,38 @@ object QueriesMisc {
          |  CAST(count(*) AS BIGINT) AS n_pass
          |FROM images GROUP BY fmt""".stripMargin))
 
+  /** AS-OF JOIN over the events table ([[graft.operators.AsOfJoin]]):
+    * every non-purchase event picks up the user's most recent purchase
+    * value at or before its own timestamp. The engine runs the scalable
+    * union+carry window; the DuckDB oracle is the NATIVE `ASOF JOIN`
+    * operator — two entirely independent implementations of the temporal
+    * semantics hash-matching each other. Inner form (unmatched events
+    * dropped) because DuckDB's bare ASOF JOIN is inner. */
+  private val qAsofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval")) // unique per (key, ts): contract
+      val probes = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asOf(probes, purchases, "user_id", "ts", "pval")
+        .filter(col("pval").isNotNull)
+        .select(col("event_id"), col("user_id"), col("pval"))
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type <> 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id, p.pval
+        |FROM l ASOF JOIN p
+        |  ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin))
+
   // ------------------------------------------------------- event-time windows
 
   private val HourUs = 3600000000L
@@ -479,7 +511,7 @@ object QueriesMisc {
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qFrameSample,
     qImageDhash, qImageNeardup,
-    qEventsWindow, qEventsSessions, qEventsJson,
+    qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin,
     qSampleTopN, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)
 }
