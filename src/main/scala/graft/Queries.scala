@@ -709,8 +709,8 @@ object Queries {
       s"""${kmeansAssignCteSql(s"${p}a$i", s"${p}c${i - 1}")},
          |${p}u$i AS (
          |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS BIGINT) AS slat,
-         |    CAST(sum(CAST(floor(lon * 1000000) AS BIGINT)) AS BIGINT) AS slon
+         |    CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS DECIMAL(38,0)) AS slat,
+         |    CAST(sum(CAST(floor(lon * 1000000) AS BIGINT)) AS DECIMAL(38,0)) AS slon
          |  FROM ${p}a$i GROUP BY cid),
          |${p}c$i AS (
          |  SELECT c.cid,
@@ -745,14 +745,15 @@ object Queries {
     * integer-quantized SSE, and flags the argmin. The oracle replays the
     * ENTIRE sweep — one Lloyd CTE chain per candidate k, the same
     * floor(min-dist·1e6) SSE (summed as DECIMAL(38,0) on both engines for
-    * exactness past Long range), the same fixed-order BIC double — so
-    * model selection itself is hash-proven, not just each fit. The `bic`
-    * column is the one hash-compared double that passes through `ln`:
-    * JVM Math.log and DuckDB ln may differ in the last ulp, invisible at
-    * the gate's 10-significant-digit rendering unless a value sits within
-    * ~1e-6 relative of a rounding boundary; the fixtures are fixed, the
-    * comparison is deterministic, and the integer sse_q column pins the
-    * underlying quantity exactly either way. */
+    * exactness past Long range), the same fixed-order BIC double driving
+    * the argmin — so model selection itself is hash-proven, not just each
+    * fit. The raw BIC double is NOT in the hashed output (round-3 lesson:
+    * it passes through `ln`, and JVM Math.log vs DuckDB ln diverge in the
+    * last ulp — one of the six values landed on a 10-sig-digit rendering
+    * boundary and failed the driver's hash while rows+schema matched).
+    * Each engine computes its own bic internally and emits only
+    * integer-exact columns plus the argmin flag; candidate scores are
+    * separated by >> 1 ulp, so the flag is deterministic cross-engine. */
   /** Shared CTE block for the BIC sweep oracles: one Lloyd chain per
     * candidate k (`k{k}_c0..c{iters}`), the per-k quantized SSE, and a
     * `scored(k, n, sse_q, bic)` CTE with the identical fixed-order BIC
@@ -787,7 +788,7 @@ object Queries {
     Some(
       s"""$cte,
          |${bicScoredCtesSql(KmeansAssign.DefaultIters)}
-         |SELECT k, n, sse_q, bic,
+         |SELECT k, n, sse_q,
          |  CASE WHEN row_number() OVER (ORDER BY bic, k) = 1 THEN 1 ELSE 0 END AS best
          |FROM scored""".stripMargin))
 

@@ -33,8 +33,13 @@ object KmeansAssign {
 
   case class Centroid(cid: Int, clat: Double, clon: Double)
 
-  /** Quantized-mean helper: (sum of floor(c*1e6), n) -> centroid coord. */
-  private def mean(sq: Long, n: Long): Double =
+  /** Quantized-mean helper: (sum of floor(c*1e6), n) -> centroid coord.
+    * The sum arrives as an exact BigInt (accumulated as DECIMAL(38,0),
+    * not Long: one cluster of 10^12 rows sums |floor(coord·1e6)| terms up
+    * to 3.6e8 each ≈ 3.6e20, past Long.MaxValue ≈ 9.2e18 — the same
+    * overflow reasoning as [[BicScale]]'s SSE path); BigInt→Double is
+    * correctly rounded, matching DuckDB's DECIMAL→DOUBLE cast. */
+  private def mean(sq: BigInt, n: Long): Double =
     sq.toDouble / (n.toDouble * 1000000.0)
 
   /** Squared planar distance to each centroid, in ascending-cid order. */
@@ -73,11 +78,12 @@ object KmeansAssign {
       val upd = pts.withColumn("cid", nearestCid(cents))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
-          sum(floor(col("lat") * 1000000).cast("long")).as("slat"),
-          sum(floor(col("lon") * 1000000).cast("long")).as("slon"))
+          sum(floor(col("lat") * 1000000).cast("decimal(38,0)")).as("slat"),
+          sum(floor(col("lon") * 1000000).cast("decimal(38,0)")).as("slon"))
         .collect()
         .map(r => r.getInt(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+          (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
+            BigInt(r.getDecimal(3).toBigInteger))).toMap
       cents = cents.map { c =>
         upd.get(c.cid) match {
           case Some((n, slat, slon)) => Centroid(c.cid, mean(slat, n), mean(slon, n))
@@ -191,20 +197,25 @@ object KmeansAssign {
         (1 to cents(k).size).flatMap { c =>
           val m = cid === lit(c)
           Seq(sum(when(m, lit(1L))).as(s"n_${k}_$c"),
-            sum(when(m, floor(col("lat") * 1000000).cast("long")))
+            sum(when(m, floor(col("lat") * 1000000).cast("decimal(38,0)")))
               .as(s"slat_${k}_$c"),
-            sum(when(m, floor(col("lon") * 1000000).cast("long")))
+            sum(when(m, floor(col("lon") * 1000000).cast("decimal(38,0)")))
               .as(s"slon_${k}_$c"))
         }
       }
       val row = pts.select(aggs: _*).head()
-      def grab(name: String): Option[Long] = {
+      def grabN(name: String): Option[Long] = {
         val i = row.fieldIndex(name)
         if (row.isNullAt(i)) None else Some(row.getLong(i))
       }
+      def grab(name: String): Option[BigInt] = {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) None
+        else Some(BigInt(row.getDecimal(i).toBigInteger))
+      }
       cents = cents.map { case (k, cs) =>
         k -> cs.map { c =>
-          grab(s"n_${k}_${c.cid}") match {
+          grabN(s"n_${k}_${c.cid}") match {
             case Some(cn) if cn > 0 =>
               Centroid(c.cid,
                 mean(grab(s"slat_${k}_${c.cid}").get, cn),
@@ -233,6 +244,12 @@ object KmeansAssign {
     }
   }
 
+  /** Spec access to the raw per-candidate scores (including the BIC
+    * double, which [[bicSweep]] deliberately keeps OUT of its output). */
+  private[graft] def sweepScored(images: DataFrame, ks: Seq[Int] = BicKs,
+                                 iters: Int = DefaultIters): (Long, Seq[Scored]) =
+    sweptFor(images, None, ks, iters)
+
   def bicSweep(images: DataFrame, ks: Seq[Int] = BicKs,
                iters: Int = DefaultIters,
                memoKey: Option[String] = None): DataFrame = {
@@ -244,14 +261,19 @@ object KmeansAssign {
     // sse_q is DECIMAL(38,0): exact at any scale (see BicScale) — built
     // with an explicit schema so the parquet scale is 0, matching the
     // oracle's CAST(... AS DECIMAL(38,0)) rendering digit-for-digit.
+    // The raw BIC double stays INTERNAL (it drives `best` only): it is the
+    // one sweep quantity that passes through a transcendental (`ln`), and
+    // JVM Math.log vs DuckDB ln can differ in the last ulp — a landmine for
+    // any bit-exact cross-engine comparison of the rendered value. Every
+    // emitted column is integer-exact; the argmin itself is safe because
+    // candidate scores are separated by far more than an ulp.
     val schema = StructType(Seq(
       StructField("k", IntegerType, nullable = false),
       StructField("n", LongType, nullable = false),
       StructField("sse_q", DecimalType(38, 0), nullable = false),
-      StructField("bic", DoubleType, nullable = false),
       StructField("best", IntegerType, nullable = false)))
     val rows = scored.map { s =>
-      Row(s.k, n, new java.math.BigDecimal(s.sseQ.bigInteger), s.bic,
+      Row(s.k, n, new java.math.BigDecimal(s.sseQ.bigInteger),
         if (s.k == bestK) 1 else 0)
     }
     images.sparkSession.createDataFrame(rows.asJava, schema)

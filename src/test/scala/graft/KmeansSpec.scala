@@ -69,15 +69,20 @@ class KmeansSpec extends SparkFunSuite {
     val ks = Seq(1, 2, 3)
     val rows = KmeansAssign.bicSweep(imgs, ks, Iters).collect()
       .map(r => (r.getInt(0), r.getLong(1),
-        BigInt(r.getDecimal(2).toBigInteger), r.getDouble(3), r.getInt(4)))
+        BigInt(r.getDecimal(2).toBigInteger), r.getInt(3)))
       .sortBy(_._1)
     assert(rows.map(_._1).toSeq == ks)
     val n = anchors.length.toLong
     assert(rows.forall(_._2 == n))
+    // the internal per-candidate scores (the BIC double is deliberately
+    // absent from bicSweep's output — transcendental doubles don't
+    // hash-compare cross-engine; see bicSweep scaladoc)
+    val (_, scored) = KmeansAssign.sweepScored(imgs, ks, Iters)
+    val bicByK = scored.map(s => s.k -> s.bic).toMap
     // exact SSE recomputation per k with the operator's arithmetic,
     // against the SAME driver-side Lloyd used by the fixed-k parity test
     val pts = anchors
-    ks.zip(rows).foreach { case (k, (_, _, gotSse, gotBic, _)) =>
+    ks.zip(rows).foreach { case (k, (_, _, gotSse, _)) =>
       val (cents, _) = lloyd(pts, k)
       val wantSse = pts.map { case (_, la, lo) =>
         val mind = cents.map(c =>
@@ -88,20 +93,20 @@ class KmeansSpec extends SparkFunSuite {
       val nD = n.toDouble
       val wantBic = nD * math.log(wantSse.toDouble / 1000000.0 / nD + 1.0e-12) +
         k * 2.0 * math.log(nD)
-      assert(gotBic == wantBic, s"BIC mismatch at k=$k")
+      assert(bicByK(k) == wantBic, s"BIC mismatch at k=$k")
     }
     // exactly one best row, and it is the (bic, k)-argmin
-    assert(rows.count(_._5 == 1) == 1)
-    val argmin = rows.minBy(r => (r._4, r._1))
-    assert(argmin._5 == 1)
+    assert(rows.count(_._4 == 1) == 1)
+    val argminK = ks.minBy(k => (bicByK(k), k))
+    assert(rows.find(_._1 == argminK).get._4 == 1)
   }
 
   test("assignAuto labels under the argmin-BIC model") {
     val imgs = Images.images(spark, SparkSpec.Sf)
     val ks = Seq(1, 2, 3)
     val sweep = KmeansAssign.bicSweep(imgs, ks, Iters).collect()
-      .map(r => (r.getInt(0), r.getDouble(3), r.getInt(4)))
-    val bestK = sweep.find(_._3 == 1).get._1
+      .map(r => (r.getInt(0), r.getInt(3)))
+    val bestK = sweep.find(_._2 == 1).get._1
     val auto = KmeansAssign.assignAuto(imgs, ks, Iters)
     val got = auto.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
     assert(got.forall(_._3 == bestK))
