@@ -709,8 +709,8 @@ object Queries {
       s"""${kmeansAssignCteSql(s"${p}a$i", s"${p}c${i - 1}")},
          |${p}u$i AS (
          |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS DECIMAL(38,0)) AS slat,
-         |    CAST(sum(CAST(floor(lon * 1000000) AS BIGINT)) AS DECIMAL(38,0)) AS slon
+         |    CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS BIGINT) AS slat,
+         |    CAST(sum(CAST(floor(lon * 1000000) AS BIGINT)) AS BIGINT) AS slon
          |  FROM ${p}a$i GROUP BY cid),
          |${p}c$i AS (
          |  SELECT c.cid,

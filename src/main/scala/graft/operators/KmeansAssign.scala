@@ -34,12 +34,23 @@ object KmeansAssign {
   case class Centroid(cid: Int, clat: Double, clon: Double)
 
   /** Quantized-mean helper: (sum of floor(c*1e6), n) -> centroid coord.
-    * The sum arrives as an exact BigInt (accumulated as DECIMAL(38,0),
-    * not Long: one cluster of 10^12 rows sums |floor(coord·1e6)| terms up
-    * to 3.6e8 each ≈ 3.6e20, past Long.MaxValue ≈ 9.2e18 — the same
-    * overflow reasoning as [[BicScale]]'s SSE path); BigInt→Double is
-    * correctly rounded, matching DuckDB's DECIMAL→DOUBLE cast. */
-  private def mean(sq: BigInt, n: Long): Double =
+    *
+    * The sums accumulate as LONG, which bounds a single cluster at
+    * ~2.5e10 members (|floor(coord·1e6)| ≤ 3.6e8 per row;
+    * Long.MaxValue ≈ 9.2e18) — past that the centroid-update aggregate
+    * RAISES under Spark 4's default ANSI mode rather than wrapping, so
+    * the bound fails loud, never silently corrupts a centroid. The SSE
+    * path carries DECIMAL(38,0) instead ([[BicScale]]) because its terms
+    * are ~450× larger and every row contributes to ONE total; here the
+    * hot path is the per-iteration update — 3·Σk ≈ 63 conditional sums in
+    * one whole-stage-codegen aggregate — and switching those to
+    * DECIMAL(38,0) was measured to blow q_bic_k up from ~5 s to 99 s
+    * in-suite (big-decimal aggregation buffers + generated-code bloat;
+    * even discounting the ~2.6× host contention of that run it is ≥8×),
+    * a bad trade for headroom beyond a 25-billion-row single cluster. A
+    * corpus that hot should raise the candidate k or pre-split, not
+    * widen the accumulator. */
+  private def mean(sq: Long, n: Long): Double =
     sq.toDouble / (n.toDouble * 1000000.0)
 
   /** Squared planar distance to each centroid, in ascending-cid order. */
@@ -78,12 +89,11 @@ object KmeansAssign {
       val upd = pts.withColumn("cid", nearestCid(cents))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
-          sum(floor(col("lat") * 1000000).cast("decimal(38,0)")).as("slat"),
-          sum(floor(col("lon") * 1000000).cast("decimal(38,0)")).as("slon"))
+          sum(floor(col("lat") * 1000000).cast("long")).as("slat"),
+          sum(floor(col("lon") * 1000000).cast("long")).as("slon"))
         .collect()
         .map(r => r.getInt(0) ->
-          (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger),
-            BigInt(r.getDecimal(3).toBigInteger))).toMap
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       cents = cents.map { c =>
         upd.get(c.cid) match {
           case Some((n, slat, slon)) => Centroid(c.cid, mean(slat, n), mean(slon, n))
@@ -197,25 +207,20 @@ object KmeansAssign {
         (1 to cents(k).size).flatMap { c =>
           val m = cid === lit(c)
           Seq(sum(when(m, lit(1L))).as(s"n_${k}_$c"),
-            sum(when(m, floor(col("lat") * 1000000).cast("decimal(38,0)")))
+            sum(when(m, floor(col("lat") * 1000000).cast("long")))
               .as(s"slat_${k}_$c"),
-            sum(when(m, floor(col("lon") * 1000000).cast("decimal(38,0)")))
+            sum(when(m, floor(col("lon") * 1000000).cast("long")))
               .as(s"slon_${k}_$c"))
         }
       }
       val row = pts.select(aggs: _*).head()
-      def grabN(name: String): Option[Long] = {
+      def grab(name: String): Option[Long] = {
         val i = row.fieldIndex(name)
         if (row.isNullAt(i)) None else Some(row.getLong(i))
       }
-      def grab(name: String): Option[BigInt] = {
-        val i = row.fieldIndex(name)
-        if (row.isNullAt(i)) None
-        else Some(BigInt(row.getDecimal(i).toBigInteger))
-      }
       cents = cents.map { case (k, cs) =>
         k -> cs.map { c =>
-          grabN(s"n_${k}_${c.cid}") match {
+          grab(s"n_${k}_${c.cid}") match {
             case Some(cn) if cn > 0 =>
               Centroid(c.cid,
                 mean(grab(s"slat_${k}_${c.cid}").get, cn),

@@ -76,7 +76,15 @@ class SnapshotSpec extends SparkFunSuite {
     val (pyr, _) = TilePyramid.build(base, 5, 8)
     Snapshot.write(pyr, root, "base", buildTs = 1L)
 
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val merged = Snapshot.mergeDelta(spark, root, delta, leafRes = 8, minRes = 5)
+    // cache hygiene (round-3 verdict #3): the merge is eager and releases
+    // every intermediate persist before returning — at most the ONE
+    // result-sized localCheckpoint cache survives the call, so nightly
+    // deltas in a long-lived session don't accumulate pyramid caches
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter - cachedBefore <= 1,
+      s"mergeDelta leaked intermediate caches: $cachedBefore -> $cachedAfter")
     val (full, _) = TilePyramid.build(images, 5, 8)
     assert(canon(merged) == canon(full),
       "incremental merge diverged from the from-scratch rebuild")
@@ -85,6 +93,52 @@ class SnapshotSpec extends SparkFunSuite {
     val noop = Snapshot.mergeDelta(spark, root, delta.limit(0),
       leafRes = 8, minRes = 5)
     assert(canon(noop) == canon(pyr))
+  }
+
+  test("expiry: keepLast/olderThan retention, newest always survives, " +
+    "manifest-first crash order is recovered") {
+    val root = Files.createTempDirectory("graft-snap-expire").toString
+    val tiles = TilePyramid.leafTiles(images, 8)
+    Snapshot.writeVersioned(tiles, root, "e1", buildTs = 10L)
+    Snapshot.writeVersioned(tiles, root, "e2", buildTs = 20L)
+    Snapshot.writeVersioned(tiles, root, "e3", buildTs = 30L)
+    val e3Canon = canon(Snapshot.readAsOf(spark, root, "e3"))
+
+    // keepLast retention: oldest goes, survivors untouched
+    assert(Snapshot.expireSnapshots(root, keepLast = 2) == Seq("e1"))
+    assert(Snapshot.snapshots(root) == Seq("e2" -> 20L, "e3" -> 30L))
+    intercept[IllegalArgumentException] {
+      Snapshot.readAsOf(spark, root, "e1")
+    }
+    assert(!Files.exists(
+      java.nio.file.Paths.get(s"$root/tiles/snapshot_id=e1")))
+
+    // olderThan retention
+    assert(Snapshot.expireSnapshots(root, olderThan = 25L) == Seq("e2"))
+    assert(Snapshot.snapshots(root) == Seq("e3" -> 30L))
+
+    // the newest version NEVER expires, even under an over-broad predicate
+    assert(Snapshot.expireSnapshots(root, keepLast = 1,
+      olderThan = Long.MaxValue).isEmpty)
+    assert(canon(Snapshot.readAsOf(spark, root, "e3")) == e3Canon)
+    // keepLast = 0 is rejected outright
+    intercept[IllegalArgumentException] {
+      Snapshot.expireSnapshots(root, keepLast = 0)
+    }
+
+    // crash order: manifest deleted, data delete crashed -> the orphan is
+    // invisible to every reader and swept by the next expire run
+    Snapshot.writeVersioned(tiles, root, "e4", buildTs = 40L)
+    Files.delete(java.nio.file.Paths.get(s"$root/MANIFEST-e3.json"))
+    val orphan = java.nio.file.Paths.get(s"$root/tiles/snapshot_id=e3")
+    assert(Files.exists(orphan))
+    assert(Snapshot.snapshots(root) == Seq("e4" -> 40L))
+    intercept[IllegalArgumentException] {
+      Snapshot.readAsOf(spark, root, "e3")
+    }
+    assert(Snapshot.expireSnapshots(root, keepLast = 1).isEmpty)
+    assert(!Files.exists(orphan), "orphaned half-expired data not swept")
+    assert(Snapshot.snapshots(root) == Seq("e4" -> 40L))
   }
 
   test("compaction rewrites a fragmented version to few files, losslessly") {
