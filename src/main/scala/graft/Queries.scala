@@ -370,6 +370,51 @@ object Queries {
          |FROM (SELECT ${cellSql(6)} AS cell, * FROM images) t
          |GROUP BY cell""".stripMargin))
 
+  /** Adaptive tile splitting ([[TilePyramid.adaptiveSplit]] ≙ the
+    * reference's oversize-cluster recursive re-clustering,
+    * cluster_utils.py:186-196): tiles over the count budget split to
+    * res+1 recursively, bounded by maxRes — a variable-depth pyramid.
+    * The oracle replays the CLOSED FORM per level: emitted iff
+    * (first level OR parent over budget) AND (within budget OR last
+    * level) — one per-level aggregate + parent join in SQL, the same
+    * predicate the engine evaluates. At sf0.01 the fixture exercises
+    * every depth: most smooth cells settle at res 4-5, the planted hot
+    * cluster chains over-budget all the way to the forced res-8 leaf. */
+  private val qAdaptiveSplit = Q(
+    "q_adaptive_split", {
+      val (startRes, maxRes, budget) = (4, 8, 200L)
+      (s, dir) => TilePyramid.adaptiveSplit(
+        TilePyramid.pyramidLazySlim(Images.images(s, dir), startRes, maxRes),
+        startRes, maxRes, budget)
+        .select("res", "cell", "cnt", "bytes_sum")
+    },
+    Some {
+      val (startRes, maxRes, budget) = (4, 8, 200L)
+      val lvls = (startRes to maxRes).map { r =>
+        val pc = if (r == startRes) ""
+        else s", ${cellSql(r - 1)} AS pcell"
+        s"""ad$r AS (
+           |  SELECT ${cellSql(r)} AS cell$pc,
+           |    CAST(count(*) AS BIGINT) AS cnt,
+           |    CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+           |  FROM images GROUP BY ${if (r == startRes) "1" else "1, 2"})"""
+          .stripMargin
+      }.mkString(",\n")
+      val sel = (startRes to maxRes).map { r =>
+        if (r == startRes)
+          s"SELECT $r AS res, cell, cnt, bytes_sum FROM ad$r WHERE cnt <= $budget"
+        else {
+          val cap = if (r == maxRes) "" else s" AND c.cnt <= $budget"
+          s"""SELECT $r AS res, c.cell, c.cnt, c.bytes_sum
+             |FROM ad$r c JOIN ad${r - 1} p ON p.cell = c.pcell
+             |WHERE p.cnt > $budget$cap""".stripMargin
+        }
+      }.mkString("\nUNION ALL ")
+      s"""$cte,
+         |$lvls
+         |$sel""".stripMargin
+    })
+
   /** Co-located tile-profile join over the BUCKETED tile store
     * ([[BucketStore]]): two per-cell aggregates of the corpus at res 8 are
     * persisted as catalog tables bucketed+sorted by `cell` (the SCALE.md
@@ -820,12 +865,38 @@ object Queries {
          |FROM afk a JOIN best b ON a.k = b.k""".stripMargin
     })
 
+  /** Soft multi-membership assignment ([[KmeansAssign.assignSoft]] ≙ the
+    * reference's `prob > 0.1` GMM labels, cluster_utils.py:64-70, 169-175 —
+    * a node joins EVERY cluster within the distance-ratio band, so the
+    * tree is a DAG): the oracle replays the Lloyd chain to the same
+    * centroids, computes every (point, centroid) distance, and applies the
+    * identical band filter and `(dmin+ε)/(d+ε)` weight — all double ops in
+    * mirrored order, so the full multi-parent edge set hash-matches. */
+  private val qSoftAssign = Q(
+    "q_soft_assign",
+    (s, dir) => KmeansAssign.assignSoft(Images.images(s, dir)),
+    Some {
+      val k = KmeansAssign.DefaultK
+      val iters = KmeansAssign.DefaultIters
+      val rho = KmeansAssign.SoftRho
+      s"""$cte,
+         |pts AS (SELECT image_id, lat, lon FROM images),
+         |${kmeansChainSql("s_", k, iters)},
+         |sd AS (SELECT p.image_id, c.cid, $kmeansDistSql AS d
+         |       FROM pts p CROSS JOIN s_c$iters c),
+         |sm AS (SELECT image_id, cid, d,
+         |         min(d) OVER (PARTITION BY image_id) AS dmin FROM sd)
+         |SELECT image_id, cid, (dmin + 1e-12) / (d + 1e-12) AS w
+         |FROM sm WHERE d <= dmin * $rho""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     qTileAssign,
     qHexAssign,
     qKmeansAssign,
     qBicK,
     qKmeansAuto,
+    qSoftAssign,
     qPyramidRes5,
     qPipJoin,
     qPolyTileCov,
@@ -842,7 +913,8 @@ object Queries {
     qStatsTransfer,
     qBucketJoin,
     qZcurve,
-    qDeltaMerge) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
+    qDeltaMerge,
+    qAdaptiveSplit) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -300,6 +300,63 @@ object KmeansAssign {
       .select(col("image_id"), col("cid"), lit(best.k).as("k"))
   }
 
+  // ------------------------------------------------------ soft membership
+
+  /** Default soft-membership ratio (squared-distance): a point joins every
+    * cluster within 2× the radius of its nearest centroid (4× in squared
+    * distance). The reference's GMM labels are `prob > 0.1`
+    * (cluster_utils.py:64-70, 169-175) — probabilistic and seed-dependent;
+    * re-expressed as a deterministic distance-ratio band so the SAME
+    * multi-membership shape (a node can join SEVERAL clusters, making the
+    * tree a DAG) falls out of the seeded Lloyd fit and replays exactly in
+    * ANSI SQL. */
+  val SoftRho: Double = 4.0
+  private val SoftEps: Double = 1.0e-12
+
+  /** Soft multi-membership assignment (≙ the reference's `prob > 0.1`
+    * GMM labeling, cluster_utils.py:64-70 — the one clustering semantic
+    * with no hard-argmin analog): emits an `(image_id, cid, w)` edge for
+    * EVERY centroid whose squared distance is within `rho ×` the point's
+    * minimum. `w = (dmin + ε) / (d + ε) ∈ (0, 1]` — exactly 1 for the
+    * nearest centroid, decaying with the distance ratio; every double op
+    * is in fixed mirror-able order, so the whole edge set is
+    * SQL-replayable (q_soft_assign hashes it cross-engine).
+    *
+    * Scale shape: identical to [[assign]] — the k centroids are driver
+    * literals, the membership test is a map-only codegen filter over one
+    * scan, no shuffle; output is |edges| ≤ k·n rows. Downstream descents
+    * must DEDUP children reached through several parents
+    * (tree_retriever.py:264-268) — [[Retrieval.descendSoft]] does. */
+  def assignSoft(images: DataFrame, k: Int = DefaultK,
+                 iters: Int = DefaultIters, rho: Double = SoftRho): DataFrame = {
+    val cents = fit(images, k, iters)
+    softMembers(points(images), cents, rho)
+  }
+
+  /** (image_id, cid, w) membership edges of `pts` under centroid literals —
+    * the edge-table builder behind [[assignSoft]], reusable against any
+    * fitted or hand-built centroid set (RetrievalSpec builds its DAG
+    * fixture through it). */
+  private[graft] def softMembers(pts: DataFrame, cents: Seq[Centroid],
+                                 rho: Double = SoftRho): DataFrame = {
+    val sorted = cents.sortBy(_.cid)
+    val dists = distCols(sorted)
+    // (cid, d) pairs + the running min; the d expressions appear in both
+    // the pair array and the min — 3 flops per centroid per row, cheap
+    // enough that letting codegen evaluate them twice beats materializing
+    // an intermediate array column
+    val pairs = array(sorted.zip(dists).map { case (c, d) =>
+      struct(lit(c.cid).as("cid"), d.as("d"))
+    }: _*)
+    pts
+      .withColumn("dmin", array_min(array(dists: _*)))
+      .withColumn("m", explode(
+        filter(pairs, s => s.getField("d") <= col("dmin") * lit(rho))))
+      .select(col("image_id"), col("m").getField("cid").as("cid"),
+        ((col("dmin") + lit(SoftEps)) /
+          (col("m").getField("d") + lit(SoftEps))).as("w"))
+  }
+
   /** Final 1-NN assignment join (J4): every image row labeled with the
     * cid of its nearest learned centroid. [[fit]] caches the anchor
     * projection for its own seed + iteration jobs and RELEASES it; the

@@ -158,6 +158,56 @@ object Retrieval {
     all
   }
 
+  /** Learned-tree descent over EDGE membership — the DAG case the
+    * cell-based [[descendTopK]] cannot produce (quadkey/S2/hex parents are
+    * functional: one parent per tile; a SOFT kmeans assignment
+    * ([[KmeansAssign.assignSoft]]) gives a point SEVERAL parents, which is
+    * exactly why the reference's tree is a DAG and its retriever dedups
+    * children — tree_retriever.py:264-268):
+    *
+    *  1. rank `clusters` (cid, clat, clon) per query by squared planar
+    *     distance, keep the top-`kc`;
+    *  2. candidates = members of the selected clusters via `edges`
+    *     (image_id, cid, …), DEDUPED on (qid, image_id) — a point reached
+    *     through two selected parents is ranked ONCE (the U2 dedup,
+    *     exercised by real multi-parent data in RetrievalSpec);
+    *  3. rank the candidates per query by distance to the point itself,
+    *     keep the top-`kp`.
+    *
+    * Output: (qid, image_id, dist_sq, rnk). Scale shape: clusters are k
+    * rows (broadcast); the edge semi-join is a shuffle equi-join on `cid`
+    * (edges are pre-partitionable by cid at rest); the dedup is a
+    * (qid, image_id) aggregate — keyed shuffles only, no theta join. */
+  def descendSoft(points: DataFrame, edges: DataFrame, clusters: DataFrame,
+                  queries: DataFrame, kc: Int, kp: Int): DataFrame = {
+    val q = queries.select(col("qid"), col("qlat"), col("qlon"))
+    val cDist = (col("clat") - col("qlat")) * (col("clat") - col("qlat")) +
+      (col("clon") - col("qlon")) * (col("clon") - col("qlon"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))
+    val selClusters = clusters.select(col("cid"), col("clat"), col("clon"))
+      .crossJoin(broadcast(q)) // k cluster rows: the cross join is k·|q|
+      .withColumn("cdist", cDist)
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= kc)
+      .select(col("qid"), col("cid"))
+    // members of selected clusters; DISTINCT collapses multi-parent reach
+    val cand = edges.select(col("cid"), col("image_id"))
+      .join(broadcast(selClusters), Seq("cid"))
+      .select(col("qid"), col("image_id"))
+      .distinct()
+    val pDist = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+      (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("dist_sq"), col("image_id"))
+    cand.join(points.select(col("image_id"), col("lat"), col("lon")),
+        Seq("image_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("dist_sq", pDist)
+      .withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= kp)
+      .select(col("qid"), col("image_id"), col("dist_sq"), col("rnk"))
+  }
+
   /** Collapse-tree retrieval: rank tiles of ALL levels at once per query,
     * keep the top-k whose RUNNING image-count total stays within `budget`
     * (stop before the first overflow — tree_retriever.py:197-209). */

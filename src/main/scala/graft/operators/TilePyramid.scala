@@ -206,6 +206,52 @@ object TilePyramid {
     all
   }
 
+  /** Variable-depth pyramid by budget — the reference's oversize-cluster
+    * recursive re-clustering (cluster_utils.py:186-196: clusters exceeding
+    * the token budget are recursively re-clustered) grafted onto the tile
+    * pyramid: a tile whose `cnt` exceeds `budget` is SPLIT to res+1,
+    * recursively, until it fits or `maxRes` bounds the depth. The fixed
+    * grid pyramid sidesteps this with uniform fan-out, but at 100 TB hot
+    * tiles exceed any per-tile budget — adaptive depth is the fix, and the
+    * hot-cell histogram (A3) is exactly what motivates where it deepens.
+    *
+    * The recursion COLLAPSES TO A CLOSED FORM over the pyramid levels
+    * because a parent's count is the sum of its children's (counts are
+    * non-negative, so parent.cnt ≥ every child's): "all ancestors of this
+    * tile were over budget" is equivalent to "this tile's immediate parent
+    * is over budget". A tile at res r is therefore EMITTED iff
+    *
+    *   (r == startRes  OR  parent.cnt > budget)       — it was materialized
+    *   AND (cnt <= budget  OR  r == maxRes)           — and it is final
+    *
+    * which is one parent-key equi-join per level (batched here as a single
+    * self-join of the pyramid on the parent cell) — no driver recursion, no
+    * iterative re-clustering jobs; the oracle replays the same predicate
+    * per level (q_adaptive_split). Emitted tiles partition the corpus:
+    * every point lies under exactly one emitted tile (AdaptiveSplitSpec).
+    *
+    * `pyramid` must contain levels `startRes..maxRes` (slim or full
+    * schema; only `res`, `cell`, `cnt` are consulted, all columns pass
+    * through). Scale shape: the parent side is a projection of the same
+    * pyramid (ReuseExchange dedups the shared scan; snapshot-backed
+    * pyramids prune both sides by `res` partitions); the join is a keyed
+    * equi-join on the parent cell — never a theta join. */
+  def adaptiveSplit(pyramid: DataFrame, startRes: Int, maxRes: Int,
+                    budget: Long,
+                    strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    require(startRes <= maxRes, s"startRes $startRes > maxRes $maxRes")
+    val parents = pyramid
+      .filter(col("res").between(startRes, maxRes - 1))
+      .select(col("cell").as("pcell"), col("cnt").as("pcnt"))
+    pyramid.filter(col("res").between(startRes, maxRes))
+      .withColumn("pcell",
+        when(col("res") > startRes, strategy.parentOnceCol(col("cell"))))
+      .join(parents, Seq("pcell"), "left_outer")
+      .filter((col("res") === startRes || col("pcnt") > budget) &&
+        (col("cnt") <= budget || col("res") === maxRes))
+      .drop("pcell", "pcnt")
+  }
+
   /** Per-level metrics (≙ log_tree_structure, raptor/utils.py:222-271):
     * cells, images, avg/max images per cell, bbox spread. The max/avg ratio
     * is the skew signal (≙ index_count hotness) that drives salting. */

@@ -214,6 +214,54 @@ class RetrievalSpec extends SparkFunSuite {
       s"res partition filter not pushed to the scan:\n$plan")
   }
 
+  test("soft-membership descent: a genuinely multi-parent point is " +
+    "deduped and ranked once (tree DAG, U2)") {
+    import graft.operators.KmeansAssign
+    import graft.operators.KmeansAssign.Centroid
+    val sess = spark
+    import sess.implicits._
+    // hand-built DAG: p1 sits between c1 and c2 (squared dists 0.2025 vs
+    // 0.3025, ratio < SoftRho=4) -> TWO parents; the rest are single-parent
+    val pts = Seq(
+      ("p1", 0.0, 0.45), ("p2", 0.0, 0.05), ("p3", 0.0, 0.95),
+      ("p4", 5.0, 5.0))
+      .toDF("image_id", "lat", "lon")
+    val cents = Seq(
+      Centroid(1, 0.0, 0.0), Centroid(2, 0.0, 1.0), Centroid(3, 5.0, 5.0))
+    val edges = KmeansAssign.softMembers(pts, cents)
+    val byPoint = edges.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    assert(byPoint("p1") == Set(1, 2), s"p1 must be multi-parent: $byPoint")
+    assert(byPoint("p2") == Set(1) && byPoint("p3") == Set(2) &&
+      byPoint("p4") == Set(3))
+    // nearest edge carries weight exactly 1.0
+    val w1 = edges.filter(col("image_id") === "p2" && col("cid") === 1)
+      .head().getDouble(2)
+    assert(w1 == 1.0)
+
+    // descend: both of p1's parents are selected -> without the U2 dedup
+    // p1 would be ranked twice
+    val clusters = cents.map(c => (c.cid, c.clat, c.clon))
+      .toDF("cid", "clat", "clon")
+    val queries = Seq((1, 0.0, 0.4)).toDF("qid", "qlat", "qlon")
+    val got = Retrieval.descendSoft(pts, edges, clusters, queries,
+      kc = 2, kp = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    // selected clusters for q=(0,0.4): c1 (0.16) and c2 (0.36); members
+    // after dedup = {p1, p2, p3}; p4 (cluster 3 not selected) is absent
+    val gotIds = got.map(_._2).toSeq
+    assert(gotIds.count(_ == "p1") == 1,
+      s"multi-parent p1 must appear exactly once: ${got.mkString(", ")}")
+    assert(gotIds.toSet == Set("p1", "p2", "p3"))
+    // ranking equals the brute-force distance order over the deduped set
+    def d(la: Double, lo: Double) =
+      (la - 0.0) * (la - 0.0) + (lo - 0.4) * (lo - 0.4)
+    val want = Seq("p1" -> d(0.0, 0.45), "p2" -> d(0.0, 0.05),
+      "p3" -> d(0.0, 0.95)).sortBy { case (id, dd) => (dd, id) }
+      .zipWithIndex.map { case ((id, dd), i) => (1, id, dd, i + 1) }
+    assert(got.sortBy(_._4).toSeq == want)
+  }
+
   test("descent invariant: every selected child's parent was selected") {
     val rows = Retrieval.descendTopK(
       TilePyramid.pyramidLazy(Images.images(spark, SparkSpec.Sf), 4, 8),
