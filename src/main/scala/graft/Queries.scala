@@ -674,20 +674,10 @@ object Queries {
     * Non-hot rows shuffle once on cell; hot rows shuffle on (cell, salt)
     * across [[SaltBuckets]] reducers then once more over |hot|x16 tiny
     * partial rows. SkewSpec pins the split plan shape. */
-  private[graft] def skewAdaptive(s: SparkSession, dir: String): DataFrame = {
-    // NOT cached: the histogram pass + the two branch aggregations each
-    // re-derive this narrow frame, but the codegen'd map work is cheaper
-    // than a 456k-row cache write (measured both ways; same finding as
-    // the stats-transfer input). At scale the salt DECISION comes free
-    // from snapshot stats — only the two branch scans remain.
-    val withCell = TilePyramid.withCell(Images.images(s, dir), 12)
-      .select(col("cell"), col("image_id"), col("w"), col("h"))
-    // materialized: the hot set feeds BOTH the semi and the anti join —
-    // unmaterialized, the histogram aggregation would run twice. Tiny by
-    // definition (skew = few heavy keys).
-    val hot = withCell.groupBy(col("cell")).agg(count(lit(1)).as("hc"))
-      .filter(col("hc") > HotThreshold).select(col("cell"))
-      .localCheckpoint(true)
+  /** The split core shared by both decision inputs: `hot` is a tiny
+    * (cell)-frame of heavy keys — broadcast into a semi/anti split; hot
+    * rows pay the two-phase salted shuffle, the tail shuffles once. */
+  private def skewAdaptiveSplit(withCell: DataFrame, hot: DataFrame): DataFrame = {
     val bytes = (col("w") * col("h") * 3).cast("long")
     val hotAgg = withCell.join(broadcast(hot), Seq("cell"), "left_semi")
       .withColumn("salt", pmod(hash(col("image_id")), lit(SaltBuckets)))
@@ -699,6 +689,42 @@ object Queries {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), sum(bytes).as("bytes_sum"))
     hotAgg.unionByName(coldAgg)
+  }
+
+  // NOT cached: the histogram pass + the two branch aggregations each
+  // re-derive this narrow frame, but the codegen'd map work is cheaper
+  // than a 456k-row cache write (measured both ways; same finding as
+  // the stats-transfer input).
+  private def skewInput(s: SparkSession, dir: String): DataFrame =
+    TilePyramid.withCell(Images.images(s, dir), 12)
+      .select(col("cell"), col("image_id"), col("w"), col("h"))
+
+  private[graft] def skewAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val withCell = skewInput(s, dir)
+    // materialized: the hot set feeds BOTH the semi and the anti join —
+    // unmaterialized, the histogram aggregation would run twice. Tiny by
+    // definition (skew = few heavy keys).
+    val hot = withCell.groupBy(col("cell")).agg(count(lit(1)).as("hc"))
+      .filter(col("hc") > HotThreshold).select(col("cell"))
+      .localCheckpoint(true)
+    skewAdaptiveSplit(withCell, hot)
+  }
+
+  /** The 100 TB decision path, end-to-end: the hot set comes from a
+    * PERSISTED snapshot's per-cell stats (`cnt` of the leaf level — the
+    * same histogram [[operators.Snapshot.transferStats]] transfers as
+    * `hot_cnt`) instead of an in-query histogram pass. The corpus is
+    * scanned ONLY by the two branch aggregations; the decision input is a
+    * partition-pruned read of the tiny leaf-stats level. SkewSpec pins
+    * that the histogram job is truly gone (no RDD-backed hot set in the
+    * plan — both leaves are parquet scans) and that the output is
+    * bit-identical to the in-query-histogram variant. */
+  private[graft] def skewAdaptiveFromStats(s: SparkSession, dir: String,
+                                           statsRoot: String,
+                                           res: Int = 12): DataFrame = {
+    val hot = operators.Snapshot.level(s, statsRoot, res)
+      .filter(col("cnt") > HotThreshold).select(col("cell"))
+    skewAdaptiveSplit(skewInput(s, dir), hot)
   }
 
   private val qSkewAdaptive = Q(

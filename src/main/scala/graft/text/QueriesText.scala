@@ -179,13 +179,14 @@ object QueriesText {
     * default); the overlap>0 bug-faithful path is pinned by ChunkerSpec. */
   /** Spark chunk-rows builder (doc_id, chunk_id, chunk, n_tok) — shared
     * by q_chunk_rows and the composed q_chunk_pipeline. */
-  private def chunkRowsDf(s: SparkSession, dir: String): DataFrame = {
+  private def chunkRowsDf(s: SparkSession, dir: String,
+                          overlap: Int = 0): DataFrame = {
     val ptext = s"array_join(transform(${SparkD.splitToks("text")}, " +
       s"(w, i) -> concat(w, ${sepCase("i + 1")})), '')"
     docs(s, dir)
       .select(col("doc_id"), expr(ptext).as("ptext"))
       .select(col("doc_id"), posexplode(ChunkerFunctions.split_text_chunks(
-        col("ptext"), lit(ChunkRowsMax), lit(0))).as(Seq("pos", "chunk")))
+        col("ptext"), lit(ChunkRowsMax), lit(overlap))).as(Seq("pos", "chunk")))
       .select(col("doc_id"),
         (col("pos") + 1).cast("int").as("chunk_id"), col("chunk"),
         size(expr(s"regexp_extract_all(lower(chunk), '$PiecePat', 0)"))
@@ -268,6 +269,136 @@ object QueriesText {
     "q_chunk_rows",
     (s, dir) => chunkRowsDf(s, dir),
     Some(s"$chunkOracleCte\nSELECT doc_id, chunk_id, chunk, n_tok FROM cr"))
+
+  /** Overlap for [[qChunkOverlap]] — keep the last 2 pieces on flush. */
+  private val ChunkOverlap = 2
+
+  /** The chunker's OVERLAP path cross-engine (utils.py:79-95; the round-3
+    * gate ran overlap=0 only, with the overlap quirk pinned by ChunkerSpec
+    * alone): on every flush the last [[ChunkOverlap]] pieces are kept AND
+    * the carried length is recomputed from the token-count list indexed by
+    * the KEPT COUNT — i.e. the counts of the FIRST kept-count sentences of
+    * the document (main path, utils.py:98) or sub-pieces of the sentence
+    * (sub path, utils.py:80), not of the pieces actually kept: the
+    * reference's own "said to have bugs" comment, replicated bit-for-bit.
+    *
+    * Oracle structure (the overlap state machine needs more than the
+    * overlap=0 fold): the piece stream is built RELATIONALLY — sentences
+    * and sub-pieces exploded to rows, per-scope prefix-sum CSVs aggregated
+    * with FILTER, pieces re-listed in (sentence, piece) order — so no
+    * lambda body ever references an outer column (the DuckDB
+    * nested-lambda-capture segfault). The fold carries six '~'-fields:
+    * chunks, cur pieces ('#'-joined), cur length, sub pieces, sub length,
+    * and the document's global prefix CSV; flushes emit the joined pieces,
+    * keep the '#'-list tail, and re-derive the carried length from the
+    * prefix CSV at the kept count — exactly the bug-faithful recompute. */
+  private val qChunkOverlap = Q(
+    "q_chunk_overlap",
+    (s, dir) => chunkRowsDf(s, dir, overlap = ChunkOverlap),
+    Some {
+      val M = ChunkRowsMax
+      val V = ChunkOverlap
+      def npOf(e: String) = s"len(regexp_extract_all(lower($e), '$PiecePat'))"
+      def pfxCsv(cnt: String, key: String) = (1 to V).map(j =>
+        s"CAST(coalesce(sum($cnt) FILTER (WHERE $key <= $j), 0) AS VARCHAR)")
+        .mkString(" || ',' || ")
+      // fold state accessors
+      val A = "str_split(acc, '~')"
+      val ch = s"$A[1]"; val cur = s"$A[2]"; val sub = s"$A[4]"
+      val cl = s"CAST($A[3] AS BIGINT)"; val sl = s"CAST($A[5] AS BIGINT)"
+      val gpc = s"$A[6]"
+      val tc = "CAST(str_split(x, '|')[2] AS BIGINT)"
+      val pf = "str_split(x, '|')[3]"
+      val tx = "str_split(x, '|')[4]"
+      def st6(a: String, b: String, c: String, d: String, e: String) =
+        s"$a || '~' || $b || '~' || CAST($c AS VARCHAR) || '~' || $d ||" +
+          s" '~' || CAST($e AS VARCHAR) || '~' || $gpc"
+      def addChunk(list: String, pieces: String) = {
+        val c = s"replace($pieces, '#', ' ')"
+        s"(CASE WHEN $list = '' THEN $c ELSE $list || '@' || $c END)"
+      }
+      def joinH(a: String, b: String) =
+        s"(CASE WHEN $a = '' THEN $b ELSE $a || '#' || $b END)"
+      def lst(s0: String) = s"str_split($s0, '#')"
+      def kept(s0: String) = s"array_to_string(${lst(s0)}[greatest(1, " +
+        s"len(${lst(s0)}) - ${V - 1}):len(${lst(s0)})], '#')"
+      def keptCnt(s0: String) = s"least($V, len(${lst(s0)}))"
+      def pick(csv: String, k: String) =
+        s"CAST(str_split($csv, ',')[$k] AS BIGINT)"
+      s"""WITH p AS (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |    ${DuckD.splitToks("text")}, (w, i) -> w || ${sepCase("i")}), '') AS ptext
+         |  FROM documents
+         |), sents AS (
+         |  SELECT doc_id, regexp_split_to_array(ptext, '[.!?\n]') AS ss FROM p
+         |), nt AS (
+         |  SELECT doc_id, u.i AS i, u.st AS st, ${npOf("u.st")} AS np
+         |  FROM (SELECT doc_id, unnest(list_transform(ss,
+         |          (st, i) -> {'st': st, 'i': i})) AS u FROM sents)
+         |), gp AS (
+         |  SELECT doc_id, ${pfxCsv("np", "i")} AS gpcsv FROM nt GROUP BY doc_id
+         |), mp AS (
+         |  SELECT doc_id, i, 0 AS j,
+         |    'M|' || CAST(np AS VARCHAR) || '||' || st AS enc
+         |  FROM nt WHERE trim(st) <> '' AND np <= $M
+         |), ov AS (
+         |  SELECT doc_id, i, u.j AS j, u.q AS piece, ${npOf("u.q")} AS snp
+         |  FROM (
+         |    SELECT doc_id, i, unnest(list_transform(
+         |      list_filter(list_transform(regexp_split_to_array(st, '[,;:]'),
+         |        q -> trim(q)), q -> q <> ''),
+         |      (q, j) -> {'q': q, 'j': j})) AS u
+         |    FROM nt WHERE trim(st) <> '' AND np > $M)
+         |), spx AS (
+         |  SELECT doc_id, i, ${pfxCsv("snp", "j")} AS spcsv
+         |  FROM ov GROUP BY doc_id, i
+         |), se AS (
+         |  SELECT o.doc_id, o.i, o.j,
+         |    'S|' || CAST(o.snp AS VARCHAR) || '|' || x.spcsv || '|' || o.piece AS enc
+         |  FROM ov o JOIN spx x ON x.doc_id = o.doc_id AND x.i = o.i
+         |), ep AS (
+         |  SELECT DISTINCT doc_id, i, 1000000 AS j, 'E|0||' AS enc FROM ov
+         |), allp AS (
+         |  SELECT * FROM mp UNION ALL SELECT * FROM se UNION ALL SELECT * FROM ep
+         |), pl AS (
+         |  SELECT doc_id, list(enc ORDER BY i, j) AS ps FROM allp GROUP BY doc_id
+         |), fold AS (
+         |  SELECT g.doc_id, list_reduce(
+         |    list_prepend('~~0~~0~' || g.gpcsv, coalesce(l.ps, []::VARCHAR[])),
+         |    (acc, x) -> CASE
+         |      WHEN str_split(x, '|')[1] = 'M' AND $cl + $tc > $M
+         |        THEN ${st6(addChunk(ch, cur), s"${kept(cur)} || '#' || $tx",
+                     s"${pick(gpc, keptCnt(cur))} + $tc", sub, sl)}
+         |      WHEN str_split(x, '|')[1] = 'M'
+         |        THEN ${st6(ch, joinH(cur, tx), s"$cl + $tc", sub, sl)}
+         |      WHEN str_split(x, '|')[1] = 'S' AND $sl + $tc > $M AND $sub <> ''
+         |        THEN ${st6(addChunk(ch, sub), cur, cl,
+                     s"${kept(sub)} || '#' || $tx",
+                     s"${pick(pf, keptCnt(sub))} + $tc")}
+         |      WHEN str_split(x, '|')[1] = 'S'
+         |        THEN ${st6(ch, cur, cl, joinH(sub, tx), s"$sl + $tc")}
+         |      WHEN str_split(x, '|')[1] = 'E' AND $sub <> ''
+         |        THEN ${st6(addChunk(ch, sub), cur, cl, "''", "0")}
+         |      ELSE acc
+         |    END) AS fst
+         |  FROM gp g LEFT JOIN pl l ON l.doc_id = g.doc_id
+         |), fin AS (
+         |  SELECT doc_id, CASE WHEN f2 = '' THEN f1 WHEN f1 = '' THEN f2
+         |                      ELSE f1 || '@' || f2 END AS allch
+         |  FROM (SELECT doc_id, str_split(fst, '~')[1] AS f1,
+         |               replace(str_split(fst, '~')[2], '#', ' ') AS f2 FROM fold)
+         |), cl2 AS (
+         |  SELECT doc_id, str_split(allch, '@') AS chunks FROM fin
+         |  WHERE allch <> ''
+         |), ex AS (
+         |  SELECT doc_id, unnest(list_transform(chunks,
+         |    (c, i) -> {'chunk_id': i, 'chunk': c})) AS u
+         |  FROM cl2
+         |)
+         |SELECT doc_id, u.chunk_id AS chunk_id, u.chunk AS chunk,
+         |  ${npOf("u.chunk")} AS n_tok
+         |FROM ex""".stripMargin
+    })
 
   /** Minimum chunk token count the pipeline keeps (quality gate). */
   private val PipeMinTok = 5
@@ -517,7 +648,8 @@ object QueriesText {
          |) WHERE hamming <= $SimHammingMax""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qDocStats, qChunkPlan, qChunkRows, qChunkPipeline, qTokenDist,
+    qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
+    qTokenDist,
     qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qLshNearDup,

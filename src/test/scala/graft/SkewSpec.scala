@@ -25,6 +25,34 @@ class SkewSpec extends SparkFunSuite {
       "fixture lost its planted hotspot — the adaptive path is untested")
   }
 
+  test("stats-driven decision: no histogram pass in the plan, output identical") {
+    import graft.operators.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-skew-stats").toString
+    Snapshot.write(
+      TilePyramid.leafTiles(Images.images(spark, SparkSpec.Sf), 12),
+      root, "stats", buildTs = 1L)
+    val df = Queries.skewAdaptiveFromStats(spark, SparkSpec.Sf, root)
+    val plan = df.queryExecution.executedPlan.toString
+    // the in-query variant materializes its histogram as a checkpointed
+    // RDD (Scan ExistingRDD); here the decision input is a parquet read
+    // of the snapshot's leaf stats — no corpus histogram job anywhere
+    assert(!plan.contains("ExistingRDD"),
+      s"histogram pass still present (RDD-backed hot set):\n$plan")
+    assert(Queries.skewAdaptive(spark, SparkSpec.Sf)
+      .queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "sentinel: the in-query variant should carry the RDD-backed hot set")
+    // still the adaptive split shape: exactly one salted exchange
+    val salted = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("salt"))
+    assert(salted == 1, s"expected one salted exchange:\n$plan")
+    // bit-identical output to the in-query-histogram variant
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Queries.skewAdaptive(spark, SparkSpec.Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("only the hot branch pays the salted two-phase shuffle") {
     val df = Queries.skewAdaptive(spark, SparkSpec.Sf)
     val plan = df.queryExecution.executedPlan.toString
