@@ -379,12 +379,21 @@ object Queries {
     * level) — one per-level aggregate + parent join in SQL, the same
     * predicate the engine evaluates. At sf0.01 the fixture exercises
     * every depth: most smooth cells settle at res 4-5, the planted hot
-    * cluster chains over-budget all the way to the forced res-8 leaf. */
+    * cluster chains over-budget all the way to the forced res-8 leaf.
+    *
+    * The slim pyramid is MATERIALIZED (localCheckpoint) before the
+    * self-join: adaptiveSplit consumes it twice (tiles + parents), and
+    * lazily each side would rebuild every rollup chain from the leaf —
+    * 66 exchanges with only 4 reused (measured). The pyramid is #cells
+    * rows (orders of magnitude under the corpus), so this is exactly the
+    * snapshot-materialization a 100 TB run does anyway; both join sides
+    * then read the tiny cached frame. */
   private val qAdaptiveSplit = Q(
     "q_adaptive_split", {
       val (startRes, maxRes, budget) = (4, 8, 200L)
       (s, dir) => TilePyramid.adaptiveSplit(
-        TilePyramid.pyramidLazySlim(Images.images(s, dir), startRes, maxRes),
+        TilePyramid.pyramidLazySlim(Images.images(s, dir), startRes, maxRes)
+          .localCheckpoint(true),
         startRes, maxRes, budget)
         .select("res", "cell", "cnt", "bytes_sum")
     },

@@ -27,7 +27,14 @@ import org.apache.spark.sql.functions._
   * Contract: `right` must be unique per (key, ts) — with duplicates the
   * carried value would depend on sort nondeterminism; callers dedupe
   * (e.g. max(value) per key+ts). Left rows with no prior right keep a
-  * NULL value (left-asof semantics); filter it for inner. */
+  * NULL value (left-asof semantics); filter it for inner.
+  *
+  * NULL right values are matched, not skipped: the carry runs over
+  * `struct(value)` (non-null wrapper even when `value` is NULL), so a
+  * right row whose value is NULL wins the as-of match and yields NULL —
+  * exactly DuckDB's ASOF JOIN, which matches on (key, ts) alone. A raw
+  * `last(value, ignoreNulls=true)` would transparently bypass NULL rows
+  * and carry an OLDER non-null value (AsOfJoinSpec pins the difference). */
 object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
@@ -36,21 +43,26 @@ object AsOfJoin {
       s"left side already has a column named '$value'")
     val lCols = left.columns.toIndexedSeq
     val vType = right.schema(value).dataType
+    // carry a non-null STRUCT wrapper so right rows with a NULL value
+    // still win the as-of match (ignoreNulls must only skip LEFT rows)
     val l = left
-      .withColumn(value, lit(null).cast(vType))
+      .withColumn("__pack",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("v", vType)))))
       .withColumn("__side", lit(1))
     val rPad = lCols.filterNot(c => c == key || c == ts)
-      .foldLeft(right.select(col(key), col(ts), col(value))) { (df, c) =>
+      .foldLeft(right.select(col(key), col(ts),
+        struct(col(value).as("v")).as("__pack"))) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
       .withColumn("__side", lit(0))
-    val ordered: Seq[Column] = (lCols :+ value :+ "__side").map(col)
+    val ordered: Seq[Column] = (lCols :+ "__pack" :+ "__side").map(col)
     val u = l.select(ordered: _*).unionByName(rPad.select(ordered: _*))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__asof", last(col(value), ignoreNulls = true).over(w))
+    u.withColumn("__asof", last(col("__pack"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side", value)
-      .withColumnRenamed("__asof", value)
+      .withColumn(value, col("__asof").getField("v"))
+      .drop("__side", "__pack", "__asof")
   }
 }

@@ -177,10 +177,22 @@ object TilePyramid {
     * retrieval queries never read the centroid, and the full rollup's
     * 65-column aggregate state is most of its cost; the slim union is the
     * same shape at 7 aggregate columns. Aggregation is associative, so
-    * every value equals the full pyramid's corresponding column. */
+    * every value equals the full pyramid's corresponding column.
+    *
+    * Unlike [[rollupOnce]], `res` here is a LITERAL per level, not
+    * `resCol(cell)`: consumers of the slim pyramid filter on `res`
+    * (adaptiveSplit filters BOTH join sides), and a literal lets the
+    * pushed-down filter constant-fold to true/false per union branch —
+    * pruning whole branches — where the expression form collapses into
+    * the full encode/parent chain inside each branch's pushed Filter
+    * (measured: a 49 KB single Filter expression that blew whole-stage
+    * codegen past janino's 64 KB method limit and fell back to
+    * interpreted). The compile-once rationale of the literal-free full
+    * rollup doesn't transfer: the slim agg is 7 columns, so the ~5
+    * per-level codegen variants are cheap to compile. */
   def pyramidLazySlim(images: DataFrame, minRes: Int, maxRes: Int = LeafRes,
                       strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
-    def slimRollup(tiles: DataFrame): DataFrame =
+    def slimRollup(tiles: DataFrame, resOut: Int): DataFrame =
       tiles.withColumn("parent", strategy.parentOnceCol(col("cell")))
         .groupBy(col("parent"))
         .agg(sum(col("cnt")).as("cnt"),
@@ -188,7 +200,7 @@ object TilePyramid {
           min(col("lat_min")).as("lat_min"), max(col("lat_max")).as("lat_max"),
           min(col("lon_min")).as("lon_min"), max(col("lon_max")).as("lon_max"))
         .withColumnRenamed("parent", "cell")
-        .withColumn("res", strategy.resCol(col("cell")))
+        .withColumn("res", lit(resOut))
     var level = withCell(images, maxRes, strategy)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"),
@@ -199,7 +211,7 @@ object TilePyramid {
     var all = level
     var r = maxRes
     while (r > minRes) {
-      level = slimRollup(level)
+      level = slimRollup(level, r - 1)
       all = all.unionByName(level)
       r -= 1
     }

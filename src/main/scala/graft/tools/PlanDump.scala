@@ -97,7 +97,7 @@ object PlanDump {
         graft.operators.KmeansAssign.assign(imgs, 4, 1)),
       ("Image near-dup banded join (round 3)",
         "both sides map-only dHash kernels + band posexplode, candidates" +
-          " from an 8-bit-band equi-join (lossless for hamming <= 6)," +
+          " from a 4x14-bit-band equi-join (lossless for hamming <= 3)," +
           " exact bit_count refine — linear, never an all-pairs loop",
         graft.Queries.queryMap("q_image_neardup")(spark, dir)),
       ("Bucketed co-located join (round 3)",

@@ -55,4 +55,18 @@ class AsOfJoinSpec extends SparkFunSuite {
       .select(col("event_id"), col("user_id"), col("ts"), col("pval"))
     assert(viaOp.exceptAll(brute).isEmpty && brute.exceptAll(viaOp).isEmpty)
   }
+
+  test("a NULL right value WINS the as-of match (not skipped)") {
+    // DuckDB's ASOF JOIN matches on (key, ts) alone; a NULL value row is
+    // still the latest-prior match. A raw last(v, ignoreNulls) carry would
+    // bypass it and resurrect the older 1.0 — the struct wrapper must not.
+    val left = Seq((1L, 10L, 300L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, 100L, Some(1.0)),
+      (10L, 200L, None: Option[Double]) // latest prior, value NULL
+    ).toDF("k", "t", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "v").collect()
+    assert(got.length == 1 && got.head.isNullAt(got.head.fieldIndex("v")),
+      s"NULL right value was skipped: ${got.mkString}")
+  }
 }
