@@ -29,6 +29,10 @@ object Bench {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus * 2)
+      // cached tile frames re-coalesce under AQE instead of fanning every
+      // downstream stage out to cpus*2 micro-tasks (see Verify.scala)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster"))

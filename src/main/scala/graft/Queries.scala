@@ -341,7 +341,15 @@ object Queries {
     * oracle is the DIRECT res-6 groupBy over the FULL corpus, so a hash
     * match proves merged == from-scratch rebuild: the incremental path is
     * exact, not approximate (a parity split touches most branches at this
-    * tiny scale; the cost model is |delta| x levels, not corpus size). */
+    * tiny scale; the cost model is |delta| x levels, not corpus size).
+    *
+    * Measured alternative, rejected: deriving BOTH halves' leaf tiles in
+    * one (cell, half)-keyed corpus pass (the q_stats_transfer shape) and
+    * feeding [[Snapshot.mergeDeltaLeaf]] saves two corpus scans but is
+    * net SLOWER here (24.9 s vs 21.9 s at sf0.1) — caching the 2x-wider
+    * combined leaf frame costs more than the scans it saves; the query is
+    * small-stage-overhead bound, not scan bound. mergeDeltaLeaf remains
+    * the right entry point when the delta genuinely arrives pre-tiled. */
   private val qDeltaMerge = Q(
     "q_delta_merge", {
       val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"

@@ -10,6 +10,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE re-coalesce the output partitioning of CACHED plans: the
+      // snapshot/merge operators persist tile-sized frames (|cells| rows),
+      // which otherwise keep the full shuffle-partition fan-out and turn
+      // every downstream stage into hundreds of micro-tasks (measured:
+      // warm mergeDelta 10.7 s -> 5.5 s at sf0.1/64 partitions).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -350,6 +350,21 @@ object Snapshot {
   def mergeDelta(spark: SparkSession, root: String, delta: DataFrame,
                  leafRes: Int, minRes: Int,
                  strategy: graft.geo.TilingStrategy = graft.geo.QuadkeyTiling)
+      : DataFrame =
+    mergeDeltaLeaf(spark, root,
+      TilePyramid.leafTiles(delta, leafRes, strategy),
+      leafRes, minRes, strategy)
+
+  /** [[mergeDelta]] taking the delta as ALREADY-AGGREGATED leaf tiles
+    * (schema of [[TilePyramid.leafTiles]] at `leafRes`) instead of a raw
+    * corpus. This is the entry point when the caller derived the delta's
+    * tiles in a scan it was making anyway (q_delta_merge derives base +
+    * delta halves from ONE corpus pass via extraKeys grouping) or when the
+    * delta arrives pre-tiled (a streaming micro-batch's per-cell
+    * increments). */
+  def mergeDeltaLeaf(spark: SparkSession, root: String, deltaLeaf: DataFrame,
+                     leafRes: Int, minRes: Int,
+                     strategy: graft.geo.TilingStrategy = graft.geo.QuadkeyTiling)
       : DataFrame = {
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = {
@@ -362,7 +377,7 @@ object Snapshot {
     // the delta leaf aggregation is the only corpus-scan in the merge and
     // is referenced three times (distinct cells, the semi-join filter, the
     // combine union) — persist it or the delta scans once per reference
-    val dLeaf = cached(TilePyramid.leafTiles(delta, leafRes, strategy))
+    val dLeaf = cached(deltaLeaf)
     val touchedLeaf = cached(dLeaf.select(col("cell")).distinct())
     val oldLeaf = old.filter(col("res") === leafRes)
     val combined = TilePyramid.combineByCell(
