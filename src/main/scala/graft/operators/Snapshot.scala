@@ -365,6 +365,16 @@ object Snapshot {
   def mergeDeltaLeaf(spark: SparkSession, root: String, deltaLeaf: DataFrame,
                      leafRes: Int, minRes: Int,
                      strategy: graft.geo.TilingStrategy = graft.geo.QuadkeyTiling)
+      : DataFrame =
+    mergeDeltaInto(read(spark, root), deltaLeaf, leafRes, minRes, strategy)
+
+  /** The merge core over an explicit OLD pyramid frame — callers that
+    * read the old state some other way (a versioned snapshot via
+    * [[readAsOf]], the streaming maintenance sink's previous version)
+    * pass it directly; the root-based entry points delegate here. */
+  def mergeDeltaInto(oldPyramid: DataFrame, deltaLeaf: DataFrame,
+                     leafRes: Int, minRes: Int,
+                     strategy: graft.geo.TilingStrategy = graft.geo.QuadkeyTiling)
       : DataFrame = {
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = {
@@ -372,7 +382,7 @@ object Snapshot {
       caches += p
       p
     }
-    val old = read(spark, root).drop(LineageCols: _*)
+    val old = oldPyramid.drop(LineageCols: _*)
     val cols = old.columns.map(col).toIndexedSeq
     // the delta leaf aggregation is the only corpus-scan in the merge and
     // is referenced three times (distinct cells, the semi-join filter, the

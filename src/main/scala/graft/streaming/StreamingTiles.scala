@@ -164,6 +164,69 @@ object StreamingTiles {
       spark.readStream.schema(imageSchema).parquet(dir),
       spark, polys, res, strategy)
 
+  /** STREAMING SNAPSHOT MAINTENANCE — the durable, resumable form of
+    * [[pyramidStream]]: arriving image files are folded into a VERSIONED
+    * snapshot ([[graft.operators.Snapshot.writeVersioned]] layout) one
+    * micro-batch at a time. Each batch:
+    *
+    *   1. aggregates the batch's rows to leaf tiles (one pass, the batch
+    *      [[graft.operators.TilePyramid.leafTiles]] plan);
+    *   2. merges them into the LATEST committed version with
+    *      [[graft.operators.Snapshot.mergeDeltaInto]] — compute is
+    *      O(|delta| x levels), never corpus size (the first batch builds
+    *      the initial pyramid instead);
+    *   3. commits the result as a new snapshot version whose id encodes
+    *      the micro-batch id.
+    *
+    * EXACTLY-ONCE across crash/restart without sink-side transactions:
+    * the manifest is the commit point, and the version id is a pure
+    * function of the batch id — a replayed batch whose manifest already
+    * exists is skipped, and a half-written version (data, no manifest)
+    * is cleared and rewritten by writeVersioned itself. Every
+    * intermediate version stays time-travelable ([[graft.operators
+    * .Snapshot.readAsOf]]); [[graft.operators.Snapshot.expireSnapshots]]
+    * bounds storage and [[graft.operators.Snapshot.compact]] bounds file
+    * counts — the standing maintenance pair of any versioned store.
+    *
+    * Scale note: each commit writes a FULL pyramid version (plain-parquet
+    * layout; ~|cells| rows, orders of magnitude under the corpus). An
+    * Iceberg-manifest layout would rewrite only the files of touched
+    * partitions; the merge COMPUTATION is already incremental, so that
+    * swap changes IO, not the operator. StreamingSpec pins two-increment
+    * parity with the batch pyramid and idempotent replay. */
+  def snapshotMaintStream(spark: SparkSession, dir: String, root: String,
+                          leafRes: Int, minRes: Int, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Snapshot, TilePyramid}
+    spark.readStream.schema(imageSchema).parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val id = f"b$batchId%09d" // zero-padded: lexical order == batch order
+        val committed = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/MANIFEST-$id.json"))
+        if (!committed && !batch.isEmpty) {
+          val dLeaf = TilePyramid.leafTiles(batch.toDF(), leafRes)
+          val merged = Snapshot.snapshots(root).lastOption match {
+            case None =>
+              var all = dLeaf; var lvl = dLeaf; var r = leafRes
+              while (r > minRes) {
+                lvl = TilePyramid.rollupOnce(lvl)
+                all = all.unionByName(lvl); r -= 1
+              }
+              all
+            case Some((prevId, _)) =>
+              Snapshot.mergeDeltaInto(Snapshot.readAsOf(spark, root, prevId),
+                dLeaf, leafRes, minRes)
+          }
+          Snapshot.writeVersioned(merged, root, id, buildTs = batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
   val SessionGapUs = 1800000000L // 30 min, matches q_events_sessions
 
   /** Streaming sessionization via CUSTOM STATE

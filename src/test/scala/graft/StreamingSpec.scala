@@ -382,6 +382,45 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.toSet == want.toSet && got.nonEmpty)
   }
 
+  test("streaming snapshot maintenance: versioned merge == batch; idempotent") {
+    import graft.operators.{Snapshot, TilePyramid}
+    val inDir = Files.createTempDirectory("graft-snapm-in").toString
+    val ckpt = Files.createTempDirectory("graft-snapm-ck").toString
+    val root = Files.createTempDirectory("graft-snapm-root").toString
+    val imgs = Images.images(spark, SparkSpec.Sf)
+      .select("image_id", "lat", "lon", "w", "h", "phash")
+    def run(): Unit = StreamingTiles
+      .snapshotMaintStream(spark, inDir, root, 8, 6, ckpt).awaitTermination()
+    def pyr(df: org.apache.spark.sql.DataFrame) =
+      TilePyramid.pyramidLazy(df, 6, 8)
+        .select("res", "cell", "cnt", "bytes_sum", "phash_centroid")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def asOf(id: String) = Snapshot.readAsOf(spark, root, id)
+      .select("res", "cell", "cnt", "bytes_sum", "phash_centroid")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val half1 = imgs.filter(col("phash") % 2 === 0)
+    half1.write.mode("append").parquet(inDir)
+    run()
+    imgs.filter(col("phash") % 2 =!= 0).write.mode("append").parquet(inDir)
+    run() // second increment resumes from the same checkpoint
+    val snaps = Snapshot.snapshots(root)
+    assert(snaps.map(_._1) == Seq("b000000000", "b000000001"), s"got $snaps")
+    // latest version == from-scratch batch pyramid of the FULL corpus
+    // (every column of the tile summary, including the phash centroid)
+    assert(asOf("b000000001") == pyr(imgs))
+    // time travel: the first version is exactly increment 1's pyramid
+    assert(asOf("b000000000") == pyr(half1))
+    // idempotent: re-running with no new data commits no new version
+    run()
+    assert(Snapshot.snapshots(root).map(_._1) ==
+      Seq("b000000000", "b000000001"))
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
