@@ -99,6 +99,33 @@ object Queries {
     (s, dir) => SpatialJoin.polyTileCoverage(Images.images(s, dir), s),
     Some(Fixtures.polyTileCovOracleSql(cte, cellSql(SpatialJoin.CoverRes))))
 
+  /** Radius for [[qDistPairs]] — small enough that the planted hot
+    * cluster (0.001 deg box) contributes thousands, not millions, of
+    * pairs, and the background stays sparse. */
+  private val DistR = 0.0001
+
+  /** Distance-radius self-join ([[SpatialJoin.distanceJoin]]): all
+    * unordered point pairs within planar [[DistR]] degrees. The oracle is
+    * STRUCTURALLY INDEPENDENT: a lat-band inequality join (DuckDB IEJoin)
+    * + exact refine, vs the engine's cell-bucket + Chebyshev-ring
+    * equi-join — a hash match proves the bucketed plan loses/invents no
+    * pair. dist_sq mirrors op order double-for-double (the q_knn
+    * discipline). */
+  private val qDistPairs = Q(
+    "q_dist_pairs",
+    (s, dir) => SpatialJoin.distanceJoin(Images.images(s, dir), DistR),
+    Some(
+      s"""$cte
+         |SELECT a.image_id AS a_id, b.image_id AS b_id,
+         |  (a.lat - b.lat) * (a.lat - b.lat) +
+         |  (a.lon - b.lon) * (a.lon - b.lon) AS dist_sq
+         |FROM images a JOIN images b
+         |  ON a.image_id < b.image_id
+         | AND b.lat >= a.lat - $DistR AND b.lat <= a.lat + $DistR
+         |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+         |      (a.lon - b.lon) * (a.lon - b.lon) <= $DistR * $DistR"""
+        .stripMargin))
+
   private val KnnK = 10
 
   private def knnBruteOracle(extra: String): String =
@@ -943,6 +970,7 @@ object Queries {
     qPyramidRes5,
     qPipJoin,
     qPolyTileCov,
+    qDistPairs,
     qKnn,
     qKnnBudget,
     qKnnBudgetIncl,

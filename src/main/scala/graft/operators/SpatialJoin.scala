@@ -86,6 +86,49 @@ object SpatialJoin {
       .groupBy(col("poly_id"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** DISTANCE-RADIUS self-join: every unordered point pair within planar
+    * distance `radiusDeg` — the classic spatial range join Spark lacks
+    * natively (a `dist <= r` theta join is a nested loop; this is the
+    * bucket-and-ring re-expression: linear candidates, one keyed shuffle).
+    *
+    *  1. pick the coarsest res whose cell EDGE >= r (cell height is the
+    *     binding side: 180/2^res), so two points within r are never more
+    *     than one cell apart on either axis;
+    *  2. the probe side explodes each point to its Chebyshev-1 ring (<= 9
+    *     cells, lon-wrapped); the build side keys by its own cell — each
+    *     candidate pair is generated EXACTLY once (the build point's one
+    *     cell appears once in the probe ring), no post-join dedup;
+    *  3. codegen planar refine + `a_id < b_id` keeps each unordered pair
+    *     in one orientation. Ring wrap candidates across the antimeridian
+    *     are refined away by the same no-wrap planar metric the kNN
+    *     operators use ([[graft.geo.GridCell.planarDist2]] note).
+    *
+    * Scale shape: |candidates| = sum over cells of n_cell x n_ring — local
+    * density, never |points|^2; the equi-join on the ring cell shuffles
+    * once and AQE's skew split handles a hot cell (same device as
+    * q_skew_*). Pairs inside one hot cell are irreducibly quadratic in
+    * that cell's population — the radius/res trade callers tune. */
+  def distanceJoin(points: DataFrame, radiusDeg: Double): DataFrame = {
+    require(radiusDeg > 0.0, s"radius must be positive, got $radiusDeg")
+    // coarsest res with cellHeightDeg(res) = 180/2^res >= radius (width
+    // 360/2^res is always looser); res caps at the 29-bit packing bound
+    val res = math.min(29,
+      math.floor(math.log(180.0 / radiusDeg) / math.log(2.0)).toInt)
+    val pts = points.select(col("image_id"), col("lat"), col("lon"))
+    val probe = pts.toDF("a_id", "a_lat", "a_lon")
+      .withColumn("pcell", explode(G.cell_ring(
+        G.cell_encode(col("a_lat"), col("a_lon"), res), lit(1))))
+    val build = pts.toDF("b_id", "b_lat", "b_lon")
+      .withColumn("pcell", G.cell_encode(col("b_lat"), col("b_lon"), res))
+    probe.join(build, Seq("pcell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist_sq",
+        (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat")) +
+          (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")))
+      .filter(col("dist_sq") <= lit(radiusDeg * radiusDeg))
+      .select(col("a_id"), col("b_id"), col("dist_sq"))
+  }
+
   private def pipJoinWithCell(images: DataFrame, spark: SparkSession,
                               polys: Seq[Fixtures.Poly], res: Int): DataFrame = {
     val idx = coverIndex(spark, polys, res)

@@ -26,6 +26,26 @@ class SpatialParitySpec extends SparkFunSuite {
     }
   }
 
+  test("distance-radius self-join == brute all-pairs filter") {
+    import org.apache.spark.sql.functions._
+    val r = 0.0001
+    val fast = SpatialJoin.distanceJoin(images, r).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    val pts = images.select(col("image_id"), col("lat"), col("lon"))
+    val brute = pts.toDF("a_id", "a_lat", "a_lon")
+      .crossJoin(pts.toDF("b_id", "b_lat", "b_lon"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(
+        (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat")) +
+          (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon"))
+          <= lit(r * r))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    // the planted hot cluster guarantees a real pair population
+    assert(fast.size > 100, s"fixture too sparse: ${fast.size} pairs")
+    assert(fast == brute)
+  }
+
   test("ring-expansion kNN == brute-force kNN") {
     val qs = Fixtures.knnQueries(spark)
     val fast = Knn.knnExact(images, qs, 10).collect()
