@@ -30,7 +30,10 @@ object Verify {
     def keep(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), not coalesce(1): coalesce collapses the WHOLE
+        // query to one task; repartition keeps the query parallel and
+        // serializes only the final dump through the single writer
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(s"[verify] $name dumped")
       } catch { case e: Throwable =>

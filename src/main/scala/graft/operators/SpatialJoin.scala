@@ -86,6 +86,29 @@ object SpatialJoin {
       .groupBy(col("poly_id"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[pipJoin]] for a vector layer too big to broadcast (a continental
+    * parcel/building layer is 10^8-10^9 polygons — no executor holds it):
+    * the SAME prefilter + refine semantics, but the covering index joins
+    * as a sort-merge equi-join on the cell key — both sides shuffle once
+    * on `cell`, AQE's skew split covers hot cells (a metro cell with
+    * thousands of polygons AND millions of points), and nothing is
+    * collected or broadcast anywhere. The polygon vertex arrays ride the
+    * shuffle once; at extreme vertex counts, bucket the index by cell
+    * ([[BucketStore]]) so repeated joins pay zero exchanges.
+    * PipPartitionSpec pins the plan (SMJ, no broadcast) and parity with
+    * [[pipJoin]]. */
+  def pipJoinPartitioned(images: DataFrame, spark: SparkSession,
+                         polys: Seq[Fixtures.Poly] = Fixtures.polys,
+                         res: Int = CoverRes,
+                         strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    val idx = coverIndex(spark, polys, res, strategy)
+    val pts = images.select(col("image_id"), col("lat"), col("lon"))
+      .withColumn("cell", strategy.encodeCol(col("lat"), col("lon"), res))
+    pts.hint("merge").join(idx, Seq("cell"))
+      .filter(G.point_in_poly(col("lat"), col("lon"), col("lats"), col("lons")))
+      .select(col("poly_id"), col("image_id"))
+  }
+
   /** DISTANCE-RADIUS self-join: every unordered point pair within planar
     * distance `radiusDeg` — the classic spatial range join Spark lacks
     * natively (a `dist <= r` theta join is a nested loop; this is the

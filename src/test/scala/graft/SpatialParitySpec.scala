@@ -26,6 +26,18 @@ class SpatialParitySpec extends SparkFunSuite {
     }
   }
 
+  test("partitioned pip join: sort-merge plan, zero broadcast, == pipJoin") {
+    val df = SpatialJoin.pipJoinPartitioned(images, spark)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"the partitioned variant must not broadcast:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = SpatialJoin.pipJoin(images, spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("distance-radius self-join == brute all-pairs filter") {
     import org.apache.spark.sql.functions._
     val r = 0.0001
