@@ -93,6 +93,15 @@ object Queries {
     (s, dir) => SpatialJoin.pipJoin(Images.images(s, dir), s),
     Some(Fixtures.pipOracleSql(cte)))
 
+  /** [[qPipJoin]] through the NON-broadcast plan ([[SpatialJoin
+    * .pipJoinPartitioned]]): sort-merge on the covering cell, for vector
+    * layers too big for any executor to hold. Same oracle — a hash match
+    * proves the shuffle plan computes the identical relation. */
+  private val qPipPart = Q(
+    "q_pip_part",
+    (s, dir) => SpatialJoin.pipJoinPartitioned(Images.images(s, dir), s),
+    Some(Fixtures.pipOracleSql(cte)))
+
   /** Raster<->vector assignment: per-(polygon, tile) image counts. */
   private val qPolyTileCov = Q(
     "q_poly_tile_cov",
@@ -969,6 +978,7 @@ object Queries {
     qSoftAssign,
     qPyramidRes5,
     qPipJoin,
+    qPipPart,
     qPolyTileCov,
     qDistPairs,
     qKnn,
