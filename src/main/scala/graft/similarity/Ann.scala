@@ -3,7 +3,7 @@ package graft.similarity
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,7 +59,7 @@ object Ann {
 
   /** Engine-side cosine Column over the codegen'd [[VecDot]] kernel —
     * bit-identical to [[cosine]] (same sequential fold). */
-  private def cosCol(a: String, b: String, na: String, nb: String) =
+  private[graft] def cosCol(a: String, b: String, na: String, nb: String) =
     V.vec_dot(col(a), col(b)) / (sqrt(col(na)) * sqrt(col(nb)))
 
   /** Signed projection onto plane p, unrolled to a left-assoc ±v[i] chain
@@ -267,8 +267,22 @@ object Ann {
     * janino compile of those dominated the cold query time). */
   private lazy val sigSigns: Array[Int] =
     Array.tabulate(SigBits * Dim)(k => planeSign(k / Dim, k % Dim))
-  private lazy val ndSigns: Array[Int] =
+  private[graft] lazy val ndSigns: Array[Int] =
     Array.tabulate(NdBands * NdBits * Dim)(k => planeSign(NdPlaneOff + k / Dim, k % Dim))
+
+  /** Emit-once band filter: a pair colliding in SEVERAL bands must surface
+    * exactly once, and a `distinct()` on the candidate pairs is a full
+    * extra shuffle. Instead each side carries its full band-signature array
+    * and the pair is kept only in the FIRST band where the signatures
+    * agree — a stateless, shuffle-free dedup (both sides' arrays are in
+    * hand after the band join; `array_position` is 1-based, `posexplode`
+    * bands 0-based). Also the device that makes the STREAMING near-dup
+    * possible, where a post-join distinct would be a second stateful
+    * operator ([[graft.streaming.StreamingTiles.nearDupStream]]). */
+  private[graft] def firstSharedBand(aSigs: Column, bSigs: Column,
+                                     band: Column): Column =
+    array_position(zip_with(aSigs, bSigs, (x, y) => x === y), lit(true)) ===
+      band + lit(1)
 
   /** Embedding near-dup pairs at cosine >= t, SCALE-SAFE: candidates from a
     * banded random-hyperplane LSH equi-join (any shared band), verified with
@@ -279,14 +293,18 @@ object Ann {
     * as the text LSH at [[graft.dedup.NearDup.lshNearDupPairs]]. */
   def lshCosNearDupPairs(spark: SparkSession, dir: String, t: Double): DataFrame = {
     val w = vecs(spark, dir)
-    val bands = w.select(col("vec_id"),
-        posexplode(V.hyperplane_bands(col("v"), ndSigns, Dim, NdBits)))
-      .toDF("vec_id", "band", "bv")
+    val bands = w
+      .select(col("vec_id"),
+        V.hyperplane_bands(col("v"), ndSigns, Dim, NdBits).as("sigs"))
+      .select(col("vec_id"), col("sigs"), posexplode(col("sigs")))
+      .toDF("vec_id", "sigs", "band", "bv")
+    // emit-once: keep the pair only in its first shared band — unique by
+    // construction, so no distinct() (formerly a full shuffle of the pairs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
+      .filter(firstSharedBand(col("a.sigs"), col("b.sigs"), col("a.band")))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"))
-      .distinct()
     cand
       .join(w.select(col("vec_id").as("ai"), col("v").as("av"), col("nrm").as("an")), "ai")
       .join(w.select(col("vec_id").as("bi"), col("v").as("bv"), col("nrm").as("bn")), "bi")

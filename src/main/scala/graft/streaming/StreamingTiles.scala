@@ -122,6 +122,66 @@ object StreamingTiles {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** STREAMING EMBEDDING NEAR-DUP — near-duplicate detection AT INGEST:
+    * as embedding files land, each new vector is checked against every
+    * vector that arrived within the `horizon`, and (ai, bi, cos) pairs
+    * with cosine >= t are emitted exactly once. The incremental form of
+    * [[graft.similarity.Ann.lshCosNearDupPairs]] and the one pipeline
+    * family that had no streaming counterpart (near-dup filtering of a
+    * training corpus is an ingest-time decision at 100 TB — re-running
+    * the batch pair join over the full corpus per day is the failure
+    * mode).
+    *
+    * Shape: a WATERMARKED STREAM-STREAM SELF-JOIN on the banded
+    * random-hyperplane signature — the same 8x3-bit banding as the batch
+    * query, so candidates are an equi-join on (band, sig), never a theta
+    * join. The time-interval predicate (|ts_a - ts_b| <= horizon) plus
+    * the watermark bound the join state: Spark retains each side only
+    * until the watermark passes ts + horizon, so state is
+    * O(arrival rate x horizon), independent of corpus size. Pair
+    * multiplicity across bands is killed STATELESSLY by the emit-once
+    * first-shared-band filter ([[graft.similarity.Ann.firstSharedBand]])
+    * — a post-join distinct would be a second stateful operator.
+    * Exactly-once across resume: a pair fires when the later of its two
+    * rows arrives, checkpoint replay skips committed batches
+    * (StreamingSpec pins two-increment parity with the batch pairs and
+    * the narrow-horizon cutoff).
+    *
+    * Event time is `timestamp_seconds(vec_id)` — the fixture's ingest
+    * order; production supplies the real arrival timestamp via `tsOf`. */
+  def nearDupStream(spark: SparkSession, dir: String, t: Double,
+                    horizonSec: Long, delay: String = "1 minute",
+                    tsOf: org.apache.spark.sql.Column =
+                      timestamp_seconds(col("vec_id"))): DataFrame = {
+    import graft.similarity.{Ann, functions => V}
+    val bands = spark.readStream.schema(embeddingSchema).parquet(dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", V.vec_dot(col("v"), col("v")))
+      .withColumn("ts", tsOf)
+      .withWatermark("ts", delay)
+      .withColumn("sigs",
+        V.hyperplane_bands(col("v"), Ann.ndSigns, Ann.Dim, Ann.NdBits))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ts"), col("sigs"),
+        posexplode(col("sigs")))
+      .toDF("vec_id", "v", "nrm", "ts", "sigs", "band", "sig")
+    val a = bands.select(col("vec_id").as("ai"), col("v").as("av"),
+      col("nrm").as("an"), col("ts").as("ats"), col("sigs").as("asigs"),
+      col("band").as("aband"), col("sig").as("asig"))
+    val b = bands.select(col("vec_id").as("bi"), col("v").as("bv"),
+      col("nrm").as("bn"), col("ts").as("bts"), col("sigs").as("bsigs"),
+      col("band").as("bband"), col("sig").as("bsig"))
+    a.join(b,
+        col("aband") === col("bband") && col("asig") === col("bsig") &&
+          col("ai") < col("bi") &&
+          col("bts") >= col("ats") - expr(s"INTERVAL $horizonSec SECONDS") &&
+          col("bts") <= col("ats") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .filter(Ann.firstSharedBand(col("asigs"), col("bsigs"), col("aband")))
+      .withColumn("cos", Ann.cosCol("av", "bv", "an", "bn"))
+      .filter(col("cos") >= t)
+      .select(col("ai"), col("bi"), col("cos"))
+  }
+
   /** Streaming WHOLE-PYRAMID maintenance: every level `minRes..maxRes`
     * kept incrementally current in ONE stateful aggregation. The batched
     * multi-res projection emits each image's cell at all levels; state is

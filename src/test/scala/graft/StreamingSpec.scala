@@ -421,6 +421,47 @@ class StreamingSpec extends SparkFunSuite {
       Seq("b000000000", "b000000001"))
   }
 
+  test("streaming near-dup == batch banded pairs across a resume; horizon bounds pairs") {
+    val emb = spark.read.parquet(s"${SparkSpec.Sf}/embeddings.parquet")
+    val batch = graft.similarity.Ann.lshCosNearDupPairs(spark, SparkSpec.Sf, 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("ai"), r.getAs[Long]("bi")) -> r.getAs[Double]("cos"))
+      .toMap
+    def run(horizon: Long): Map[(Long, Long), Double] = {
+      val inDir = Files.createTempDirectory("graft-nd-in").toString
+      val ckpt = Files.createTempDirectory("graft-nd-ck").toString
+      val outDir = Files.createTempDirectory("graft-nd-out").toString
+      def go(): Unit = {
+        val q = StreamingTiles.nearDupStream(spark, inDir, 0.4, horizon)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // arrivals roll forward in event time (an ingest-time near-dup filter
+      // sees time advance): first half of the id range, then the rest,
+      // resumed from the same checkpoint
+      emb.filter(col("vec_id") < 250).write.mode("append").parquet(inDir)
+      go()
+      emb.filter(col("vec_id") >= 250).write.mode("append").parquet(inDir)
+      go()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("ai"), r.getAs[Long]("bi")) -> r.getAs[Double]("cos"))
+      // each pair exactly once (emit-once band filter + exactly-once sink)
+      assert(rows.length == rows.map(_._1).distinct.length)
+      rows.toMap
+    }
+    // horizon covering the whole id span: every batch pair, bit-equal cos
+    assert(run(1000) == batch && batch.nonEmpty)
+    // narrow horizon: exactly the batch pairs within 60s of each other —
+    // older vectors are out of join state and never candidates
+    val narrow = run(60)
+    val want = batch.filter { case ((a, b), _) => b - a <= 60 }
+    assert(narrow == want)
+    assert(narrow.size < batch.size && narrow.nonEmpty,
+      s"fixture should split: narrow=${narrow.size} all=${batch.size}")
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
