@@ -219,11 +219,18 @@ object QueriesMisc {
         .select(col("dup_id"), col("ddhash"),
           col("bd.b").as("b"), col("bd.v").as("v"))
       dhd.join(dh, Seq("b", "v"))
+        // emit-once: keep a multi-band-colliding pair only in its FIRST
+        // matching band — both full hashes are in hand, so this replaces
+        // the former distinct() (a full shuffle of the pairs) with a
+        // stateless per-row filter (identical output; the oracle keeps
+        // its SELECT DISTINCT, a no-op on the already-unique set)
+        .filter(expr("array_position(transform(sequence(0, 3), k -> " +
+          "(shiftright(dhash, k * 14) & 16383) = " +
+          "(shiftright(ddhash, k * 14) & 16383)), true) = b + 1"))
         .withColumn("hamming",
           expr("cast(bit_count(dhash ^ ddhash) as int)"))
         .filter(col("hamming") <= 3)
         .select(col("dup_id"), col("image_id").as("orig_id"), col("hamming"))
-        .distinct()
     },
     Some(s"""${dhashOracleCtes(dupSide = true)},
             |aband AS (

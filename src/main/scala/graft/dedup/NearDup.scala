@@ -184,16 +184,22 @@ object NearDup {
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.bv").as("bv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // emit-once: a pair agreeing on several bands must surface exactly
+    // once, and the full simhash is already on both join sides — so the
+    // first-equal-band test is a free per-row filter that replaces the
+    // former distinct() (a full shuffle of the qualifying pairs)
+    val firstBand = array((0 until SimBands).map { k =>
+      expr(s"${TextOps.simBand(SparkD, "a.simhash", k)} = " +
+        TextOps.simBand(SparkD, "b.simhash", k))
+    }: _*)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(array_position(firstBand, lit(true)) === col("a.band") + 1)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      // refine BEFORE the dedup shuffle: far-apart pairs colliding on one
-      // hot band are the bulk of the join output; the hamming test is a
-      // codegen'd per-row filter, so dropping them pre-distinct shrinks the
-      // dedup exchange to the qualifying pairs only (identical output)
+      // refine: far-apart pairs colliding on one hot band are the bulk of
+      // the join output; the hamming test is a codegen'd per-row filter
       .filter(col("hamming") <= SimHammingMax)
-      .distinct()
   }
 }
