@@ -117,14 +117,21 @@ object SpatialJoin {
     *  1. pick the coarsest res whose cell EDGE >= r (cell height is the
     *     binding side: 180/2^res), so two points within r are never more
     *     than one cell apart on either axis;
-    *  2. the probe side explodes each point to its Chebyshev-1 ring (<= 9
-    *     cells, lon-wrapped); the build side keys by its own cell — each
-    *     candidate pair is generated EXACTLY once (the build point's one
-    *     cell appears once in the probe ring), no post-join dedup;
-    *  3. codegen planar refine + `a_id < b_id` keeps each unordered pair
-    *     in one orientation. Ring wrap candidates across the antimeridian
-    *     are refined away by the same no-wrap planar metric the kNN
-    *     operators use ([[graft.geo.GridCell.planarDist2]] note).
+    *  2. the probe side explodes each point to the FORWARD HALF of its
+    *     Chebyshev-1 ring — only cells >= its own (<= 5 of the 9,
+    *     lon-wrapped); the build side keys by its own cell. A cross-cell
+    *     pair is generated exactly once, from the point in the LOWER cell
+    *     (the higher cell is in its forward ring; the reverse probe is
+    *     filtered out), and a same-cell pair once via `p_id < q_id` —
+    *     so the join computes each unordered pair ONCE instead of
+    *     once per orientation: half the join output and 5/9 the probe
+    *     explosion of the naive full-ring form, no post-join dedup;
+    *  3. codegen planar refine; the output orients each pair by id
+    *     (least/greatest — dist_sq is orientation-exact in IEEE-754:
+    *     negation is exact, squares equal bit-for-bit). Ring wrap
+    *     candidates across the antimeridian are refined away by the same
+    *     no-wrap planar metric the kNN operators use
+    *     ([[graft.geo.GridCell.planarDist2]] note).
     *
     * Scale shape: |candidates| = sum over cells of n_cell x n_ring — local
     * density, never |points|^2; the equi-join on the ring cell shuffles
@@ -138,18 +145,24 @@ object SpatialJoin {
     val res = math.min(29,
       math.floor(math.log(180.0 / radiusDeg) / math.log(2.0)).toInt)
     val pts = points.select(col("image_id"), col("lat"), col("lon"))
-    val probe = pts.toDF("a_id", "a_lat", "a_lon")
-      .withColumn("pcell", explode(G.cell_ring(
-        G.cell_encode(col("a_lat"), col("a_lon"), res), lit(1))))
-    val build = pts.toDF("b_id", "b_lat", "b_lon")
-      .withColumn("pcell", G.cell_encode(col("b_lat"), col("b_lon"), res))
+    val probe = pts.toDF("p_id", "p_lat", "p_lon")
+      .withColumn("own", G.cell_encode(col("p_lat"), col("p_lon"), res))
+      .withColumn("pcell", explode(
+        filter(G.cell_ring(col("own"), lit(1)), c => c >= col("own"))))
+    val build = pts.toDF("q_id", "q_lat", "q_lon")
+      .withColumn("pcell", G.cell_encode(col("q_lat"), col("q_lon"), res))
     probe.join(build, Seq("pcell"))
-      .filter(col("a_id") < col("b_id"))
+      // cross-cell pairs come only from the lower cell's probe; same-cell
+      // pairs once by id order
+      .filter(col("pcell") > col("own") || col("p_id") < col("q_id"))
       .withColumn("dist_sq",
-        (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat")) +
-          (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")))
+        (col("p_lat") - col("q_lat")) * (col("p_lat") - col("q_lat")) +
+          (col("p_lon") - col("q_lon")) * (col("p_lon") - col("q_lon")))
       .filter(col("dist_sq") <= lit(radiusDeg * radiusDeg))
-      .select(col("a_id"), col("b_id"), col("dist_sq"))
+      .select(
+        least(col("p_id"), col("q_id")).as("a_id"),
+        greatest(col("p_id"), col("q_id")).as("b_id"),
+        col("dist_sq"))
   }
 
   private def pipJoinWithCell(images: DataFrame, spark: SparkSession,
