@@ -95,8 +95,8 @@ object SpatialJoin {
     * collected or broadcast anywhere. The polygon vertex arrays ride the
     * shuffle once; at extreme vertex counts, bucket the index by cell
     * ([[BucketStore]]) so repeated joins pay zero exchanges.
-    * PipPartitionSpec pins the plan (SMJ, no broadcast) and parity with
-    * [[pipJoin]]. */
+    * SpatialParitySpec pins the plan (SMJ, no broadcast) and parity with
+    * [[pipJoin]]; the q_pip_part oracle proves the relation cross-engine. */
   def pipJoinPartitioned(images: DataFrame, spark: SparkSession,
                          polys: Seq[Fixtures.Poly] = Fixtures.polys,
                          res: Int = CoverRes,
