@@ -107,7 +107,31 @@ object PlanDump {
           " between executors",
         // the exact frame the verify suite hash-checks (writes its two
         // bucketed tables as a side effect)
-        graft.Queries.queryMap("q_bucket_join")(spark, dir)))
+        graft.Queries.queryMap("q_bucket_join")(spark, dir)),
+      ("Distance-radius self-join (round 4)",
+        "forward-half Chebyshev ring: the probe explodes only the <= 5" +
+          " ring cells >= its own, one equi-join on the ring cell" +
+          " generates each unordered pair EXACTLY once (no orientation" +
+          " double-compute, no post-join dedup), codegen planar refine —" +
+          " candidates scale with local density, never |points|^2",
+        SpatialJoin.distanceJoin(imgs, 0.0001)),
+      ("Partitioned pip join (round 4)",
+        "the non-broadcast pip plan for vector layers no executor can" +
+          " hold: covering index and points shuffle ONCE each on the cell" +
+          " key into a sort-merge join (AQE skew split covers hot cells)," +
+          " same codegen ray-cast refine, nothing collected or broadcast",
+        SpatialJoin.pipJoinPartitioned(imgs, spark)),
+      ("Soft multi-membership assignment (round 4)",
+        "k centroids as driver literals, membership band as a codegen" +
+          " filter + explode over ONE scan — map-only, no shuffle; the" +
+          " edge table (<= k*n rows) is the DAG the descent dedups",
+        graft.Queries.queryMap("q_soft_assign")(spark, dir)),
+      ("Adaptive tile splitting (round 4)",
+        "the oversize-recursion collapsed to a closed form: one" +
+          " parent-cell equi-join of the pyramid against its own parent" +
+          " projection (ReuseExchange shares the scan) — no driver" +
+          " recursion, no per-depth jobs",
+        graft.Queries.queryMap("q_adaptive_split")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
