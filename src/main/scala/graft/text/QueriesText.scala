@@ -647,11 +647,48 @@ object QueriesText {
          |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |) WHERE hamming <= $SimHammingMax""".stripMargin))
 
+  /** DEDUP GROUPS: near-dup pairs are not transitive, so "keep one per
+    * duplicate family" needs the CONNECTED COMPONENTS of the pair graph —
+    * every shingle-eligible document labeled with its group's canonical
+    * (minimum) doc_id ([[graft.dedup.Components]]; singletons label
+    * themselves). Edges here are the SimHash hamming<=3 pairs. The oracle
+    * computes the transitive closure as a recursive CTE over the SAME
+    * edge relation (brute pair join over the replayed simhashes), so a
+    * hash match proves the distributed hash-to-min iteration reaches the
+    * exact fixpoint. `edges AS MATERIALIZED`: the recursive member
+    * re-evaluates its inputs every iteration — without it DuckDB inlines
+    * the full simhash pipeline into every round. */
+  private val qDedupGroups = Q(
+    "q_dedup_groups",
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.dedup.Components.connectedComponents(
+        NearDup.simhashDocs(d).select(col("doc_id").as("id")),
+        NearDup.simhashPairs(d)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+    },
+    Some(
+      s"""${simhashCte(DuckD).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |edges AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sim a JOIN sim b ON a.doc_id <> b.doc_id
+         |  WHERE ${DuckD.bitCount(DuckD.xor("a.simhash", "b.simhash"))}
+         |    <= $SimHammingMax
+         |),
+         |cc AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM sim
+         |  UNION
+         |  SELECT e.v AS id, cc.r FROM cc JOIN edges e ON e.u = cc.id
+         |)
+         |SELECT id AS doc_id, min(r) AS rep_id FROM cc GROUP BY id"""
+        .stripMargin))
+
   val all: Seq[Q] = Seq(
     qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
     qTokenDist,
     qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qLshNearDup,
-    qSimhash, qSimhashPairs)
+    qSimhash, qSimhashPairs, qDedupGroups)
 }
