@@ -313,6 +313,82 @@ object Ann {
       .select(col("ai"), col("bi"), col("cos"))
   }
 
+  // ----------------------------------------------------------- PQ encoding
+
+  /** Product-quantization geometry: 64 dims as [[PqM]] = 8 subspaces of
+    * [[PqSubDim]] = 8 dims; one codeword id per subspace, 4 bits each, so
+    * a vector compresses to ONE BIGINT — 64 float32 (256 bytes) -> 4
+    * bytes, the memory step that makes a 10^12-vector ANN index fit a
+    * cluster at all (IVF prunes compute; PQ prunes MEMORY). */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+
+  /** PQ codebook frame `(s, cid, c: codeword, cn: self-dot)` — per
+    * (subspace, label) integer-quantized means: the [[centroidFrame]]
+    * device applied to each 8-dim slice, so the codebook is
+    * bit-reproducible under any aggregation order and replays exactly in
+    * SQL (a Lloyd-trained codebook would drop in behind the same
+    * interface — [[graft.operators.KmeansAssign]] is that trainer). */
+  def pqCodebookFrame(w: DataFrame): DataFrame =
+    w.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .withColumn("s", (col("i") / PqSubDim).cast("int"))
+      .groupBy(col("s"), col("label"), col("i"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(floor(x * 1000000) as bigint)")).as("sm"))
+      .withColumn("cd",
+        col("sm").cast("double") / (col("cnt").cast("double") * 1000000.0))
+      .groupBy(col("s"), col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, cd))), e -> e.cd)")
+        .as("c"))
+      .select(col("s"), col("label").as("cid"), col("c"))
+      .withColumn("cn", V.vec_dot(col("c"), col("c")))
+
+  /** Driver-side PQ codebook, `(s, cid, codeword, self-dot)` sorted by
+    * (s, cid) — PqM x |labels| rows (the sanctioned k-row collect). */
+  def pqCodebook(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double], Double)] =
+    pqCodebookFrame(vecs(spark, dir)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+  /** PQ-encode the corpus: per vector, the argmin codeword of each
+    * subspace (squared-distance `vn - 2 dot + cn`, ties to the smaller
+    * cid) packed into one BIGINT (4 bits per subspace), plus the total
+    * quantization error as order-free integer micro-units
+    * (`err_q = Σ_s floor(d_s * 1e6)`). MAP-ONLY: the codebook rides as
+    * literals, each subspace argmin is `array_min` over (d, cid) structs
+    * — struct ordering IS the tie-break — so encoding runs at scan speed
+    * with no shuffle, no window, no join (the shape that encodes 10^12
+    * vectors). q_pq_codes hashes (code, err) cross-engine. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesOf(vecs(spark, dir), pqCodebook(spark, dir))
+
+  /** [[pqCodes]] against an explicit codebook (spec fixtures). */
+  def pqCodesOf(w: DataFrame, cb: Seq[(Int, Int, Seq[Double], Double)]): DataFrame = {
+    val bySub = cb.groupBy(_._1)
+    require(bySub.values.forall(_.size <= 16),
+      s"4-bit packing needs <= 16 codewords per subspace")
+    val best = (0 until PqM).map { s =>
+      val vs = slice(col("v"), s * PqSubDim + 1, PqSubDim)
+      val vn = V.vec_dot(vs, vs)
+      val structs = bySub(s).sortBy(_._2).map { case (_, cid, c, cn) =>
+        struct(
+          (vn - lit(2.0) * V.vec_dot(vs, typedLit(c)) + lit(cn)).as("d"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(structs: _*))
+    }
+    val withBest = best.zipWithIndex.foldLeft(w) { case (df, (b, s)) =>
+      df.withColumn(s"b_$s", b)
+    }
+    val code = (0 until PqM)
+      .map(s => shiftleft(col(s"b_$s").getField("cid").cast("long"), 4 * s))
+      .reduce(_ + _)
+    val errq = (0 until PqM)
+      .map(s => floor(col(s"b_$s").getField("d") * lit(1000000.0)))
+      .reduce(_ + _)
+    withBest.select(col("vec_id"), code.as("pq_code"), errq.as("err_q"))
+  }
+
   /** Per-label exact centroid facts: count + floor-quantized per-dim sums
     * (integer micro-units -> associative, order-free, bit-exact under any
     * shuffle order — the float-sum nondeterminism trap avoided). */

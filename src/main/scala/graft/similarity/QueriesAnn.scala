@@ -164,6 +164,53 @@ object QueriesAnn {
          |FROM e GROUP BY label""".stripMargin
     })
 
+  /** PQ encoding: 64 floats -> one BIGINT (8 subspaces x 4-bit codeword
+    * id) + the quantization error in order-free integer micro-units. The
+    * oracle rebuilds the identical per-(subspace, label) codebook, the
+    * identical per-subspace argmin (same fold-order distances, same
+    * (d, cid) tie-break as the engine's struct array_min), and the same
+    * packing — so the compressed representation is hash-exact
+    * cross-engine. The memory half of IVF-PQ (q_ann_ivf is the compute
+    * half). */
+  private val qPqCodes = Q(
+    "q_pq_codes",
+    (s, dir) => Ann.pqCodes(s, dir),
+    Some(
+      s"""$base,
+         |cagg AS (
+         |  SELECT (t.r - 1) // ${Ann.PqSubDim} AS s, label AS cid, t.r AS r,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CAST(floor(v[t.r] * 1000000) AS BIGINT)) AS BIGINT) AS sm
+         |  FROM w, range(1, ${Ann.Dim + 1}) t(r)
+         |  GROUP BY 1, 2, 3
+         |), cent AS (
+         |  SELECT s, cid,
+         |    list(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)
+         |      ORDER BY r) AS c
+         |  FROM cagg GROUP BY s, cid
+         |), cent2 AS (
+         |  SELECT s, cid, c, ${Ann.dot(DuckD, "c", "c")} AS cn FROM cent
+         |), vsub AS (
+         |  SELECT vec_id, t.s AS s,
+         |    v[t.s * ${Ann.PqSubDim} + 1 : t.s * ${Ann.PqSubDim} + ${Ann.PqSubDim}] AS vs
+         |  FROM w, range(0, ${Ann.PqM}) t(s)
+         |), vsub2 AS (
+         |  SELECT vec_id, s, vs, ${Ann.dot(DuckD, "vs", "vs")} AS vn FROM vsub
+         |), best AS (
+         |  SELECT vec_id, s, cid, d FROM (
+         |    SELECT a.vec_id, a.s, c.cid,
+         |      (a.vn - 2.0 * ${Ann.dot(DuckD, "a.vs", "c.c")} + c.cn) AS d,
+         |      row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY
+         |        (a.vn - 2.0 * ${Ann.dot(DuckD, "a.vs", "c.c")} + c.cn),
+         |        c.cid) AS rnk
+         |    FROM vsub2 a JOIN cent2 c ON c.s = a.s
+         |  ) WHERE rnk = 1
+         |)
+         |SELECT vec_id,
+         |  CAST(sum(CAST(cid AS BIGINT) << (4 * s)) AS BIGINT) AS pq_code,
+         |  CAST(sum(CAST(floor(d * 1000000.0) AS BIGINT)) AS BIGINT) AS err_q
+         |FROM best GROUP BY vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qAnnIvf, qEmbedNearDup,
-    qEmbedQuant, qLabelCentroid)
+    qEmbedQuant, qLabelCentroid, qPqCodes)
 }
