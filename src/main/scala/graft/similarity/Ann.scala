@@ -389,6 +389,61 @@ object Ann {
     withBest.select(col("vec_id"), code.as("pq_code"), errq.as("err_q"))
   }
 
+  /** ADC (asymmetric-distance) top-k over the PQ-COMPRESSED corpus — the
+    * search half of IVF-PQ: the scan reads only each vector's 8-byte
+    * `pq_code` (never the 256-byte floats — the memory-bandwidth win that
+    * makes 10^12-vector search feasible), and each query scores a code by
+    * summing 8 lookups into its precomputed subspace-distance table.
+    *
+    * Shape: the LUT is built map-only per query (8 x |codewords| distances
+    * as one MapType column, codebook as literals), broadcast against the
+    * code scan; scoring is 8 map lookups + integer adds per (query, code)
+    * — no join to the float table, no shuffle before the final per-query
+    * top-k window. Scores are order-free integer micro-units
+    * (`Σ_s floor(dq_s * 1e6)`), so ranks are integer-exact and the oracle
+    * replays the whole pipeline (codebook -> codes -> LUT -> lookup-sum ->
+    * rank) relationally.
+    *
+    * Resolution contract: the per-label codebook ([[pqCodebookFrame]]) is
+    * deliberately coarse (same-label vectors share codes), so ADC ranks
+    * regions, not exact neighbors — PqSpec pins that every query's ADC
+    * top-k mean TRUE distance strictly beats the corpus mean. A
+    * Lloyd-trained codebook (256 codewords/subspace via the
+    * [[graft.operators.KmeansAssign]] trainer) raises within-cluster
+    * resolution behind the identical encode/search plans; production
+    * composes ADC as the IVF refine stage (probe cells -> ADC-score the
+    * cell's codes -> exact-refine the survivors). */
+  def pqAdcTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val w = vecs(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val bySub = cb.groupBy(_._1)
+    val codes = pqCodesOf(w, cb).select(col("vec_id"), col("pq_code"))
+    // query-side LUT: one map column keyed s*16+cid -> subspace distance
+    val keys = array((0 until PqM).flatMap(s =>
+      bySub(s).sortBy(_._2).map(t => lit(s * 16 + t._2))): _*)
+    val vals = array((0 until PqM).flatMap { s =>
+      val qs = slice(col("v"), s * PqSubDim + 1, PqSubDim)
+      val qn = V.vec_dot(qs, qs)
+      bySub(s).sortBy(_._2).map { case (_, _, c, cn) =>
+        qn - lit(2.0) * V.vec_dot(qs, typedLit(c)) + lit(cn)
+      }
+    }: _*)
+    val qluts = w.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), map_from_arrays(keys, vals).as("lut"))
+    val adc = (0 until PqM).map { s =>
+      val nib = shiftright(col("pq_code"), 4 * s).bitwiseAND(lit(15L))
+      floor(element_at(col("lut"), (nib + lit(s * 16)).cast("int")) *
+        lit(1000000.0))
+    }.reduce(_ + _)
+    val pairs = codes.join(broadcast(qluts), col("vec_id") =!= col("qid"))
+      .withColumn("adc_q", adc)
+      .select(col("qid"), col("vec_id").as("nid"), col("adc_q"))
+    val wnd = Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("nid"))
+    pairs.withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("adc_q"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** Per-label exact centroid facts: count + floor-quantized per-dim sums
     * (integer micro-units -> associative, order-free, bit-exact under any
     * shuffle order — the float-sum nondeterminism trap avoided). */

@@ -172,12 +172,10 @@ object QueriesAnn {
     * packing — so the compressed representation is hash-exact
     * cross-engine. The memory half of IVF-PQ (q_ann_ivf is the compute
     * half). */
-  private val qPqCodes = Q(
-    "q_pq_codes",
-    (s, dir) => Ann.pqCodes(s, dir),
-    Some(
-      s"""$base,
-         |cagg AS (
+  /** Shared PQ oracle chain: codebook (cagg/cent/cent2), subvectors
+    * (vsub/vsub2), per-subspace argmin (best). Appended after [[base]]. */
+  private val pqCtes: String =
+    s"""cagg AS (
          |  SELECT (t.r - 1) // ${Ann.PqSubDim} AS s, label AS cid, t.r AS r,
          |    CAST(count(*) AS BIGINT) AS cnt,
          |    CAST(sum(CAST(floor(v[t.r] * 1000000) AS BIGINT)) AS BIGINT) AS sm
@@ -205,12 +203,54 @@ object QueriesAnn {
          |        c.cid) AS rnk
          |    FROM vsub2 a JOIN cent2 c ON c.s = a.s
          |  ) WHERE rnk = 1
-         |)
+         |)""".stripMargin
+
+  private val qPqCodes = Q(
+    "q_pq_codes",
+    (s, dir) => Ann.pqCodes(s, dir),
+    Some(
+      s"""$base,
+         |$pqCtes
          |SELECT vec_id,
          |  CAST(sum(CAST(cid AS BIGINT) << (4 * s)) AS BIGINT) AS pq_code,
          |  CAST(sum(CAST(floor(d * 1000000.0) AS BIGINT)) AS BIGINT) AS err_q
          |FROM best GROUP BY vec_id""".stripMargin))
 
+  /** ADC search over the compressed codes: the oracle replays the full
+    * pipeline — codebook, codes, per-query subspace LUT, nibble-indexed
+    * lookup-sum (order-free integer micro-units), per-query rank. */
+  private val qPqAdc = Q(
+    "q_pq_adc",
+    (s, dir) => Ann.pqAdcTopK(s, dir, NQueries, K),
+    Some(
+      s"""$base,
+         |$pqCtes,
+         |codes AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CAST(cid AS BIGINT) << (4 * s)) AS BIGINT) AS pq_code
+         |  FROM best GROUP BY vec_id
+         |), qlut AS (
+         |  SELECT a.vec_id AS qid, a.s, c.cid,
+         |    (a.vn - 2.0 * ${Ann.dot(DuckD, "a.vs", "c.c")} + c.cn) AS dq
+         |  FROM vsub2 a JOIN cent2 c ON c.s = a.s
+         |  WHERE a.vec_id < $NQueries
+         |), scored AS (
+         |  SELECT q.qid, b.vec_id AS nid,
+         |    CAST(sum(CAST(floor(q.dq * 1000000.0) AS BIGINT)) AS BIGINT)
+         |      AS adc_q
+         |  FROM codes b
+         |  CROSS JOIN range(0, ${Ann.PqM}) t(s)
+         |  JOIN qlut q ON q.s = t.s
+         |    AND q.cid = ((b.pq_code >> (4 * t.s)) & 15)
+         |    AND q.qid <> b.vec_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT qid, nid, adc_q, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT qid, nid, adc_q,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_q, nid) AS rnk
+         |  FROM scored
+         |) WHERE rnk <= $K""".stripMargin))
+
   val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qAnnIvf, qEmbedNearDup,
-    qEmbedQuant, qLabelCentroid, qPqCodes)
+    qEmbedQuant, qLabelCentroid, qPqCodes, qPqAdc)
 }
