@@ -90,6 +90,23 @@ object StreamingTiles {
       .select(col("vec_id"), col("acell"))
   }
 
+  /** STREAMING PQ ENCODING — continuous compression of new embeddings:
+    * each arriving vector is product-quantized against the static codebook
+    * ([[graft.similarity.Ann.pqCodebook]], embedded as literals) into its
+    * 8-byte `pq_code` + integer quantization error, bit-identical to the
+    * batch encoder ([[graft.similarity.Ann.pqCodesOf]] IS the plan — a
+    * map-only projection is stream-legal unchanged). Stateless,
+    * exactly-once with any replayable sink; the ingest-side twin of
+    * [[ivfAssignStream]] (coarse cell there, fine code here — together
+    * the streaming IVF-PQ indexer). */
+  def pqEncodeStream(spark: SparkSession, dir: String,
+                     cb: Seq[(Int, Int, Seq[Double], Double)]): DataFrame =
+    graft.similarity.Ann.pqCodesOf(
+      spark.readStream.schema(embeddingSchema).parquet(dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v")),
+      cb)
+
   /** Streaming EXACT DEDUP — the incremental form of the pipeline's
     * exact dedup (SURVEY §2 A7 / q_dedup_exact): as event files land,
     * emit each key's FIRST occurrence and drop the rest, with an

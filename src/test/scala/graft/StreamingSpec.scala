@@ -421,6 +421,32 @@ class StreamingSpec extends SparkFunSuite {
       Seq("b000000000", "b000000001"))
   }
 
+  test("streaming PQ encoding == batch codes, across a resume") {
+    val inDir = Files.createTempDirectory("graft-pq-in").toString
+    val ckpt = Files.createTempDirectory("graft-pq-ck").toString
+    val outDir = Files.createTempDirectory("graft-pq-out").toString
+    val cb = graft.similarity.Ann.pqCodebook(spark, SparkSpec.Sf)
+    def run(): Unit = {
+      val q = StreamingTiles.pqEncodeStream(spark, inDir, cb)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val emb = spark.read.parquet(s"${SparkSpec.Sf}/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(inDir)
+    run()
+    emb.filter(col("vec_id") % 2 =!= 0).write.mode("append").parquet(inDir)
+    run()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = graft.similarity.Ann
+      .pqCodesOf(graft.similarity.Ann.vecs(spark, SparkSpec.Sf), cb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == emb.count())
+    assert(got == want)
+  }
+
   test("streaming near-dup == batch banded pairs across a resume; horizon bounds pairs") {
     val emb = spark.read.parquet(s"${SparkSpec.Sf}/embeddings.parquet")
     val batch = graft.similarity.Ann.lshCosNearDupPairs(spark, SparkSpec.Sf, 0.4)
