@@ -172,8 +172,14 @@ object NearDup {
     * blocking: 4 disjoint 8-bit bands; <= 3 flipped bits leave >= 1 band
     * identical, so the band equi-join misses nothing. Refine =
     * `bit_count(a ^ b) <= 3` (built-in, codegen'd). */
-  def simhashPairs(docs: DataFrame): DataFrame = {
-    val sims = simhashDocs(docs)
+  def simhashPairs(docs: DataFrame): DataFrame =
+    simhashPairsOf(simhashDocs(docs))
+
+  /** [[simhashPairs]] over a precomputed `(doc_id, simhash)` frame — the
+    * entry a caller that also needs the hashes themselves uses (e.g.
+    * q_dedup_groups derives the node set from the SAME frame instead of
+    * running the tokenize+hash pipeline twice). */
+  def simhashPairsOf(sims: DataFrame): DataFrame = {
     val bandCols = (0 until SimBands).map { k =>
       struct(lit(k).as("band"), expr(TextOps.simBand(SparkD, "simhash", k)).as("bv"))
     }

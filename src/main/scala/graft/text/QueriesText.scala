@@ -661,12 +661,18 @@ object QueriesText {
   private val qDedupGroups = Q(
     "q_dedup_groups",
     (s, dir) => {
-      val d = docs(s, dir)
-      graft.dedup.Components.connectedComponents(
-        NearDup.simhashDocs(d).select(col("doc_id").as("id")),
-        NearDup.simhashPairs(d)
+      // one tokenize+hash pipeline for BOTH the node set and the edges
+      // (the CC result is eagerly materialized, so the cache is released
+      // before returning — nothing downstream re-reads it)
+      val sims = NearDup.simhashDocs(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.dedup.Components.connectedComponents(
+        sims.select(col("doc_id").as("id")),
+        NearDup.simhashPairsOf(sims)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+      sims.unpersist(blocking = false)
+      out
     },
     Some(
       s"""${simhashCte(DuckD).replaceFirst("^WITH ", "WITH RECURSIVE ")},
