@@ -66,8 +66,15 @@ object Components {
     def ckptRdd(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
-    val e = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    // bidirectional edges in ONE pass over the caller's (possibly
+    // expensive) edge plan — a union of two selects would execute it once
+    // per branch (ReuseExchange shares only the shuffles, not post-shuffle
+    // join/filter work above them)
+    val e = edges
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lbl = nodes.select(col("id"), col("id").as("rep"))
       .localCheckpoint(true)
@@ -78,9 +85,14 @@ object Components {
       // min label among neighbors (nodes with no in-edges keep their own)
       val nbr = e.join(lbl.select(col("id").as("u"), col("rep")), "u")
         .groupBy(col("v").as("id")).agg(min(col("rep")).as("nrep"))
+      // checkpointed: the pointer-jump self-join below reads `stepped` on
+      // BOTH sides — without the cut it would re-execute the round's
+      // join + aggregate twice (and the logical plan would still double)
       val stepped = lbl.join(nbr, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val steppedRdd = ckptRdd(stepped)
       // pointer jump: rep <- rep(rep) (labels are node ids, so the lookup
       // table is the label table itself)
       val jumped = stepped
@@ -88,6 +100,7 @@ object Components {
           Seq("rep"), "left_outer")
         .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
       val next = jumped.localCheckpoint(true)
+      steppedRdd.foreach(_.unpersist(blocking = false))
       // labels are monotone non-increasing: fixpoint == nothing decreased
       done = next.select(col("id"), col("rep").as("nr"))
         .join(lbl, Seq("id"))

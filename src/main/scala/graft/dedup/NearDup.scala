@@ -178,18 +178,25 @@ object NearDup {
   /** [[simhashPairs]] over a precomputed `(doc_id, simhash)` frame — the
     * entry a caller that also needs the hashes themselves uses (e.g.
     * q_dedup_groups derives the node set from the SAME frame instead of
-    * running the tokenize+hash pipeline twice). */
-  def simhashPairsOf(sims: DataFrame): DataFrame = {
+    * running the tokenize+hash pipeline twice). A caller that already
+    * persists `sims` passes `persistBands = false`: the band explode over
+    * the cached hashes is cheap per side, and a second cache of the same
+    * upstream would just shadow the caller's (and outlive the call —
+    * there is no safe unpersist point inside, the result is lazy). */
+  def simhashPairsOf(sims: DataFrame, persistBands: Boolean = true): DataFrame = {
     val bandCols = (0 until SimBands).map { k =>
       struct(lit(k).as("band"), expr(TextOps.simBand(SparkD, "simhash", k)).as("bv"))
     }
-    // persisted: the self-join would otherwise run the tokenize + 1.5M-md5
-    // simhash pipeline once per side (measured ~2x the query's real work)
-    val bands = sims.select(col("doc_id"), col("simhash"),
+    // persisted (unless the caller caches upstream): the self-join would
+    // otherwise run the tokenize + 1.5M-md5 simhash pipeline once per
+    // side (measured ~2x the query's real work)
+    val bands0 = sims.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.bv").as("bv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands =
+      if (persistBands) bands0.persist(StorageLevel.MEMORY_AND_DISK)
+      else bands0
     // emit-once: a pair agreeing on several bands must surface exactly
     // once, and the full simhash is already on both join sides — so the
     // first-equal-band test is a free per-row filter that replaces the

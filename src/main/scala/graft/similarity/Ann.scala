@@ -365,8 +365,11 @@ object Ann {
   /** [[pqCodes]] against an explicit codebook (spec fixtures). */
   def pqCodesOf(w: DataFrame, cb: Seq[(Int, Int, Seq[Double], Double)]): DataFrame = {
     val bySub = cb.groupBy(_._1)
-    require(bySub.values.forall(_.size <= 16),
-      s"4-bit packing needs <= 16 codewords per subspace")
+    // the VALUE range is the binding constraint, not the count: packing
+    // shifts cid into a 4-bit nibble and every decoder masks with & 15,
+    // so a sparse id set like {0..14, 16} would corrupt silently
+    require(cb.forall(t => t._2 >= 0 && t._2 <= 15),
+      s"4-bit packing needs codeword ids in [0, 15]")
     val best = (0 until PqM).map { s =>
       val vs = slice(col("v"), s * PqSubDim + 1, PqSubDim)
       val vn = V.vec_dot(vs, vs)

@@ -164,14 +164,6 @@ object QueriesAnn {
          |FROM e GROUP BY label""".stripMargin
     })
 
-  /** PQ encoding: 64 floats -> one BIGINT (8 subspaces x 4-bit codeword
-    * id) + the quantization error in order-free integer micro-units. The
-    * oracle rebuilds the identical per-(subspace, label) codebook, the
-    * identical per-subspace argmin (same fold-order distances, same
-    * (d, cid) tie-break as the engine's struct array_min), and the same
-    * packing — so the compressed representation is hash-exact
-    * cross-engine. The memory half of IVF-PQ (q_ann_ivf is the compute
-    * half). */
   /** Shared PQ oracle chain: codebook (cagg/cent/cent2), subvectors
     * (vsub/vsub2), per-subspace argmin (best). Appended after [[base]]. */
   private val pqCtes: String =
@@ -205,6 +197,14 @@ object QueriesAnn {
          |  ) WHERE rnk = 1
          |)""".stripMargin
 
+  /** PQ encoding: 64 floats -> one BIGINT (8 subspaces x 4-bit codeword
+    * id) + the quantization error in order-free integer micro-units. The
+    * oracle rebuilds the identical per-(subspace, label) codebook, the
+    * identical per-subspace argmin (same fold-order distances, same
+    * (d, cid) tie-break as the engine's struct array_min), and the same
+    * packing — so the compressed representation is hash-exact
+    * cross-engine. The memory half of IVF-PQ (q_ann_ivf is the compute
+    * half). */
   private val qPqCodes = Q(
     "q_pq_codes",
     (s, dir) => Ann.pqCodes(s, dir),

@@ -668,7 +668,7 @@ object QueriesText {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = graft.dedup.Components.connectedComponents(
         sims.select(col("doc_id").as("id")),
-        NearDup.simhashPairsOf(sims)
+        NearDup.simhashPairsOf(sims, persistBands = false)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))
       sims.unpersist(blocking = false)

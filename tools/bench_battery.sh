@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # Round-end measurement battery: min-of-5 headline runs per config in ONE
-# window (cores 2 / 8 / 32, executor JVMs 1 / 4), then one full-suite run
-# at local[32]. Emits a JSON line per run to the file given as $1.
+# window (cores 2 / 8 / 32, executor JVMs 1 / 4), configs interleaved per
+# repetition. Emits a JSON line per run to the file given as $1. (The
+# full-suite local[32] run is separate: `SPARK_GRAFT_SF_DIR=... sbt
+# "runMain graft.Bench"` without SPARK_GRAFT_HEADLINE_ONLY.)
 set -euo pipefail
 OUT="${1:-/tmp/bench_battery.jsonl}"
 : > "$OUT"
