@@ -399,6 +399,57 @@ object QueriesMisc {
          |SELECT image_id, lat, lon FROM images
          |ORDER BY md5(image_id), image_id LIMIT 50""".stripMargin))
 
+  /** WEIGHTED deterministic sampling — PRIORITY SAMPLING (Duffield, Lund
+    * & Thorup, JACM 2007): per tile at res 6, keep the k images of
+    * highest priority `q_i = w_i / u_i` (weight = stored byte size,
+    * u_i = a seeded uniform from md5(image_id)) — the quality/size-
+    * weighted corpus subsampling step of a training pipeline (uniform
+    * sampling is q_sample_topn; this biases retention toward heavy
+    * items with a principled inclusion-probability story).
+    *
+    * Determinism + parity: u derives from the cross-engine md5 device
+    * ((m + 0.5) / 2^32, never 0), and the priority uses ONLY division —
+    * IEEE-754 division is correctly rounded, so both engines compute
+    * bit-identical priorities (no transcendentals: the Efraimidis-
+    * Spirakis u^(1/w) key would ride on `pow`, whose last ulp is not
+    * portable — the q_bic_k lesson). Output is integer/string columns
+    * only. Plan: map-only projection + ONE keyed window per cell —
+    * partition-parallel, no global sort (PlanSpec forbids partitionless
+    * windows). */
+  private val qWeightedSample = Q(
+    "q_weighted_sample", {
+      val k = 3
+      (s, dir) => {
+        val m = conv(substring(md5(col("image_id")), 1, 8), 16, 10)
+          .cast("long")
+        val u = (m.cast("double") + lit(0.5)) / lit(4294967296.0)
+        val pri = (col("w") * col("h") * lit(3)).cast("double") / u
+        val wnd = Window
+          .partitionBy(col("cell"))
+          .orderBy(col("pri").desc, col("image_id"))
+        Images.images(s, dir)
+          .withColumn("cell",
+            graft.geo.functions.cell_encode(col("lat"), col("lon"), 6))
+          .withColumn("pri", pri)
+          .withColumn("rnk", row_number().over(wnd))
+          .filter(col("rnk") <= k)
+          .select(col("cell"), col("image_id"), col("rnk").cast("int").as("rnk"))
+      }
+    },
+    Some(
+      s"""$cte
+         |SELECT cell, image_id, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT cell, image_id, row_number() OVER (
+         |      PARTITION BY cell ORDER BY pri DESC, image_id) AS rnk
+         |  FROM (
+         |    SELECT ${cellSql(6)} AS cell, image_id,
+         |      CAST(w * h * 3 AS DOUBLE) /
+         |        ((CAST(('0x' || substr(md5(image_id), 1, 8))::BIGINT AS DOUBLE)
+         |          + 0.5) / 4294967296.0) AS pri
+         |    FROM images
+         |  )
+         |) WHERE rnk <= 3""".stripMargin))
+
   /** Per-level pyramid metrics (≙ log_tree_structure,
     * raptor/utils.py:222-271): cells, images, avg/max occupancy per level —
     * the skew dashboard. Plan: ONE scan + ONE shuffle for all levels via
@@ -519,6 +570,6 @@ object QueriesMisc {
     qImageFidelity, qThumbStats, qFrameSample,
     qImageDhash, qImageNeardup,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin,
-    qSampleTopN, qLevelMetrics, qKnnOverlap,
+    qSampleTopN, qWeightedSample, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)
 }
