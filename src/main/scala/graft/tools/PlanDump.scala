@@ -131,7 +131,24 @@ object PlanDump {
           " parent-cell equi-join of the pyramid against its own parent" +
           " projection (ReuseExchange shares the scan) — no driver" +
           " recursion, no per-depth jobs",
-        graft.Queries.queryMap("q_adaptive_split")(spark, dir)))
+        graft.Queries.queryMap("q_adaptive_split")(spark, dir)),
+      ("PQ encoding (round 4)",
+        "codebook as literals, per-subspace argmin via struct array_min" +
+          " (ordering IS the tie-break) — one map-only codegen projection," +
+          " no shuffle, no window, no join: 10^12 vectors encode at scan" +
+          " speed",
+        Ann.pqCodes(spark, dir)),
+      ("ADC search over PQ codes (round 4)",
+        "per-query subspace-distance LUT as ONE broadcast MapType column;" +
+          " scoring = 8 map lookups + integer adds per (query, code) over" +
+          " the 8-byte code scan — the floats are never re-read; only the" +
+          " final per-query top-k window shuffles",
+        Ann.pqAdcTopK(spark, dir, 8, 5)),
+      ("Weighted priority sample (round 4)",
+        "map-only priority projection (division-only arithmetic) + ONE" +
+          " keyed window per tile cell — partition-parallel, no global" +
+          " sort",
+        graft.Queries.queryMap("q_weighted_sample")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
