@@ -450,6 +450,40 @@ object QueriesMisc {
          |  )
          |) WHERE rnk <= 3""".stripMargin))
 
+  /** KMV distinct-count sketch per res-5 tile ([[graft.agg.Kmv]]):
+    * approximate cardinality that is a pure function of the hash set, so
+    * — unlike HLL — the oracle replays it exactly (distinct -> per-cell
+    * k-smallest -> (k-1)/h_k estimate, one correctly-rounded division).
+    * Cells under k distinct values report exactly. */
+  private val qKmvDistinct = Q(
+    "q_kmv_distinct", {
+      val k = 32
+      (s, dir) =>
+        graft.agg.Kmv.cellSketches(Images.images(s, dir), 5, k)
+    },
+    Some {
+      val k = 32
+      val scale = (k - 1).toLong * (1L << 32)
+      s"""$cte,
+         |hh AS (
+         |  SELECT DISTINCT ${cellSql(5)} AS cell,
+         |    ('0x' || substr(md5(image_id), 1, 8))::BIGINT AS h
+         |  FROM images
+         |), rk AS (
+         |  SELECT cell, h,
+         |    row_number() OVER (PARTITION BY cell ORDER BY h) AS rnk
+         |  FROM hh
+         |), ag AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+         |  FROM rk WHERE rnk <= $k GROUP BY cell
+         |)
+         |SELECT cell, n_kept, hk,
+         |  CAST(CASE WHEN n_kept < $k THEN n_kept
+         |    ELSE CAST(floor(CAST($scale AS DOUBLE) / CAST(hk AS DOUBLE))
+         |      AS BIGINT) END AS BIGINT) AS est
+         |FROM ag""".stripMargin
+    })
+
   /** Per-level pyramid metrics (≙ log_tree_structure,
     * raptor/utils.py:222-271): cells, images, avg/max occupancy per level —
     * the skew dashboard. Plan: ONE scan + ONE shuffle for all levels via
@@ -570,6 +604,6 @@ object QueriesMisc {
     qImageFidelity, qThumbStats, qFrameSample,
     qImageDhash, qImageNeardup,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin,
-    qSampleTopN, qWeightedSample, qLevelMetrics, qKnnOverlap,
+    qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)
 }
