@@ -552,6 +552,46 @@ object Queries {
          |FROM zz GROUP BY 1""".stripMargin
     })
 
+  private val FpRoots = new ScratchRoots("graft-fp")
+  /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
+    * (lat indices 128..191, every lon) — it contains the hot SF cluster,
+    * so pruning is exercised against the skewed cell too. */
+  private val FpLo = (8L << 58) | (128L << 8)
+  private val FpHi = (8L << 58) | (191L << 8) | 255L
+
+  /** Manifest FILE pruning — the Iceberg scan-planning analog
+    * (per-data-file min/max kept in table metadata; key-range scans
+    * schedule only overlapping files). Res-8 leaf tiles land as a
+    * versioned snapshot; a SORTED compaction ([[Snapshot.compact]]
+    * `sortBy=cell`, the rewrite_data_files sort-strategy analog) rewrites
+    * the level into cell-ranged files; [[Snapshot.writeFileStats]] records
+    * per-file cell bounds from the parquet FOOTERS (driver-side metadata
+    * read, no data pages); [[Snapshot.scanPruned]] plans the range scan
+    * over the overlapping files only. The exact predicate is applied on
+    * top — pruning is conservative, so the answer never depends on the
+    * file layout (FilePruneSpec pins that the pruned plan actually reads
+    * fewer files; the oracle proves the surviving rows exact). */
+  private val qFilesPrune = Q(
+    "q_files_prune",
+    (s, dir) => {
+      val root = FpRoots.fresh()
+      val leaves = TilePyramid.leafTiles(Images.images(s, dir), 8)
+      Snapshot.writeVersioned(leaves, root, snapshotId = "s1", buildTs = 1L)
+      Snapshot.compact(s, root, "s1", targetBytes = 64L << 10,
+        sortBy = Seq("cell"))
+      Snapshot.writeFileStats(s, root, "s1")
+      val (scan, _, _) = Snapshot.scanPruned(s, root, "s1", FpLo, FpHi)
+      scan.filter(col("cell").between(FpLo, FpHi))
+        .select(col("cell"), col("cnt"), col("bytes_sum"))
+    },
+    Some(
+      s"""$cte
+         |SELECT cell, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+         |FROM (SELECT ${cellSql(8)} AS cell, w, h FROM images) t
+         |WHERE cell BETWEEN $FpLo AND $FpHi
+         |GROUP BY cell""".stripMargin))
+
   /** DuckDB replay of [[PairMerge.matchGroup]]'s sequential greedy
     * matching, ending in CTE `l1` with the exact layer-1 schema. The
     * greedy walk unrolls into a FIXED chain of relational steps (group
@@ -994,6 +1034,7 @@ object Queries {
     qStatsTransfer,
     qBucketJoin,
     qZcurve,
+    qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all

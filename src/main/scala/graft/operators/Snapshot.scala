@@ -171,9 +171,20 @@ object Snapshot {
     * already-compact version does no IO). On an object store this
     * maintenance slot must still be scheduled around readers (true
     * snapshot isolation needs manifest-level file tracking, out of scope
-    * for the plain-parquet layout). */
+    * for the plain-parquet layout).
+    *
+    * `sortBy` (the `rewrite_data_files` SORT-strategy analog): when set,
+    * each level is rewritten RANGE-PARTITIONED + sorted within files on
+    * those columns instead of coalesced, so every output file covers a
+    * narrow, near-disjoint key range. That is what makes the per-file
+    * min/max stats of [[writeFileStats]] decisive: on an unsorted layout
+    * every file spans the whole key space and nothing prunes; after a
+    * sorted rewrite a key-range scan plans to O(range) files. Sorted
+    * compaction always rewrites (the existing files may have the right
+    * COUNT but not the clustering). */
   def compact(spark: SparkSession, root: String, snapshotId: String,
-              targetBytes: Long = 128L << 20): Map[Int, Int] = {
+              targetBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil): Map[Int, Int] = {
     require(Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
       s"snapshot '$snapshotId' is not committed under $root (no manifest)")
     val base = Paths.get(s"$root/tiles/snapshot_id=$snapshotId")
@@ -194,12 +205,16 @@ object Snapshot {
       val parts = ls(dir, _.endsWith(".parquet"))
       val bytes = parts.map(Files.size).sum
       val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (parts.size <= n) res -> parts.size // already compact: no IO
+      if (parts.size <= n && sortBy.isEmpty) res -> parts.size // no IO
       else {
         val tmp = base.resolve(s".compact-res=$res")
         if (Files.exists(tmp)) deleteRecursively(tmp)
-        spark.read.parquet(dir.toString).coalesce(n)
-          .write.mode("overwrite").parquet(tmp.toString)
+        val level = spark.read.parquet(dir.toString)
+        val rewritten =
+          if (sortBy.isEmpty) level.coalesce(n)
+          else level.repartitionByRange(n, sortBy.map(col): _*)
+            .sortWithinPartitions(sortBy.map(col): _*)
+        rewritten.write.mode("overwrite").parquet(tmp.toString)
         val trash = base.resolve(s".old-res=$res")
         Files.move(dir, trash)
         Files.move(tmp, dir)
@@ -207,6 +222,121 @@ object Snapshot {
         res -> ls(dir, _.endsWith(".parquet")).size
       }
     }.toMap
+  }
+
+  /** One data file's entry in the file-stats manifest: path relative to
+    * `<root>/tiles`, its `res=` partition value (-1 if unpartitioned),
+    * row count, and min/max of the stats column. `hasStats` false means
+    * the footer carried no usable statistics for the column (all-null
+    * file, or a non-INT64 column) — such a file is NEVER pruned. */
+  case class FileStat(path: String, res: Int, rows: Long,
+                      min: Long, max: Long, hasStats: Boolean)
+
+  private val ResInPath = "res=(\\d+)".r.unanchored
+
+  /** Record per-FILE column stats for a committed snapshot version — the
+    * Iceberg manifest-ENTRY analog (each data file's row count + lower/
+    * upper bound of a key column, kept in table metadata so scan PLANNING
+    * prunes files without touching them). Stats come from the parquet
+    * FOOTERS of the version's files: a driver-side metadata read (no data
+    * pages — footers are O(KB) regardless of file size), the same cost
+    * class as the file listing itself. Written as
+    * `FILES-<snapshotId>.json` beside the MANIFEST; re-running after
+    * [[compact]] refreshes it (compaction changes the file set).
+    *
+    * At 10^12-row scale the win is planning-time: a key-range query over
+    * a sort-compacted level opens O(range) files instead of listing-then-
+    * filtering row groups inside every file (parquet row-group skipping
+    * still needs every footer opened by some task; manifest pruning never
+    * schedules the task at all). */
+  def writeFileStats(spark: SparkSession, root: String, snapshotId: String,
+                     statsCol: String = "cell"): Seq[FileStat] = {
+    require(Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
+      s"snapshot '$snapshotId' is not committed under $root (no manifest)")
+    val tilesRoot = Paths.get(s"$root/tiles")
+    val versioned = tilesRoot.resolve(s"snapshot_id=$snapshotId")
+    val base = if (Files.isDirectory(versioned)) versioned else tilesRoot
+    import scala.jdk.CollectionConverters._
+    val files = scala.util.Using.resource(Files.walk(base)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq.sortBy(_.toString)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = files.map { p =>
+      val rel = tilesRoot.relativize(p).toString
+      val res = rel match { case ResInPath(r) => r.toInt; case _ => -1 }
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      scala.util.Using.resource(
+        org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val colStats = blocks.flatMap(b => b.getColumns.asScala
+          .find(_.getPath.toDotString == statsCol).map(_.getStatistics))
+        val longStats = colStats.collect {
+          case s: org.apache.parquet.column.statistics.LongStatistics
+            if !s.isEmpty && s.hasNonNullValue => s
+        }
+        if (longStats.size == blocks.size && blocks.nonEmpty)
+          FileStat(rel, res, rows,
+            longStats.map(_.genericGetMin.longValue).min,
+            longStats.map(_.genericGetMax.longValue).max, hasStats = true)
+        else // missing/all-null stats in some block: conservative entry
+          FileStat(rel, res, rows, Long.MinValue, Long.MaxValue,
+            hasStats = false)
+      }
+    }
+    val body = stats.map(f =>
+      s"""{"path": "${f.path}", "res": ${f.res}, "rows": ${f.rows}, """ +
+        s""""min": ${f.min}, "max": ${f.max}, "has_stats": ${f.hasStats}}""")
+      .mkString(",\n  ")
+    val json =
+      s"""{"snapshot_id": "$snapshotId", "stats_col": "$statsCol", "files": [
+         |  $body
+         |]}""".stripMargin
+    Files.write(Paths.get(s"$root/FILES-$snapshotId.json"),
+      json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    stats
+  }
+
+  private val FileEntry =
+    ("""\{"path": "([^"]+)", "res": (-?\d+), "rows": (\d+), """ +
+      """"min": (-?\d+), "max": (-?\d+), "has_stats": (true|false)\}""").r
+
+  /** Parse `FILES-<snapshotId>.json` back into [[FileStat]]s. */
+  def readFileStats(root: String, snapshotId: String): Seq[FileStat] = {
+    val p = Paths.get(s"$root/FILES-$snapshotId.json")
+    require(Files.exists(p),
+      s"no file-stats manifest for snapshot '$snapshotId' under $root — " +
+        "run writeFileStats after the write (and after every compact)")
+    FileEntry.findAllMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+      .map(m => FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong, m.group(6) == "true"))
+      .toSeq
+  }
+
+  /** Plan a key-range scan over a version using the file-stats manifest
+    * (the Iceberg scan-planning analog): only files whose recorded
+    * [min,max] of the stats column OVERLAPS [lo,hi] are read at all —
+    * pruning is decided from the manifest on the driver, before any task
+    * is scheduled. Pruning is CONSERVATIVE (overlap keeps the file; files
+    * without stats always survive), so the returned frame is a superset
+    * of the exact range — callers apply the precise predicate on top, and
+    * correctness never depends on the layout. Returns
+    * (frame, filesKept, filesTotal). */
+  def scanPruned(spark: SparkSession, root: String, snapshotId: String,
+                 lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val stats = readFileStats(root, snapshotId)
+    val kept = stats.filter(f => !f.hasStats || (f.min <= hi && f.max >= lo))
+    val tiles = s"$root/tiles"
+    val df =
+      if (kept.isEmpty) readAsOf(spark, root, snapshotId).filter(lit(false))
+      else spark.read.option("basePath", tiles)
+        .parquet(kept.map(f => s"$tiles/${f.path}"): _*)
+    (df, kept.size, stats.size)
   }
 
   /** Retention for the versioned store — the operational complement of
