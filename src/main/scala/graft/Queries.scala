@@ -1036,7 +1036,8 @@ object Queries {
     qZcurve,
     qFilesPrune,
     qDeltaMerge,
-    qAdaptiveSplit) ++ text.QueriesText.all ++ similarity.QueriesAnn.all ++
+    qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
+    similarity.QueriesAnn.all ++
     QueriesMisc.all ++ QueriesRetrieval.all
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.text.TextOps._
+
+/** Inverted-index lexical search over the `documents` corpus — the LEXICAL
+  * counterpart of the engine's dense-retrieval family (brute cosine / LSH /
+  * IVF over embeddings ≙ the reference's FaissRetriever.py:166-201; this is
+  * the posting-list path a production corpus keeps NEXT to the vector
+  * index). Three operators:
+  *
+  *   1. index build — token→(df, tf) posting statistics;
+  *   2. conjunctive (AND) search — candidate intersection as a KEYED count,
+  *      never a cross product;
+  *   3. weighted ranked (OR) search — reciprocal-df term weighting with
+  *      integer-exact arithmetic (ln-free: `floor(1e6·N / df)` — a raw
+  *      transcendental double in hashed output was the q_bic_k lesson).
+  *
+  * Scale shape: postings are (token, doc) pairs — the classic inverted
+  * index. The search-side filter `token IN (terms)` lands BEFORE the
+  * keyed aggregation, so only the query terms' postings ever shuffle; at
+  * 100 TB the index is materialized once, bucketed by token
+  * ([[graft.operators.BucketStore]]), and every search is a bucket-pruned
+  * scan + exchange-free keyed count. Document scoring joins the tiny
+  * per-term df frame broadcast, and top-k is a global sort-LIMIT
+  * (TakeOrderedAndProject — O(k) per partition, no partitionless window).
+  */
+object QueriesSearch {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** DuckDB posting-pairs CTE (tokenization identical to [[TextOps]]). */
+  private val postingsCte: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents
+       |), p AS (
+       |  SELECT doc_id, unnest(toks) AS token FROM d
+       |)""".stripMargin
+
+  /** Inverted-index build: per-token document frequency + total term
+    * frequency. The index itself is the (token, doc_id, tf) relation; the
+    * emitted frame is its per-token statistics row (what a query planner
+    * reads to order terms rarest-first). One keyed shuffle on token. */
+  private val qIndexPostings = Q(
+    "q_index_postings",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr(SparkD.splitToks("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total")),
+    Some(
+      s"""$postingsCte
+         |SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(count(*) AS BIGINT) AS tf_total
+         |FROM p GROUP BY token""".stripMargin))
+
+  /** Conjunctive search terms: 'dup' is rare (the planted near-dup docs),
+    * the others are common — the AND is decided by the rare term's posting
+    * list, exactly the rarest-first intersection a lexical engine plans. */
+  private val AndTerms = Seq("dup", "vector", "key")
+
+  /** Conjunctive (AND-of-terms) search: distinct (doc, token) postings
+    * filtered to the query terms (the filter sits on the scan side of the
+    * shuffle — only query-term postings move), then a keyed count equal to
+    * the term count = the doc contains ALL terms. Intersection as
+    * aggregation: no pairwise joins, no cross product, one shuffle. */
+  private val qTokenSearch = Q(
+    "q_token_search",
+    (s, dir) => {
+      val matched = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(expr(SparkD.splitToks("text")))).as("token"))
+        .filter(col("token").isin(AndTerms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === AndTerms.size)
+        .select(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(expr(SparkD.splitToks("text"))).as("n_tokens"))
+        .join(broadcast(matched), "doc_id")
+    },
+    Some {
+      val preds = AndTerms.map(t => s"list_contains(toks, '$t')")
+        .mkString(" AND ")
+      s"""WITH d AS (
+         |  SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents
+         |)
+         |SELECT doc_id, ${DuckD.size("toks")} AS n_tokens
+         |FROM d WHERE $preds""".stripMargin
+    })
+
+  /** Ranked search terms: one rare + two common, so the reciprocal-df
+    * weighting visibly reorders (a 'dup' hit outweighs ~15 common hits). */
+  private val OrTerms = Seq("dup", "vector", "spark")
+  private val TopK = 10
+
+  /** Weighted ranked (OR-of-terms) search: per-(doc, term) tf from the
+    * filtered postings, per-term weight `w = (1e6 · N) div df` (integer
+    * reciprocal-df — idf's monotone, cross-engine-exact surrogate), score
+    * = Σ tf·w, global top-k by (score desc, doc_id) — a sort-LIMIT, which
+    * Spark plans as TakeOrderedAndProject (per-partition heap of k, no
+    * global sort materialized). df and N are broadcast scalars. */
+  private val qSearchRanked = Q(
+    "q_search_ranked",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(expr(SparkD.splitToks("text"))).as("token"))
+        .filter(col("token").isin(OrTerms: _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfPerTerm = tf.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfPerTerm), "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w", expr("(1000000 * n_docs) div df"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("w")).as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(TopK)
+    },
+    Some {
+      val in = OrTerms.map(t => s"'$t'").mkString(", ")
+      s"""$postingsCte, tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM p WHERE token IN ($in) GROUP BY doc_id, token
+         |), dfx AS (
+         |  SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+         |), n AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(tf * ((1000000 * n_docs) // df)) AS BIGINT) AS score_q
+         |FROM tf JOIN dfx USING (token), n
+         |GROUP BY doc_id
+         |ORDER BY score_q DESC, doc_id
+         |LIMIT $TopK""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(qIndexPostings, qTokenSearch, qSearchRanked)
+}
