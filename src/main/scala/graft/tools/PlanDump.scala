@@ -148,7 +148,22 @@ object PlanDump {
         "map-only priority projection (division-only arithmetic) + ONE" +
           " keyed window per tile cell — partition-parallel, no global" +
           " sort",
-        graft.Queries.queryMap("q_weighted_sample")(spark, dir)))
+        graft.Queries.queryMap("q_weighted_sample")(spark, dir)),
+      ("Inverted-index ranked search (round 4)",
+        "the token IN (terms) filter sits under the keyed tf aggregation" +
+          " — only the query terms' postings ever shuffle; per-term df" +
+          " and the corpus count join broadcast; the final top-k is" +
+          " TakeOrderedAndProject (per-partition heap of k, no global" +
+          " sort, no partitionless window)",
+        graft.Queries.queryMap("q_search_ranked")(spark, dir)),
+      ("Manifest file pruning (round 4)",
+        "the scan is PLANNED from the FILES manifest on the driver: only" +
+          " data files whose recorded cell [min,max] overlaps the range" +
+          " are handed to the reader at all (the InMemoryFileIndex below" +
+          " holds just the kept files) — pruning before any task is" +
+          " scheduled; the exact BETWEEN predicate applies on top, so the" +
+          " layout can never change the answer",
+        graft.Queries.queryMap("q_files_prune")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
