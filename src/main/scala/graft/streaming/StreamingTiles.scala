@@ -218,6 +218,31 @@ object StreamingTiles {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), sum(col("b")).as("bytes_sum"))
 
+  /** Schema of the documents table (the stream reads doc files as they
+    * land — same shape as the driver's `documents.parquet`). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** STREAMING INVERTED-INDEX MAINTENANCE — the incremental form of the
+    * lexical index build ([[graft.text.QueriesSearch]] q_index_postings):
+    * as document files land, per-(token, doc_id) term frequencies are
+    * kept current in one stateful keyed aggregation. The maintained state
+    * is the POSTING PAIR level, not the per-token (df, tf) rollup: a
+    * distinct-doc count is not row-wise mergeable, so the stream keeps
+    * the mergeable relation and the tiny per-token statistics derive
+    * downstream (a batch `groupBy(token)` over this output — exactly the
+    * two-level partial-agg shape the batch index plans anyway). State
+    * shards by (token, doc_id) like any keyed aggregation; its size is
+    * the live index size (the thing being maintained), not the stream
+    * history. Batch/stream parity across a checkpointed resume is pinned
+    * in StreamingSpec. */
+  def postingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+      .select(col("doc_id"),
+        explode(expr("split(trim(text), ' +')")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
   /** STREAM-STATIC point-in-polygon join: images land as files and each
     * arriving row is joined against the static vector layer — continuous
     * tile assignment / geofencing, the streaming form of

@@ -488,6 +488,39 @@ class StreamingSpec extends SparkFunSuite {
       s"fixture should split: narrow=${narrow.size} all=${batch.size}")
   }
 
+  test("streaming postings == batch inverted index, across a resume") {
+    val inDir = Files.createTempDirectory("graft-post-in").toString
+    val ckpt = Files.createTempDirectory("graft-post-ck").toString
+    val docs = spark.read.parquet(s"${SparkSpec.Sf}/documents.parquet")
+
+    def run(): Unit = runAvailableNow(
+      StreamingTiles.postingsStream(spark, inDir), "postings_stream", ckpt)
+
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(inDir)
+    run()
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(inDir)
+    run()
+
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = canon(spark.table("postings_stream").collect())
+    val want = canon(docs
+      .select(col("doc_id"), explode(expr("split(trim(text), ' +')")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .select("token", "doc_id", "tf").collect())
+    assert(got == want && got.nonEmpty)
+
+    // the per-token index statistics derive from the maintained pairs
+    val stats = spark.table("postings_stream")
+      .groupBy("token")
+      .agg(countDistinct("doc_id").as("df"), sum("tf").as("tf_total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bStats = graft.SparkEntry.queries("q_index_postings")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats == bStats)
+  }
+
   test("streaming event windows == batch windows") {
     val inDir = Files.createTempDirectory("graft-stream-ev").toString
     val ckpt = Files.createTempDirectory("graft-stream-evck").toString
