@@ -74,6 +74,56 @@ object QueriesMisc {
          |    ELSE least(255, greatest(0, truth + delta)) END) AS DOUBLE) / 48 AS mean_px
          |FROM px GROUP BY image_id""".stripMargin))
 
+  /** Raster ZONAL STATISTICS — the classic raster↔vector operator (zone
+    * layer × raster layer → per-zone aggregates of decoded pixel content;
+    * the north star's "raster↔vector" axis beyond pure assignment).
+    * Containment comes from the same broadcast covering-cell index +
+    * codegen ray-cast refine as [[graft.operators.SpatialJoin.pipJoin]];
+    * the pixel side decodes each image ONCE in the same map-side
+    * projection (decode → 4×4 thumb → stats kernels), reduced to an
+    * integer pixel sum BEFORE the per-zone shuffle (doubles must not ride
+    * a shuffle into a sum — order-dependent; `round(mean_px·48)` recovers
+    * the exact integer pixel total since mean_px = sum/48 with
+    * sum ≤ 48·255). Per-zone result: image count + total pixel mass. The
+    * oracle replays decode (splitmix64 pixel chain), containment (the
+    * polygon predicates), and the aggregation relationally — the full
+    * raster→vector chain proven cross-engine. At scale: the zone index is
+    * the pip join's (broadcast or partitioned) index; everything before
+    * the final keyed agg is map-only. */
+  private val qZonalStats = Q(
+    "q_zonal_stats",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      import graft.operators.SpatialJoin
+      val px = Images.imagesWithBytes(s, dir)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(4), lit(4)))
+        .withColumn("st", M.raster_stats(col("thumb")))
+        .select(col("image_id"), col("lat"), col("lon"),
+          expr("cast(round(st.mean_px * 48) as bigint)").as("px_sum"))
+        .withColumn("cell",
+          G.cell_encode(col("lat"), col("lon"), SpatialJoin.CoverRes))
+      px.join(broadcast(SpatialJoin.coverIndex(
+          s, Fixtures.polys, SpatialJoin.CoverRes)), Seq("cell"))
+        .filter(G.point_in_poly(col("lat"), col("lon"),
+          col("lats"), col("lons")))
+        .groupBy(col("poly_id"))
+        .agg(count(lit(1)).as("n_images"), sum(col("px_sum")).as("px_sum"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}, img_px AS (
+         |  SELECT image_id, CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |    ELSE least(255, greatest(0, truth + delta)) END) AS BIGINT) AS px_sum
+         |  FROM px GROUP BY image_id
+         |), matched AS (
+         |${Fixtures.pipMatchedSql}
+         |)
+         |SELECT poly_id, CAST(count(*) AS BIGINT) AS n_images,
+         |  CAST(sum(px_sum) AS BIGINT) AS px_sum
+         |FROM matched JOIN img_px USING (image_id)
+         |GROUP BY poly_id""".stripMargin))
+
   /** SHARED oracle pixel machinery (q_thumb_stats + the dHash queries):
     * `WITH RECURSIVE ... seeds/chain/pos/px` — a recursive CTE advances the
     * per-image splitmix64 seed chain ([[graft.multimodal.Raster.duckMixSql]]
@@ -601,7 +651,7 @@ object QueriesMisc {
          |) WHERE rnk <= $K GROUP BY qid""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qImageFidelity, qThumbStats, qFrameSample,
+    qImageFidelity, qThumbStats, qZonalStats, qFrameSample,
     qImageDhash, qImageNeardup,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,

@@ -160,12 +160,15 @@ object Fixtures {
   }
 
   /** Full oracle for the point-in-polygon join: UNION ALL over polygons. */
-  def pipOracleSql(imagesCte: String): String = {
-    val parts = polys.map { p =>
-      s"SELECT '${p.polyId}' AS poly_id, image_id FROM images WHERE ${polySql(p)}"
-    }
-    s"$imagesCte\n${parts.mkString("\nUNION ALL\n")}"
-  }
+  /** Union of per-polygon containment selections — the (poly_id, image_id)
+    * matched relation as a reusable SQL fragment (consumed bare by
+    * [[pipOracleSql]], and as a CTE body by the zonal-stats oracle). */
+  def pipMatchedSql: String = polys.map { p =>
+    s"SELECT '${p.polyId}' AS poly_id, image_id FROM images WHERE ${polySql(p)}"
+  }.mkString("\nUNION ALL\n")
+
+  def pipOracleSql(imagesCte: String): String =
+    s"$imagesCte\n$pipMatchedSql"
 
   /** Oracle for per-(polygon, tile) coverage counts: same union, plus the
     * covering cell of each matched point, grouped. */
