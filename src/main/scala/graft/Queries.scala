@@ -108,6 +108,20 @@ object Queries {
     (s, dir) => SpatialJoin.polyTileCoverage(Images.images(s, dir), s),
     Some(Fixtures.polyTileCovOracleSql(cte, cellSql(SpatialJoin.CoverRes))))
 
+  /** Polygon↔polygon overlay join ([[SpatialJoin.polyJoin]] — the
+    * vector↔vector join the point-based joins don't cover): the 15 mixed
+    * fixture polygons against the 48-polygon dense bench layer. The
+    * oracle replays proper-crossing double-for-double and the
+    * witness-vertex containment through the kind-exact predicates, over
+    * literal vertex rows — fully independent of the engine's cover-cell
+    * prefilter, so a hash match proves the prefilter + emit-once filter
+    * lose/invent no pair. */
+  private val qPolyJoin = Q(
+    "q_poly_join",
+    (s, _) => SpatialJoin.polyJoin(
+      s, Fixtures.polys, Fixtures.benchPolys(192)),
+    Some(Fixtures.polyJoinOracleSql(Fixtures.polys, Fixtures.benchPolys(192))))
+
   /** Radius for [[qDistPairs]] — small enough that the planted hot
     * cluster (0.001 deg box) contributes thousands, not millions, of
     * pairs, and the background stays sparse. */
@@ -1020,6 +1034,7 @@ object Queries {
     qPipJoin,
     qPipPart,
     qPolyTileCov,
+    qPolyJoin,
     qDistPairs,
     qKnn,
     qKnnBudget,

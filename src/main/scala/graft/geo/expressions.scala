@@ -151,6 +151,41 @@ case class HaversineM(lat1: Expression, lon1: Expression,
 /** Copy-free ray-casting kernel over Catalyst ArrayData — called from both
   * the interpreted and the generated code paths of [[PointInPoly]]. */
 object PipKernel {
+  /** Orientation of point (cx,cy) relative to directed segment (a→b) —
+    * the sign convention every crossing test and the DuckDB oracle share
+    * (op order matters: the oracle mirrors it double-for-double). */
+  @inline private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+                             cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** Does any edge of ring A PROPERLY cross any edge of ring B (strict
+    * orientation products — collinear touch / shared boundary excluded,
+    * symmetrically with the oracle's strict tests)? O(|A|·|B|) over two
+    * vertex rings; runs per candidate pair of the cover-cell prefilter. */
+  def segCross(latsA: ArrayData, lonsA: ArrayData,
+               latsB: ArrayData, lonsB: ArrayData): Boolean = {
+    val n = latsA.numElements(); val m = latsB.numElements()
+    var i = 0
+    while (i < n) {
+      val i2 = if (i + 1 == n) 0 else i + 1
+      val ax = lonsA.getDouble(i); val ay = latsA.getDouble(i)
+      val bx = lonsA.getDouble(i2); val by = latsA.getDouble(i2)
+      var j = 0
+      while (j < m) {
+        val j2 = if (j + 1 == m) 0 else j + 1
+        val cx = lonsB.getDouble(j); val cy = latsB.getDouble(j)
+        val dx = lonsB.getDouble(j2); val dy = latsB.getDouble(j2)
+        if (orient(ax, ay, bx, by, cx, cy) *
+              orient(ax, ay, bx, by, dx, dy) < 0 &&
+            orient(cx, cy, dx, dy, ax, ay) *
+              orient(cx, cy, dx, dy, bx, by) < 0) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
   def contains(lat: Double, lon: Double, lats: ArrayData, lons: ArrayData): Boolean = {
     val nv = lats.numElements()
     var inside = false
@@ -197,6 +232,32 @@ case class PointInPoly(lat: Expression, lon: Expression,
     copy(f, s, t, q, refineOnly)
   override def prettyName: String =
     if (refineOnly) "point_in_poly_refine" else "point_in_poly"
+}
+
+/** `POLY_SEG_CROSS(latsA, lonsA, latsB, lonsB) -> Boolean`: proper edge
+  * crossing between two vertex rings ([[PipKernel.segCross]]) — the
+  * refine kernel of the polygon↔polygon join. Codegen'd like
+  * [[PointInPoly]]: it runs per cover-cell candidate pair. */
+case class PolySegCross(latsA: Expression, lonsA: Expression,
+                        latsB: Expression, lonsB: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = latsA
+  override def second: Expression = lonsA
+  override def third: Expression = latsB
+  override def fourth: Expression = lonsB
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PipKernel.segCross(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.geo.PipKernel.segCross($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+  override def prettyName: String = "poly_seg_cross"
 }
 
 /** `POLY_COVER_CELLS(lats, lons, res) -> Array[Long]`: covering cells of a
@@ -377,6 +438,9 @@ object functions {
     col(HaversineM(expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
   def point_in_poly(lat: Column, lon: Column, lats: Column, lons: Column): Column =
     col(PointInPoly(expr(lat), expr(lon), expr(lats), expr(lons)))
+  def poly_seg_cross(latsA: Column, lonsA: Column,
+                     latsB: Column, lonsB: Column): Column =
+    col(PolySegCross(expr(latsA), expr(lonsA), expr(latsB), expr(lonsB)))
   /** Same predicate pre-marked `refineOnly`: evaluates identically but no
     * optimizer rule ever rewrites it — for brute-force test oracles. */
   def point_in_poly_refine(lat: Column, lon: Column, lats: Column, lons: Column): Column =

@@ -60,6 +60,67 @@ object SpatialJoin {
       .select(col("poly_id"), col("image_id"))
   }
 
+  /** Polygon↔polygon spatial join (vector↔vector — the overlay operator
+    * the point-based joins don't cover): emits (a_id, b_id) for every
+    * pair whose INTERIORS overlap. Semantics — exact for simple polygons:
+    * interiors overlap iff some edge pair PROPERLY crosses
+    * ([[graft.geo.PipKernel.segCross]], strict orientation products) OR
+    * either ring's witness vertex (vertex 0) lies strictly inside the
+    * other; boundary-touch-only contact is excluded symmetrically (strict
+    * tests on both engines; measure-zero for the fixtures).
+    *
+    * Plan: both layers build their DISTRIBUTED covering index
+    * (PolyCoverCells projection + explode) and candidates come from the
+    * cover-cell equi-join; each pair is generated ONCE via the
+    * min-common-cell filter (the emit-once pattern — no post-join
+    * `distinct` shuffle). At a 10^8×10^8-polygon overlay both sides
+    * shuffle once on the cell key (sort-merge + AQE skew split, the
+    * pipJoinPartitioned shape); the codegen refine runs per candidate. */
+  def polyJoin(spark: SparkSession,
+               aPolys: Seq[Fixtures.Poly], bPolys: Seq[Fixtures.Poly],
+               res: Int = 4,
+               strategy: TilingStrategy = QuadkeyTiling): DataFrame = {
+    def side(ps: Seq[Fixtures.Poly], p: String) =
+      polyDf(spark, ps).select(
+          col("poly_id").as(s"${p}_id"),
+          col("lats").as(s"${p}lats"), col("lons").as(s"${p}lons"))
+        .withColumn(s"${p}cov",
+          strategy.coverCol(col(s"${p}lats"), col(s"${p}lons"), res))
+        .withColumn("cell", explode(col(s"${p}cov")))
+    side(aPolys, "a").join(side(bPolys, "b"), Seq("cell"))
+      .filter(col("cell") ===
+        array_min(array_intersect(col("acov"), col("bcov"))))
+      .filter(
+        G.poly_seg_cross(col("alats"), col("alons"),
+          col("blats"), col("blons")) ||
+        G.point_in_poly(element_at(col("blats"), 1), element_at(col("blons"), 1),
+          col("alats"), col("alons")) ||
+        G.point_in_poly(element_at(col("alats"), 1), element_at(col("alons"), 1),
+          col("blats"), col("blons")))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Brute-force polygon-join oracle (J2 analog of [[pipBrute]]): cross
+    * join + the SAME refine predicate — tests prove the cover-cell
+    * prefilter and emit-once filter lose/invent no pair. */
+  def polyJoinBrute(spark: SparkSession,
+                    aPolys: Seq[Fixtures.Poly],
+                    bPolys: Seq[Fixtures.Poly]): DataFrame = {
+    val a = polyDf(spark, aPolys).select(col("poly_id").as("a_id"),
+      col("lats").as("alats"), col("lons").as("alons"))
+    val b = polyDf(spark, bPolys).select(col("poly_id").as("b_id"),
+      col("lats").as("blats"), col("lons").as("blons"))
+    a.crossJoin(broadcast(b))
+      .filter(
+        G.poly_seg_cross(col("alats"), col("alons"),
+          col("blats"), col("blons")) ||
+        G.point_in_poly(element_at(col("blats"), 1), element_at(col("blons"), 1),
+          col("alats"), col("alons")) ||
+        G.point_in_poly(element_at(col("alats"), 1), element_at(col("alons"), 1),
+          col("blats"), col("blons")))
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Brute-force oracle variant (SURVEY.md J2): cross join + refine. Used
     * by tests to prove the prefilter loses/adds nothing. The predicate is
     * pre-marked refineOnly so a session with the optimizer rules installed

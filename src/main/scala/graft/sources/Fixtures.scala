@@ -160,6 +160,71 @@ object Fixtures {
   }
 
   /** Full oracle for the point-in-polygon join: UNION ALL over polygons. */
+  /** DuckDB oracle for the polygon↔polygon join
+    * ([[graft.operators.SpatialJoin.polyJoin]]): both layers' edges and
+    * witness vertices as literal VALUES rows. Proper crossing mirrors
+    * [[graft.geo.PipKernel.segCross]]'s orientation arithmetic
+    * double-for-double (same op order, same strict products);
+    * witness-vertex containment uses the kind-exact strict-interior
+    * predicates ([[polySql]]) for layer A and the CCW half-plane
+    * conjunction over the edge rows for the (convex) layer B — the same
+    * off-boundary equivalence the pip oracles rely on. */
+  def polyJoinOracleSql(as: Seq[Poly], bs: Seq[Poly]): String = {
+    require(bs.forall(_.kind == "convex"),
+      "oracle containment-in-B uses the half-plane form: B must be convex")
+    // ::DOUBLE on every literal: DuckDB types bare VALUES numerics as
+    // DECIMAL, whose arithmetic overflows AND diverges from the engine's
+    // IEEE-754 doubles; the cast makes both engines round the same
+    // decimal string to the same double.
+    def edgeRows(ps: Seq[Poly]) = ps.flatMap { p =>
+      val n = p.lats.length
+      (0 until n).map { i =>
+        val j = (i + 1) % n
+        s"('${p.polyId}', ${p.lons(i)}::DOUBLE, ${p.lats(i)}::DOUBLE, " +
+          s"${p.lons(j)}::DOUBLE, ${p.lats(j)}::DOUBLE)"
+      }
+    }.mkString(",\n    ")
+    def v0Rows(ps: Seq[Poly]) = ps.map(p =>
+      s"('${p.polyId}', ${p.lons(0)}::DOUBLE, ${p.lats(0)}::DOUBLE)")
+      .mkString(",\n    ")
+    val bInA = as.map { p =>
+      s"SELECT '${p.polyId}' AS a_id, b_id FROM " +
+        s"(SELECT b_id, py AS lat, px AS lon FROM bv0) t WHERE ${polySql(p)}"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ea(a_id, eax, eay, ebx, eby) AS (VALUES
+       |    ${edgeRows(as)}
+       |), eb(b_id, eax, eay, ebx, eby) AS (VALUES
+       |    ${edgeRows(bs)}
+       |), av0(a_id, px, py) AS (VALUES
+       |    ${v0Rows(as)}
+       |), bv0(b_id, px, py) AS (VALUES
+       |    ${v0Rows(bs)}
+       |), crossed AS (
+       |  SELECT DISTINCT ea.a_id, eb.b_id FROM ea, eb
+       |  WHERE ((ea.ebx - ea.eax) * (eb.eay - ea.eay)
+       |       - (ea.eby - ea.eay) * (eb.eax - ea.eax))
+       |      * ((ea.ebx - ea.eax) * (eb.eby - ea.eay)
+       |       - (ea.eby - ea.eay) * (eb.ebx - ea.eax)) < 0
+       |    AND ((eb.ebx - eb.eax) * (ea.eay - eb.eay)
+       |       - (eb.eby - eb.eay) * (ea.eax - eb.eax))
+       |      * ((eb.ebx - eb.eax) * (ea.eby - eb.eay)
+       |       - (eb.eby - eb.eay) * (ea.ebx - eb.eax)) < 0
+       |), a_in_b AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT av0.a_id, eb.b_id,
+       |      min(CASE WHEN (eb.ebx - eb.eax) * (av0.py - eb.eay)
+       |                  - (eb.eby - eb.eay) * (av0.px - eb.eax) > 0
+       |          THEN 1 ELSE 0 END) AS inside
+       |    FROM av0, eb GROUP BY av0.a_id, eb.b_id) WHERE inside = 1
+       |), b_in_a AS (
+       |  $bInA
+       |)
+       |SELECT a_id, b_id FROM (
+       |  SELECT * FROM crossed UNION
+       |  SELECT * FROM a_in_b UNION
+       |  SELECT * FROM b_in_a)""".stripMargin
+  }
+
   /** Union of per-polygon containment selections — the (poly_id, image_id)
     * matched relation as a reusable SQL fragment (consumed bare by
     * [[pipOracleSql]], and as a CTE body by the zonal-stats oracle). */

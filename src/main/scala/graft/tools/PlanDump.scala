@@ -149,6 +149,15 @@ object PlanDump {
           " keyed window per tile cell — partition-parallel, no global" +
           " sort",
         graft.Queries.queryMap("q_weighted_sample")(spark, dir)),
+      ("Polygon-polygon overlay join (round 4)",
+        "both vector layers index themselves distributed (PolyCoverCells" +
+          " projection + explode), candidates from ONE cover-cell" +
+          " equi-join, each pair emitted once by the min-common-cell" +
+          " filter (no post-join distinct shuffle), codegen segCross +" +
+          " witness-vertex refine — never an all-pairs loop",
+        graft.operators.SpatialJoin.polyJoin(
+          spark, graft.sources.Fixtures.polys,
+          graft.sources.Fixtures.benchPolys(48))),
       ("Inverted-index ranked search (round 4)",
         "the token IN (terms) filter sits under the keyed tf aggregation" +
           " — only the query terms' postings ever shuffle; per-term df" +
