@@ -144,5 +144,48 @@ object QueriesSearch {
          |LIMIT $TopK""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(qIndexPostings, qTokenSearch, qSearchRanked)
+  /** Phrase to find adjacently — two common tokens, so the adjacency join
+    * (not mere co-occurrence) decides the result. */
+  private val Phrase = ("key", "agg")
+
+  /** PHRASE search over POSITIONAL postings: the index keeps (token,
+    * doc_id, pos) — the positional posting list every lexical engine
+    * stores next to the df stats — and a phrase match is an equi-join of
+    * the two terms' postings on (doc_id, pos) with the second term's
+    * position shifted by one. Adjacency as a KEYED join: each term's
+    * filter lands before its shuffle, candidates are the two posting
+    * lists (not documents), and the join key (doc_id, pos) is unique per
+    * side — linear, never a per-document scan. */
+  private val qPhraseSearch = Q(
+    "q_phrase_search",
+    (s, dir) => {
+      val pos = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr(SparkD.splitToks("text"))).as(Seq("pos", "token")))
+      val first = pos.filter(col("token") === Phrase._1)
+        .select(col("doc_id"), col("pos"))
+      val second = pos.filter(col("token") === Phrase._2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      first.join(second, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents
+         |), p AS (
+         |  SELECT doc_id, unnest(toks) AS token,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM d
+         |), t1 AS (
+         |  SELECT doc_id, pos FROM p WHERE token = '${Phrase._1}'
+         |), t2 AS (
+         |  SELECT doc_id, pos - 1 AS pos FROM p WHERE token = '${Phrase._2}'
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM t1 JOIN t2 USING (doc_id, pos)
+         |GROUP BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(qIndexPostings, qTokenSearch, qSearchRanked,
+    qPhraseSearch)
 }
