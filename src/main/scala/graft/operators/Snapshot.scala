@@ -181,7 +181,10 @@ object Snapshot {
     * every file spans the whole key space and nothing prunes; after a
     * sorted rewrite a key-range scan plans to O(range) files. Sorted
     * compaction always rewrites (the existing files may have the right
-    * COUNT but not the clustering). */
+    * COUNT but not the clustering). An existing FILES stats manifest is
+    * refreshed in place after the rewrite — compaction deletes the files
+    * it references, and a stale manifest would hand [[scanPruned]] dead
+    * paths. */
   def compact(spark: SparkSession, root: String, snapshotId: String,
               targetBytes: Long = 128L << 20,
               sortBy: Seq[String] = Nil): Map[Int, Int] = {
@@ -200,7 +203,7 @@ object Snapshot {
       if (!Files.exists(live)) Files.move(trash, live)
       else deleteRecursively(trash) // swap had completed; drop the old copy
     }
-    ls(base, _.startsWith("res=")).map { dir =>
+    val counts = ls(base, _.startsWith("res=")).map { dir =>
       val res = dir.getFileName.toString.stripPrefix("res=").toInt
       val parts = ls(dir, _.endsWith(".parquet"))
       val bytes = parts.map(Files.size).sum
@@ -222,6 +225,19 @@ object Snapshot {
         res -> ls(dir, _.endsWith(".parquet")).size
       }
     }.toMap
+    // Compaction replaced data files, so an existing file-stats manifest
+    // now references DELETED parts — a stale FILES json would make
+    // scanPruned hand the reader dead paths. Refresh it in place (the
+    // stats column rides in the json, so the refresh is self-describing).
+    val filesJson = Paths.get(s"$root/FILES-$snapshotId.json")
+    if (Files.exists(filesJson)) {
+      val StatsCol = """"stats_col": "([^"]+)"""".r.unanchored
+      new String(Files.readAllBytes(filesJson), "UTF-8") match {
+        case StatsCol(c) => writeFileStats(spark, root, snapshotId, c)
+        case _ => Files.delete(filesJson) // unreadable: stale is worse
+      }
+    }
+    counts
   }
 
   /** One data file's entry in the file-stats manifest: path relative to
@@ -390,6 +406,7 @@ object Snapshot {
     }
     expired.foreach { id =>
       Files.deleteIfExists(Paths.get(s"$root/MANIFEST-$id.json")) // commit
+      Files.deleteIfExists(Paths.get(s"$root/FILES-$id.json"))
       val data = Paths.get(s"$root/tiles/snapshot_id=$id")
       if (Files.exists(data)) deleteRecursively(data)
     }

@@ -80,6 +80,35 @@ class FilePruneSpec extends SparkFunSuite {
     assert(kept == 0 && df.count() == 0)
   }
 
+  test("compaction refreshes an existing stats manifest (never stale)") {
+    val root = Files.createTempDirectory("graft-fp-spec").toString
+    val lv = leaves
+    Snapshot.writeVersioned(lv, root, "s1", buildTs = 1L)
+    Snapshot.writeFileStats(spark, root, "s1") // BEFORE the rewrite
+    Snapshot.compact(spark, root, "s1", targetBytes = 8L << 10,
+      sortBy = Seq("cell"))
+    // every manifest entry must point at a live post-compaction file,
+    // and the pruned range scan must still answer exactly
+    val stats = Snapshot.readFileStats(root, "s1")
+    stats.foreach(f => assert(
+      Files.exists(java.nio.file.Paths.get(s"$root/tiles/${f.path}")),
+      s"stale manifest entry after compact: ${f.path}"))
+    val (pruned, kept, total) = Snapshot.scanPruned(spark, root, "s1", Lo, Hi)
+    assert(kept < total)
+    assert(canon(pruned.filter(col("cell").between(Lo, Hi))) ==
+      canon(lv.filter(col("cell").between(Lo, Hi))))
+  }
+
+  test("expiry deletes the expired version's stats manifest too") {
+    val root = Files.createTempDirectory("graft-fp-spec").toString
+    val lv = leaves
+    Snapshot.writeVersioned(lv, root, "s1", buildTs = 1L)
+    Snapshot.writeFileStats(spark, root, "s1")
+    Snapshot.writeVersioned(lv, root, "s2", buildTs = 2L)
+    assert(Snapshot.expireSnapshots(root, keepLast = 1) == Seq("s1"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/FILES-s1.json")))
+  }
+
   test("stats manifest round-trips through its JSON file") {
     val root = Files.createTempDirectory("graft-fp-spec").toString
     Snapshot.writeVersioned(leaves, root, "s1", buildTs = 1L)
