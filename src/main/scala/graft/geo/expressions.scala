@@ -479,6 +479,8 @@ object functions {
       es => HaversineM(es(0), es(1), es(2), es(3)), "builtin")
     reg.createOrReplaceTempFunction("point_in_poly",
       es => PointInPoly(es(0), es(1), es(2), es(3)), "builtin")
+    reg.createOrReplaceTempFunction("poly_seg_cross",
+      es => PolySegCross(es(0), es(1), es(2), es(3)), "builtin")
     reg.createOrReplaceTempFunction("cell_encode_multi",
       es => MultiResCells(es(0), es(1), es(2), es(3)), "builtin")
     reg.createOrReplaceTempFunction("s2_encode",

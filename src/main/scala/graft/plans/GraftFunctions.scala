@@ -80,6 +80,11 @@ object GraftFunctions {
         "join on this predicate is rewritten to a covering-cell equi-join " +
         "by the graft optimizer rules.") {
       case Seq(la, lo, las, los) => PointInPoly(la, lo, las, los) },
+    fn("poly_seg_cross", 4,
+      "poly_seg_cross(latsA, lonsA, latsB, lonsB) - true when any edge of " +
+        "ring A properly crosses any edge of ring B (strict orientation " +
+        "products); the refine kernel of the polygon-polygon overlay join.") {
+      case Seq(la, lo, lb, lob) => PolySegCross(la, lo, lb, lob) },
     fn("poly_cover_cells", 3,
       "poly_cover_cells(lats, lons, res) - quadkey cells covering the " +
         "polygon's bounding box (the broadcast prefilter index).") {

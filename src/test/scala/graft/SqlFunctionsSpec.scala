@@ -105,6 +105,27 @@ class SqlFunctionsSpec extends SparkFunSuite {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("SQL poly_seg_cross == kernel on crossing and disjoint rings") {
+    ready()
+    def arr(xs: Array[Double]) = xs.mkString("array(", "D,", "D)")
+    // thin bars crossing at the origin; the second pair is far disjoint
+    val cases = Seq(
+      (Array(-0.1, -0.1, 0.1, 0.1), Array(-5.0, 5.0, 5.0, -5.0),
+        Array(-5.0, -5.0, 5.0, 5.0), Array(-0.1, 0.1, 0.1, -0.1), true),
+      (Array(-0.1, -0.1, 0.1, 0.1), Array(-5.0, 5.0, 5.0, -5.0),
+        Array(40.0, 40.0, 41.0, 41.0), Array(40.0, 41.0, 41.0, 40.0), false))
+    cases.foreach { case (ala, alo, bla, blo, want) =>
+      val got = spark.sql(
+        s"SELECT poly_seg_cross(${arr(ala)}, ${arr(alo)}, " +
+          s"${arr(bla)}, ${arr(blo)}) AS x").collect().head.getBoolean(0)
+      assert(got == want)
+      val gotKernel = graft.operators.SpatialJoin.polyJoinBrute(spark,
+        Seq(Fixtures.Poly("a", ala, alo, "rect")),
+        Seq(Fixtures.Poly("b", bla, blo, "rect"))).count() > 0
+      assert(gotKernel == want)
+    }
+  }
+
   test("SQL point_in_poly filter picks up the bbox-prefilter rewrite") {
     ready()
     val poly = Fixtures.polys.find(_.kind == "convex").get
