@@ -576,23 +576,24 @@ object Queries {
   /** Manifest FILE pruning — the Iceberg scan-planning analog
     * (per-data-file min/max kept in table metadata; key-range scans
     * schedule only overlapping files). Res-8 leaf tiles land as a
-    * versioned snapshot; a SORTED compaction ([[Snapshot.compact]]
-    * `sortBy=cell`, the rewrite_data_files sort-strategy analog) rewrites
-    * the level into cell-ranged files; [[Snapshot.writeFileStats]] records
-    * per-file cell bounds from the parquet FOOTERS (driver-side metadata
-    * read, no data pages); [[Snapshot.scanPruned]] plans the range scan
-    * over the overlapping files only. The exact predicate is applied on
-    * top — pruning is conservative, so the answer never depends on the
-    * file layout (FilePruneSpec pins that the pruned plan actually reads
-    * fewer files; the oracle proves the surviving rows exact). */
+    * versioned snapshot CLUSTERED AT WRITE TIME (range-partitioned +
+    * sorted on cell — the write-once form of the sort layout; the
+    * rewrite_data_files-style SORTED COMPACTION path is pinned separately
+    * in FilePruneSpec); [[Snapshot.writeFileStats]] records per-file cell
+    * bounds from the parquet FOOTERS (driver-side metadata read, no data
+    * pages); [[Snapshot.scanPruned]] plans the range scan over the
+    * overlapping files only. The exact predicate is applied on top —
+    * pruning is conservative, so the answer never depends on the file
+    * layout (FilePruneSpec pins that the pruned plan actually reads fewer
+    * files; the oracle proves the surviving rows exact). */
   private val qFilesPrune = Q(
     "q_files_prune",
     (s, dir) => {
       val root = FpRoots.fresh()
       val leaves = TilePyramid.leafTiles(Images.images(s, dir), 8)
+        .repartitionByRange(8, col("cell"))
+        .sortWithinPartitions(col("cell"))
       Snapshot.writeVersioned(leaves, root, snapshotId = "s1", buildTs = 1L)
-      Snapshot.compact(s, root, "s1", targetBytes = 64L << 10,
-        sortBy = Seq("cell"))
       Snapshot.writeFileStats(s, root, "s1")
       val (scan, _, _) = Snapshot.scanPruned(s, root, "s1", FpLo, FpHi)
       scan.filter(col("cell").between(FpLo, FpHi))
