@@ -110,7 +110,7 @@ object Queries {
 
   /** Polygon↔polygon overlay join ([[SpatialJoin.polyJoin]] — the
     * vector↔vector join the point-based joins don't cover): the 15 mixed
-    * fixture polygons against the 48-polygon dense bench layer. The
+    * fixture polygons against the 192-polygon dense bench layer. The
     * oracle replays proper-crossing double-for-double and the
     * witness-vertex containment through the kind-exact predicates, over
     * literal vertex rows — fully independent of the engine's cover-cell

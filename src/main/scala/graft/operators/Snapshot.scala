@@ -203,6 +203,7 @@ object Snapshot {
       if (!Files.exists(live)) Files.move(trash, live)
       else deleteRecursively(trash) // swap had completed; drop the old copy
     }
+    var rewroteAny = false
     val counts = ls(base, _.startsWith("res=")).map { dir =>
       val res = dir.getFileName.toString.stripPrefix("res=").toInt
       val parts = ls(dir, _.endsWith(".parquet"))
@@ -210,6 +211,7 @@ object Snapshot {
       val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (parts.size <= n && sortBy.isEmpty) res -> parts.size // no IO
       else {
+        rewroteAny = true
         val tmp = base.resolve(s".compact-res=$res")
         if (Files.exists(tmp)) deleteRecursively(tmp)
         val level = spark.read.parquet(dir.toString)
@@ -229,8 +231,10 @@ object Snapshot {
     // now references DELETED parts — a stale FILES json would make
     // scanPruned hand the reader dead paths. Refresh it in place (the
     // stats column rides in the json, so the refresh is self-describing).
+    // A no-op maintenance run (every level already compact) rewrote
+    // nothing, so the manifest is still live — skip the footer sweep.
     val filesJson = Paths.get(s"$root/FILES-$snapshotId.json")
-    if (Files.exists(filesJson)) {
+    if (rewroteAny && Files.exists(filesJson)) {
       val StatsCol = """"stats_col": "([^"]+)"""".r.unanchored
       new String(Files.readAllBytes(filesJson), "UTF-8") match {
         case StatsCol(c) => writeFileStats(spark, root, snapshotId, c)
@@ -273,10 +277,17 @@ object Snapshot {
     val versioned = tilesRoot.resolve(s"snapshot_id=$snapshotId")
     val base = if (Files.isDirectory(versioned)) versioned else tilesRoot
     import scala.jdk.CollectionConverters._
+    // Exclude dot-prefixed PATH COMPONENTS, not just file names: a crashed
+    // sorted compact can leave a populated `.compact-res=*` scratch dir
+    // whose part files must never enter the manifest (scanPruned would
+    // read them alongside the live level — duplicated rows).
+    def hidden(p: java.nio.file.Path) =
+      base.relativize(p).iterator().asScala
+        .exists(_.toString.startsWith("."))
     val files = scala.util.Using.resource(Files.walk(base)) { s =>
       s.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
+          !hidden(p))
         .toSeq.sortBy(_.toString)
     }
     val conf = spark.sessionState.newHadoopConf()
@@ -346,8 +357,17 @@ object Snapshot {
   def scanPruned(spark: SparkSession, root: String, snapshotId: String,
                  lo: Long, hi: Long): (DataFrame, Int, Int) = {
     val stats = readFileStats(root, snapshotId)
-    val kept = stats.filter(f => !f.hasStats || (f.min <= hi && f.max >= lo))
     val tiles = s"$root/tiles"
+    // Staleness guard: compact's dir swap and the manifest refresh are two
+    // steps — a crash between them leaves entries naming deleted files.
+    // Any missing path means the whole manifest describes a previous file
+    // set, so fall back to the unpruned (always-correct) version scan; the
+    // next compact or writeFileStats heals the manifest.
+    if (!stats.forall(f => Files.exists(Paths.get(s"$tiles/${f.path}")))) {
+      val full = readAsOf(spark, root, snapshotId)
+      return (full, stats.size, stats.size)
+    }
+    val kept = stats.filter(f => !f.hasStats || (f.min <= hi && f.max >= lo))
     val df =
       if (kept.isEmpty) readAsOf(spark, root, snapshotId).filter(lit(false))
       else spark.read.option("basePath", tiles)

@@ -76,6 +76,18 @@ object SpatialJoin {
     * `distinct` shuffle). At a 10^8×10^8-polygon overlay both sides
     * shuffle once on the cell key (sort-merge + AQE skew split, the
     * pipJoinPartitioned shape); the codegen refine runs per candidate. */
+  /** The interior-overlap refine predicate over (alats, alons, blats,
+    * blons) — ONE definition shared by [[polyJoin]] and [[polyJoinBrute]]
+    * (the brute form exists to prove the prefilter preserves exactly this
+    * predicate, so the two must never drift). */
+  private def polyOverlapPred: org.apache.spark.sql.Column =
+    G.poly_seg_cross(col("alats"), col("alons"),
+      col("blats"), col("blons")) ||
+    G.point_in_poly(element_at(col("blats"), 1), element_at(col("blons"), 1),
+      col("alats"), col("alons")) ||
+    G.point_in_poly(element_at(col("alats"), 1), element_at(col("alons"), 1),
+      col("blats"), col("blons"))
+
   def polyJoin(spark: SparkSession,
                aPolys: Seq[Fixtures.Poly], bPolys: Seq[Fixtures.Poly],
                res: Int = 4,
@@ -90,13 +102,7 @@ object SpatialJoin {
     side(aPolys, "a").join(side(bPolys, "b"), Seq("cell"))
       .filter(col("cell") ===
         array_min(array_intersect(col("acov"), col("bcov"))))
-      .filter(
-        G.poly_seg_cross(col("alats"), col("alons"),
-          col("blats"), col("blons")) ||
-        G.point_in_poly(element_at(col("blats"), 1), element_at(col("blons"), 1),
-          col("alats"), col("alons")) ||
-        G.point_in_poly(element_at(col("alats"), 1), element_at(col("alons"), 1),
-          col("blats"), col("blons")))
+      .filter(polyOverlapPred)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -111,13 +117,7 @@ object SpatialJoin {
     val b = polyDf(spark, bPolys).select(col("poly_id").as("b_id"),
       col("lats").as("blats"), col("lons").as("blons"))
     a.crossJoin(broadcast(b))
-      .filter(
-        G.poly_seg_cross(col("alats"), col("alons"),
-          col("blats"), col("blons")) ||
-        G.point_in_poly(element_at(col("blats"), 1), element_at(col("blons"), 1),
-          col("alats"), col("alons")) ||
-        G.point_in_poly(element_at(col("alats"), 1), element_at(col("alons"), 1),
-          col("blats"), col("blons")))
+      .filter(polyOverlapPred)
       .select(col("a_id"), col("b_id"))
   }
 

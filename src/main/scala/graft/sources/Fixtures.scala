@@ -159,7 +159,6 @@ object Fixtures {
         s"(lat >= ${clat + s} AND lat < ${clat + 2 * s} AND lon > $clon AND lon < ${clon + s}))"
   }
 
-  /** Full oracle for the point-in-polygon join: UNION ALL over polygons. */
   /** DuckDB oracle for the polygon↔polygon join
     * ([[graft.operators.SpatialJoin.polyJoin]]): both layers' edges and
     * witness vertices as literal VALUES rows. Proper crossing mirrors
@@ -232,6 +231,7 @@ object Fixtures {
     s"SELECT '${p.polyId}' AS poly_id, image_id FROM images WHERE ${polySql(p)}"
   }.mkString("\nUNION ALL\n")
 
+  /** Full oracle for the point-in-polygon join: UNION ALL over polygons. */
   def pipOracleSql(imagesCte: String): String =
     s"$imagesCte\n$pipMatchedSql"
 

@@ -239,7 +239,9 @@ object StreamingTiles {
   def postingsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
       .select(col("doc_id"),
-        explode(expr("split(trim(text), ' +')")).as("token"))
+        // ONE tokenizer definition for batch and stream (parity contract)
+        explode(expr(graft.text.TextOps.SparkD.splitToks("text")))
+          .as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 

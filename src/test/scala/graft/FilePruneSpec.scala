@@ -109,6 +109,43 @@ class FilePruneSpec extends SparkFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$root/FILES-s1.json")))
   }
 
+  test("crashed-compact scratch dirs never enter the manifest") {
+    val root = Files.createTempDirectory("graft-fp-spec").toString
+    val lv = leaves
+    Snapshot.writeVersioned(lv, root, "s1", buildTs = 1L)
+    // simulate a compact killed after the scratch write, before the swap:
+    // a populated dot-prefixed dir full of parquet files
+    val base = java.nio.file.Paths.get(s"$root/tiles/snapshot_id=s1")
+    val scratch = base.resolve(".compact-res=8")
+    lv.limit(100).write.parquet(scratch.toString)
+    val stats = Snapshot.writeFileStats(spark, root, "s1")
+    assert(stats.forall(f => !f.path.contains(".compact-res=")),
+      "scratch parquet files leaked into the FILES manifest")
+    // and the pruned scan over the live files answers exactly
+    val (pruned, _, _) = Snapshot.scanPruned(spark, root, "s1", Lo, Hi)
+    assert(canon(pruned.filter(col("cell").between(Lo, Hi))) ==
+      canon(lv.filter(col("cell").between(Lo, Hi))))
+  }
+
+  test("stale manifest (crash between swap and refresh) falls back to full scan") {
+    val root = Files.createTempDirectory("graft-fp-spec").toString
+    val lv = leaves
+    Snapshot.writeVersioned(lv, root, "s1", buildTs = 1L)
+    Snapshot.writeFileStats(spark, root, "s1")
+    // simulate the crash window: data files replaced, manifest not
+    // refreshed — rewrite the level dir under a different file set
+    val resDir = java.nio.file.Paths.get(s"$root/tiles/snapshot_id=s1/res=8")
+    val saved = spark.read.parquet(resDir.toString)
+      .localCheckpoint(true)
+    Snapshot.deleteRecursively(resDir)
+    saved.drop("snapshot_id", "res").coalesce(1)
+      .write.parquet(resDir.toString)
+    val (df, kept, total) = Snapshot.scanPruned(spark, root, "s1", Lo, Hi)
+    assert(kept == total, "stale manifest must disable pruning, not crash")
+    assert(canon(df.filter(col("cell").between(Lo, Hi))) ==
+      canon(lv.filter(col("cell").between(Lo, Hi))))
+  }
+
   test("stats manifest round-trips through its JSON file") {
     val root = Files.createTempDirectory("graft-fp-spec").toString
     Snapshot.writeVersioned(leaves, root, "s1", buildTs = 1L)
