@@ -739,6 +739,98 @@ object Queries {
          |FROM (SELECT ${cellSql(12)} AS cell FROM images) t
          |GROUP BY cell ORDER BY cnt DESC, cell LIMIT 20""".stripMargin))
 
+  /** Vector -> RASTER density rasterization (heatmap tile rendering — the
+    * datashader/GeoTrellis `rasterize` op, completing the north star's
+    * raster<->vector axis in the other direction from q_zonal_stats): each
+    * res-4 tile is rendered as an 8x8 grayscale density raster whose pixel
+    * = the point count of the corresponding res-7 SUBCELL, clipped to 255
+    * (8-bit). By the quadtree nesting identity, a point's pixel is just
+    * its cell at res 4+3 — rasterization IS a two-level cell rollup, zero
+    * extra geometry math. Output pins the rendered raster exactly:
+    * total points, lit pixels, peak pre-clip count, and clipped pixel
+    * mass. The oracle encodes both resolutions independently, so a match
+    * also re-proves the parent-is-bit-slice identity on real data.
+    *
+    * Scale shape: the res-7 groupBy is the ONLY data-sized shuffle
+    * (map-side combine absorbs hot cells); everything after is bounded by
+    * the PIXEL count (4^7 cells), not the point count — the property that
+    * makes tile rendering feasible over 10^12 points. */
+  private val qDensityRaster = Q(
+    "q_density_raster",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      Images.images(s, dir)
+        .withColumn("c", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cell", G.cell_parent_at(col("c"), 4))
+        .groupBy(col("cell"))
+        .agg(sum(col("cnt")).as("n_points"),
+          count(lit(1)).as("nnz_px"),
+          max(col("cnt")).as("max_px"),
+          sum(least(col("cnt"), lit(255L))).as("px_mass"))
+    },
+    Some(
+      s"""$cte, fine AS (
+         |  SELECT ${cellSql(7)} AS c, ${cellSql(4)} AS cell,
+         |    count(*) AS cnt
+         |  FROM images GROUP BY 1, 2
+         |)
+         |SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_points,
+         |  CAST(count(*) AS BIGINT) AS nnz_px,
+         |  CAST(max(cnt) AS BIGINT) AS max_px,
+         |  CAST(sum(least(cnt, 255)) AS BIGINT) AS px_mass
+         |FROM fine GROUP BY cell""".stripMargin))
+
+  /** FOCAL statistics over the rasterized grid (map-algebra focal mean /
+    * 3x3 convolution — the GIS focal-op family, composing with
+    * q_density_raster's local ops): every occupied res-7 pixel contributes
+    * its count to each cell of its 3x3 Chebyshev ring (lon-wrapping,
+    * lat-clamped — [[graft.geo.GridCell.ring]]), and the keyed re-group on
+    * the RING cell yields per-pixel neighborhood sums: the scatter form of
+    * convolution, which at 10^12 points costs one grid-bounded 9x fanout
+    * + one keyed shuffle — never a point-sized join. Output stays integer
+    * (focal_sum, occupied-neighbor count, center count); halo pixels
+    * (unoccupied but adjacent to mass) are emitted, as a convolution must.
+    * The oracle replays the ring arithmetic — wrap, clamp, pack — from the
+    * cell id's bit layout independently. */
+  private val qFocalStats = Q(
+    "q_focal_stats",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      g.select(col("cell").as("src"), col("cnt"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .groupBy("cell")
+        .agg(sum(col("cnt")).as("focal_sum"),
+          count(lit(1)).as("nnz_nbrs"),
+          sum(when(col("src") === col("cell"), col("cnt"))
+            .otherwise(lit(0L))).as("center_cnt"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt,
+         |    cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), contrib AS (
+         |  SELECT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell,
+         |    cell, cnt
+         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |)
+         |SELECT ocell AS cell,
+         |  CAST(sum(cnt) AS BIGINT) AS focal_sum,
+         |  CAST(count(*) AS BIGINT) AS nnz_nbrs,
+         |  CAST(sum(CASE WHEN cell = ocell THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS center_cnt
+         |FROM contrib GROUP BY 1""".stripMargin))
+
   /** Salted two-phase aggregation over the skewed leaf cells — provably
     * identical to the direct groupBy (the oracle IS the direct form). At
     * cluster scale the salt splits the hot cell across 16 reducers
@@ -1041,6 +1133,8 @@ object Queries {
     qKnnBudget,
     qKnnBudgetIncl,
     qHotCells,
+    qDensityRaster,
+    qFocalStats,
     qSkewSalted,
     qSkewAdaptive,
     qPairMerge,

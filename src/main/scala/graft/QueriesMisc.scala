@@ -124,13 +124,48 @@ object QueriesMisc {
          |FROM matched JOIN img_px USING (image_id)
          |GROUP BY poly_id""".stripMargin))
 
+  /** Raster MOSAIC PYRAMID — GeoTIFF-overview-style content rollup
+    * ([[graft.operators.MosaicPyramid]]): decode each image ONCE to a 4x4
+    * thumb at leaf res 7, carry the exact associative mosaic state
+    * (48 per-position pixel sums + count) bottom-up through three keyed
+    * rollups to res 4, then emit the hash-stable integer summary
+    * (per-channel totals + position-weighted checksum). The oracle groups
+    * the per-pixel CTE stream at res 4 DIRECTLY, so a hash match proves
+    * the whole chain — synthetic bytes, lossy decode, nearest-neighbor
+    * resize, and the 3-level mosaic rollup's exact associativity —
+    * cross-engine. (≙ the reference's recursive cluster-then-summarize
+    * levels, cluster_tree_builder.py:62-205, with pixels as the summary.) */
+  private val qRasterPyramid = Q(
+    "q_raster_pyramid",
+    (s, dir) => graft.operators.MosaicPyramid.summarize(
+      graft.operators.MosaicPyramid.levelAt(
+        Images.imagesWithBytes(s, dir), leafRes = 7, outRes = 4)),
+    Some {
+      val np = graft.operators.MosaicPyramid.NBytes
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}, pxv AS (
+         |  SELECT k, (oy * 4 + ox) * 3 + ch AS i,
+         |    CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END AS v
+         |  FROM px
+         |)
+         |SELECT ${cellSql(4)} AS cell,
+         |  CAST(count(*) // $np AS BIGINT) AS n_imgs,
+         |  CAST(sum(CASE WHEN p.i % 3 = 0 THEN p.v ELSE 0 END) AS BIGINT) AS r_sum,
+         |  CAST(sum(CASE WHEN p.i % 3 = 1 THEN p.v ELSE 0 END) AS BIGINT) AS g_sum,
+         |  CAST(sum(CASE WHEN p.i % 3 = 2 THEN p.v ELSE 0 END) AS BIGINT) AS b_sum,
+         |  CAST(sum((p.i + 1) * p.v) AS BIGINT) AS chk
+         |FROM images i JOIN pxv p USING (k)
+         |GROUP BY 1""".stripMargin
+    })
+
   /** SHARED oracle pixel machinery (q_thumb_stats + the dHash queries):
     * `WITH RECURSIVE ... seeds/chain/pos/px` — a recursive CTE advances the
     * per-image splitmix64 seed chain ([[graft.multimodal.Raster.duckMixSql]]
     * — 32-bit-limb wrapping multiplies in HUGEINT; variant 0 = truth bytes,
     * variant 1 = the lossy noise stream, materialized only for `v1Where`
     * rows), then `pos`/`px` sample the grid x grid nearest-neighbor
-    * positions (x3 channels) and expose each as (truth, delta). nb = the
+    * positions (x3 channels) and expose each as (truth, delta) plus its
+    * channel `ch` = idx % 3 (q_raster_pyramid's per-channel sums). nb = the
     * highest seed-block index any sampled position touches, +1: max idx =
     * (((g-1)h/g)*w + (g-1)w/g)*3 + 2 (integer div), block = idx/8; chain
     * row m holds mix^m(seed), block j reads m = j + 2. */
@@ -155,7 +190,7 @@ object QueriesMisc {
        |    ((oy.r * i.h // $grid) * i.w + (ox.r * i.w // $grid)) * 3 + c.r AS idx
        |  FROM images i, range(0,$grid) oy(r), range(0,$grid) ox(r), range(0,3) c(r)
        |), px AS (
-       |  SELECT p.k, p.image_id, p.fmt, p.oy, p.ox,
+       |  SELECT p.k, p.image_id, p.fmt, p.oy, p.ox, p.idx % 3 AS ch,
        |    CAST((c0.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) AS truth,
        |    CAST((c1.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256 AS INTEGER) % 5 - 2 AS delta
        |  FROM pos p
@@ -651,7 +686,7 @@ object QueriesMisc {
          |) WHERE rnk <= $K GROUP BY qid""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qImageFidelity, qThumbStats, qZonalStats, qFrameSample,
+    qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageNeardup,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,

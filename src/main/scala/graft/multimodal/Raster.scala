@@ -176,6 +176,14 @@ object Raster {
     hash
   }
 
+  /** Unsigned byte at index `i` of a raster blob, 0 when out of range — a
+    * TOTAL function so the mosaic pyramid's 48-sum aggregate
+    * ([[graft.operators.MosaicPyramid]]) generates branch-light code with
+    * no per-call-site bounds plumbing (thumbs are fixed 4x4x3 = 48 bytes,
+    * so the guard never fires there; it exists for arbitrary SQL input). */
+  @inline def byteAt(bytes: Array[Byte], i: Int): Int =
+    if (i >= 0 && i < bytes.length) bytes(i) & 0xff else 0
+
   def resize(bytes: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
     val out = new Array[Byte](ow * oh * 3)
     var oy = 0

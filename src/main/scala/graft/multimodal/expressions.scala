@@ -3,7 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -180,9 +180,31 @@ case class DHash56(bytes: Expression, w: Expression, h: Expression)
   override def prettyName: String = "dhash56"
 }
 
+/** `BYTE_AT(bytes, i) -> Int` unsigned byte at index `i` (0 out of range —
+  * total, see [[Raster.byteAt]]). Unlike the blob producers above this IS
+  * on an aggregation hot path (the mosaic pyramid extracts 48 bytes per row
+  * inside one aggregate), so it gets real `doGenCode` — the extraction
+  * stays inside the WholeStageCodegen span feeding the sums. */
+case class ByteAt(bytes: Expression, idx: Expression) extends BinaryExpression {
+  override def left: Expression = bytes
+  override def right: Expression = idx
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, i: Any): Any =
+    Raster.byteAt(b.asInstanceOf[Array[Byte]], i.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, i) => s"graft.multimodal.Raster.byteAt($b, $i)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "byte_at"
+}
+
 object functions {
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  def byte_at(bytes: Column, i: Column): Column =
+    col(ByteAt(expr(bytes), expr(i)))
 
   def dhash56(bytes: Column, w: Column, h: Column): Column =
     col(DHash56(expr(bytes), expr(w), expr(h)))

@@ -174,7 +174,11 @@ object GraftFunctions {
     fn("frame_sample", 3,
       "frame_sample(video, frameBytes, stride) - array of every stride-th " +
         "frame (as binary) from a concatenated-frames video blob.") {
-      case Seq(v, fb, st) => FrameSample(v, fb, st) })
+      case Seq(v, fb, st) => FrameSample(v, fb, st) },
+    fn("byte_at", 2,
+      "byte_at(bytes, i) - unsigned byte at index i of a binary blob " +
+        "(0 when out of range); the mosaic-pyramid pixel extractor.") {
+      case Seq(b, i) => ByteAt(b, i) })
 
   /** Runtime registration on an existing session (idempotent:
     * `registerFunction` replaces). */

@@ -165,6 +165,30 @@ object PlanDump {
           " TakeOrderedAndProject (per-partition heap of k, no global" +
           " sort, no partitionless window)",
         graft.Queries.queryMap("q_search_ranked")(spark, dir)),
+      ("Density rasterization (round 4)",
+        "vector -> raster heatmap tiles: the res-7 subcell groupBy is the" +
+          " ONLY data-sized exchange (partial aggregation absorbs hot" +
+          " cells map-side); the per-tile render aggregation downstream" +
+          " is bounded by the PIXEL count (4^7 cells), not the point" +
+          " count — tile rendering stays feasible at 10^12 points",
+        graft.Queries.queryMap("q_density_raster")(spark, dir)),
+      ("Focal statistics (round 4)",
+        "3x3 convolution in SCATTER form: occupied pixels explode their" +
+          " cell_ring and ONE keyed re-group gathers neighborhood sums —" +
+          " no grid self-join, no window; fanout is 9x the occupied-pixel" +
+          " count (grid-bounded), the only exchanges are the density" +
+          " groupBy and the output-pixel re-group",
+        graft.Queries.queryMap("q_focal_stats")(spark, dir)),
+      ("Mosaic pyramid (round 4)",
+        "decode + 4x4 thumb ONCE in the leaf projection (map-side); the" +
+          " mosaic rides the pyramid as 48 per-position byte sums + count" +
+          " — one 49-sum whole-stage-codegen aggregate per level (the" +
+          " PhashCentroid n-sum shape), literal-free parent key so Janino" +
+          " compiles the aggregate once; raster bytes never leave the" +
+          " scan stage",
+        graft.operators.MosaicPyramid.summarize(
+          graft.operators.MosaicPyramid.levelAt(
+            Images.imagesWithBytes(spark, dir), leafRes = 7, outRes = 4))),
       ("Manifest file pruning (round 4)",
         "the scan is PLANNED from the FILES manifest on the driver: only" +
           " data files whose recorded cell [min,max] overlaps the range" +
