@@ -831,6 +831,72 @@ object Queries {
          |    AS center_cnt
          |FROM contrib GROUP BY 1""".stripMargin))
 
+  /** IDW surface interpolation (Shepard's method) on the binned grid —
+    * the gdal_grid / geostatistics operator, completing the raster
+    * analytics family (local ops = q_density_raster, focal ops =
+    * q_focal_stats, interpolation = here): each occupied res-7 pixel
+    * scatters its exact per-pixel aggregates (point count, byte mass) to
+    * its 5x5 ring weighted by inverse squared grid distance. The weights
+    * are EXACT integers — 3600/d2 for d2 in {1,2,4,5,8} (3600 is a common
+    * multiple of every squared distance a 5x5 ring produces) — so the
+    * interpolated numerator/denominator are hash-exact integer sums
+    * cross-engine; the double ratio is the consumer's one division.
+    * Self (d2=0) is excluded, making the estimate a true leave-one-out
+    * interpolation, defined on halo pixels too (gap filling — the reason
+    * one interpolates). Same scatter-shape as q_focal_stats: 25x fanout
+    * bounded by the OCCUPIED grid, one keyed shuffle on the output pixel;
+    * lon wrap matches [[graft.geo.GridCell.ring]] (|offset| <= 2 < n/2,
+    * so the wrapped distance equals the offset magnitude on both
+    * engines). */
+  private val qIdwSurface = Q(
+    "q_idw_surface",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"),
+          sum((col("w") * col("h") * lit(3)).cast("long")).as("v_sum"))
+      val n = 128L // 2^7 cells per axis at res 7
+      def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+      def yOf(c: org.apache.spark.sql.Column) =
+        shiftright(c, 7).bitwiseAND(lit(n - 1))
+      val rawDx = abs(xOf(col("src")) - xOf(col("cell")))
+      val dx = least(rawDx, lit(n) - rawDx)
+      val dy = abs(yOf(col("src")) - yOf(col("cell")))
+      g.select(col("cell").as("src"), col("cnt"), col("v_sum"),
+          explode(G.cell_ring(col("cell"), lit(2))).as("cell"))
+        .withColumn("d2", dx * dx + dy * dy)
+        .where(col("d2") > 0)
+        .withColumn("wq", (lit(3600L) / col("d2")).cast("long"))
+        .groupBy("cell")
+        .agg(sum(col("wq") * col("v_sum")).as("idw_num"),
+          sum(col("wq") * col("cnt")).as("idw_den"),
+          count(lit(1)).as("n_nbrs"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt,
+         |    CAST(sum(w * h * 3) AS BIGINT) AS v_sum
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt, v_sum,
+         |    cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), contrib AS (
+         |  SELECT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell,
+         |    cnt, v_sum, (dx.r * dx.r + dy.r * dy.r) AS d2
+         |  FROM xy, range(-2,3) dy(r), range(-2,3) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |)
+         |SELECT ocell AS cell,
+         |  CAST(sum((3600 // d2) * v_sum) AS BIGINT) AS idw_num,
+         |  CAST(sum((3600 // d2) * cnt) AS BIGINT) AS idw_den,
+         |  CAST(count(*) AS BIGINT) AS n_nbrs
+         |FROM contrib GROUP BY 1""".stripMargin))
+
   /** Salted two-phase aggregation over the skewed leaf cells — provably
     * identical to the direct groupBy (the oracle IS the direct form). At
     * cluster scale the salt splits the hot cell across 16 reducers
@@ -1135,6 +1201,7 @@ object Queries {
     qHotCells,
     qDensityRaster,
     qFocalStats,
+    qIdwSurface,
     qSkewSalted,
     qSkewAdaptive,
     qPairMerge,

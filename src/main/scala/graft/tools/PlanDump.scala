@@ -179,6 +179,14 @@ object PlanDump {
           " count (grid-bounded), the only exchanges are the density" +
           " groupBy and the output-pixel re-group",
         graft.Queries.queryMap("q_focal_stats")(spark, dir)),
+      ("IDW surface interpolation (round 4)",
+        "gdal_grid analog in SCATTER form: occupied pixels explode their" +
+          " 5x5 cell_ring carrying exact integer weights 3600/d2 (every" +
+          " ring d2 divides 3600), self excluded -> true leave-one-out;" +
+          " ONE keyed re-group on the output pixel gathers the weighted" +
+          " numerator/denominator — no grid self-join, 25x fanout bounded" +
+          " by the OCCUPIED grid, not the point count",
+        graft.Queries.queryMap("q_idw_surface")(spark, dir)),
       ("Mosaic pyramid (round 4)",
         "decode + 4x4 thumb ONCE in the leaf projection (map-side); the" +
           " mosaic rides the pyramid as 48 per-position byte sums + count" +

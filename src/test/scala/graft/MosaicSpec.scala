@@ -126,6 +126,54 @@ class MosaicSpec extends SparkFunSuite {
     assert(halo == ((8L, 2L, 0L)))
   }
 
+  test("IDW surface: 5x5 inverse-d2 scatter == hand-computed weights") {
+    import spark.implicits._
+    // Two horizontally adjacent occupied res-7 pixels (5 and 3 points,
+    // value 2 per point), one isolated far pixel. Weights are 3600/d2.
+    val pts = Seq.fill(5)((0.1, 0.1)) ++ Seq.fill(3)((0.1, 3.0)) ++
+      Seq((40.0, 100.0))
+    val g = pts.toDF("lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"),
+        sum(lit(2L)).as("v_sum"))
+    val n = 128L
+    def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+    def yOf(c: org.apache.spark.sql.Column) =
+      shiftright(c, 7).bitwiseAND(lit(n - 1))
+    val rawDx = abs(xOf(col("src")) - xOf(col("cell")))
+    val dx = least(rawDx, lit(n) - rawDx)
+    val dy = abs(yOf(col("src")) - yOf(col("cell")))
+    val out = g.select(col("cell").as("src"), col("cnt"), col("v_sum"),
+        explode(G.cell_ring(col("cell"), lit(2))).as("cell"))
+      .withColumn("d2", dx * dx + dy * dy)
+      .where(col("d2") > 0)
+      .withColumn("wq", (lit(3600L) / col("d2")).cast("long"))
+      .groupBy("cell")
+      .agg(sum(col("wq") * col("v_sum")).as("idw_num"),
+        sum(col("wq") * col("cnt")).as("idw_den"),
+        count(lit(1)).as("n_nbrs"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val a = graft.geo.GridCell.encode(0.1, 0.1, 7)
+    val b = graft.geo.GridCell.encode(0.1, 3.0, 7)
+    val far = graft.geo.GridCell.encode(40.0, 100.0, 7)
+    assert(b == a + 1)
+    // Leave-one-out: an occupied pixel sees only its NEIGHBOR's mass.
+    assert(out(a) == ((3600L * 6, 3600L * 3, 1L))) // from b at d2=1
+    assert(out(b) == ((3600L * 10, 3600L * 5, 1L))) // from a at d2=1
+    // Halo pixel left of a: a at d2=1 (w 3600), b at d2=4 (w 900).
+    val halo = graft.geo.GridCell.pack(7,
+      graft.geo.GridCell.xOf(a) - 1, graft.geo.GridCell.yOf(a))
+    assert(out(halo) == ((3600L * 10 + 900L * 6, 3600L * 5 + 900L * 3, 2L)))
+    // The isolated pixel has NO neighbor -> absent (undefined estimate);
+    // its 24-cell halo is filled. Output = 5x6 union block + 24.
+    assert(!out.contains(far))
+    assert(out.size == 30 + 24)
+    // Every estimate over the constant-value-2 surface is exactly 2.
+    out.values.foreach { case (num, den, _) => assert(num == 2 * den) }
+  }
+
   test("density raster: 8-bit clip on crafted skew") {
     import spark.implicits._
     // 300 points in one res-7 subcell (clips to 255), 2 in a sibling
