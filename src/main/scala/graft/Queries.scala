@@ -897,6 +897,130 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS n_nbrs
          |FROM contrib GROUP BY 1""".stripMargin))
 
+  /** Global MORAN'S I — spatial autocorrelation over the binned grid (the
+    * ESDA statistic behind "is the density clustered, dispersed, or
+    * random?"), with queen (3x3 Chebyshev) binary weights over OCCUPIED
+    * res-7 pixels. Emitted as its integer-exact sufficient pieces rather
+    * than the double ratio (the q_bic_k lesson — never hash a raw
+    * transcendental/divided double cross-engine):
+    * n_cells, sx = Σx, sxx = Σx², and over ORDERED occupied-neighbor pairs
+    * s0 = Σw, spp = Σ xᵢxⱼ, srs = Σ (xᵢ+xⱼ). The statistic is then the
+    * exact rational
+    *   I = (n²·spp − n·sx·srs + sx²·s0) / (s0·(n·sxx − sx²))
+    * — the consumer's one division (SpatialStatsSpec asserts it equals the
+    * naive definition on a hand fixture; the pieces stay far inside BIGINT
+    * where the combined numerator can overflow at corpus scale). Neighbor
+    * pairs come from the same grid-bounded ring scatter as q_focal_stats
+    * joined back to the occupied set: one 9x fanout + one keyed equi-join
+    * — never a point-sized theta join; at 10^12 points both sides of the
+    * join are bounded by the OCCUPIED grid (≤ 4^res cells). */
+  private val qMoransI = Q(
+    "q_morans_i",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val base = g.agg(count(lit(1)).as("n_cells"),
+        sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      val pairs = g.select(col("cell").as("src"), col("cnt").as("xi"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("src"))
+        .join(g, Seq("cell"))
+        .agg(count(lit(1)).as("s0"),
+          sum(col("xi") * col("cnt")).as("spp"),
+          sum(col("xi") + col("cnt")).as("srs"))
+      base.crossJoin(pairs)
+        .select(col("n_cells"), col("sx"), col("sxx"),
+          col("s0"), col("spp"), col("srs"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), contrib AS (
+         |  SELECT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell,
+         |    cnt AS xi
+         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), pr AS (
+         |  SELECT c.xi, g.cnt AS xj FROM contrib c JOIN g ON g.cell = c.ocell
+         |), b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(cnt) AS BIGINT) AS sx,
+         |    CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+         |  FROM g
+         |), p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS s0,
+         |    CAST(sum(xi * xj) AS BIGINT) AS spp,
+         |    CAST(sum(xi + xj) AS BIGINT) AS srs
+         |  FROM pr
+         |)
+         |SELECT n_cells, sx, sxx, s0, spp, srs FROM b, p""".stripMargin))
+
+  /** Empirical SEMIVARIOGRAM of the binned density — the geostatistics
+    * companion of q_idw_surface (the variogram is what tells you HOW to
+    * weight an interpolation: kriging fits a model to exactly this table):
+    * for every squared grid distance d2 the 5x5 ring produces
+    * ({1,2,4,5,8} — lags 1, √2, 2, √5, 2√2 in pixel units), the ORDERED
+    * occupied-pair count and Σ(xᵢ−xⱼ)². γ(d2) = sq_sum / (2·n_pairs) is
+    * the consumer's one division; both emitted columns are integer-exact.
+    * Same scatter-join shape as q_morans_i at radius 2 (25x grid-bounded
+    * fanout, one keyed equi-join back to the occupied set), with the lon
+    * wrap of [[graft.geo.GridCell.ring]] folded into d2 exactly as in
+    * q_idw_surface (|offset| <= 2 < n/2). */
+  private val qVariogram = Q(
+    "q_variogram",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val n = 128L
+      def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+      def yOf(c: org.apache.spark.sql.Column) =
+        shiftright(c, 7).bitwiseAND(lit(n - 1))
+      val rawDx = abs(xOf(col("src")) - xOf(col("cell")))
+      val dx = least(rawDx, lit(n) - rawDx)
+      val dy = abs(yOf(col("src")) - yOf(col("cell")))
+      g.select(col("cell").as("src"), col("cnt").as("xi"),
+          explode(G.cell_ring(col("cell"), lit(2))).as("cell"))
+        .withColumn("d2", dx * dx + dy * dy)
+        .where(col("d2") > 0)
+        .join(g, Seq("cell"))
+        .groupBy("d2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("xi") - col("cnt")) * (col("xi") - col("cnt")))
+            .as("sq_sum"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), contrib AS (
+         |  SELECT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell,
+         |    cnt AS xi, CAST(dx.r * dx.r + dy.r * dy.r AS BIGINT) AS d2
+         |  FROM xy, range(-2,3) dy(r), range(-2,3) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |)
+         |SELECT d2, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum((c.xi - g.cnt) * (c.xi - g.cnt)) AS BIGINT) AS sq_sum
+         |FROM contrib c JOIN g ON g.cell = c.ocell
+         |GROUP BY d2""".stripMargin))
+
   /** Salted two-phase aggregation over the skewed leaf cells — provably
     * identical to the direct groupBy (the oracle IS the direct form). At
     * cluster scale the salt splits the hot cell across 16 reducers
@@ -1202,6 +1326,8 @@ object Queries {
     qDensityRaster,
     qFocalStats,
     qIdwSurface,
+    qMoransI,
+    qVariogram,
     qSkewSalted,
     qSkewAdaptive,
     qPairMerge,

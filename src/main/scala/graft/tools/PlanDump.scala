@@ -187,6 +187,14 @@ object PlanDump {
           " numerator/denominator — no grid self-join, 25x fanout bounded" +
           " by the OCCUPIED grid, not the point count",
         graft.Queries.queryMap("q_idw_surface")(spark, dir)),
+      ("Moran's I spatial autocorrelation (round 4)",
+        "ESDA statistic as integer-exact sufficient pieces: occupied" +
+          " pixels scatter their queen ring (9x grid-bounded fanout) and" +
+          " ONE keyed equi-join back to the occupied set yields the" +
+          " ordered-pair sums — never a point-sized theta join; both join" +
+          " sides bounded by 4^res cells regardless of point count; the" +
+          " same shape serves q_variogram at radius 2 with d2 binning",
+        graft.Queries.queryMap("q_morans_i")(spark, dir)),
       ("Mosaic pyramid (round 4)",
         "decode + 4x4 thumb ONCE in the leaf projection (map-side); the" +
           " mosaic rides the pyramid as 48 per-position byte sums + count" +

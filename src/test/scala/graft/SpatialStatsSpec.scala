@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.{functions => G}
+
+/** Spatial statistics (q_morans_i / q_variogram): the driver gate proves
+  * the integer pieces cross-engine; these pin that the pieces COMBINE to
+  * the textbook statistics on hand fixtures — Moran's I via the exact
+  * rational identity in the q_morans_i scaladoc, the semivariogram via
+  * gamma = sq_sum / (2 n_pairs) — and that the pair machinery (queen
+  * adjacency, self exclusion, ordered pairs, d2 binning) is exact. */
+class SpatialStatsSpec extends SparkFunSuite {
+
+  test("Moran's I pieces combine to the naive statistic (hand fixture)") {
+    import spark.implicits._
+    // Occupied res-7 pixels: a (5 pts) and b = a+1 (5 pts) adjacent,
+    // far (2 pts) isolated. Deviations from mean 4: +1, +1, -2 ->
+    // I = (N/S0) * sum_pairs didj / sum di^2 = (3/2)*(2/6) = 0.5.
+    val pts = Seq.fill(5)((0.1, 0.1)) ++ Seq.fill(5)((0.1, 3.0)) ++
+      Seq.fill(2)((40.0, 100.0))
+    val g = pts.toDF("lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val base = g.agg(count(lit(1)).as("n_cells"),
+      sum(col("cnt")).as("sx"), sum(col("cnt") * col("cnt")).as("sxx"))
+    val pairs = g.select(col("cell").as("src"), col("cnt").as("xi"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .where(col("cell") =!= col("src"))
+      .join(g, Seq("cell"))
+      .agg(count(lit(1)).as("s0"),
+        sum(col("xi") * col("cnt")).as("spp"),
+        sum(col("xi") + col("cnt")).as("srs"))
+    val r = base.crossJoin(pairs).collect().head
+    val (n, sx, sxx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (s0, spp, srs) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert((n, sx, sxx) == ((3L, 12L, 54L)))
+    assert((s0, spp, srs) == ((2L, 50L, 20L)))
+    val num = n * n * spp - n * sx * srs + sx * sx * s0
+    val den = s0 * (n * sxx - sx * sx)
+    assert(num == 18L && den == 36L)
+    // Naive definition over the three cells: I = (N/S0) SS_w / SS_tot.
+    val xs = Seq(5.0, 5.0, 2.0)
+    val mean = xs.sum / xs.size
+    val naive = (xs.size.toDouble / 2.0) *
+      (2.0 * (xs(0) - mean) * (xs(1) - mean)) /
+      xs.map(x => (x - mean) * (x - mean)).sum
+    assert(math.abs(num.toDouble / den - naive) < 1e-12)
+    assert(num.toDouble / den == 0.5)
+  }
+
+  test("variogram: d2 bins, ordered-pair counts, exact squared diffs") {
+    import spark.implicits._
+    // Three collinear occupied pixels x, x+1, x+2 (5, 3, 2 pts) plus an
+    // isolated one: lags d2=1 (two adjacent pairs) and d2=4 (the ends).
+    val pts = Seq.fill(5)((0.1, 0.1)) ++ Seq.fill(3)((0.1, 3.0)) ++
+      Seq.fill(2)((0.1, 5.9)) ++ Seq((40.0, 100.0))
+    val g = pts.toDF("lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val n = 128L
+    def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+    def yOf(c: org.apache.spark.sql.Column) =
+      shiftright(c, 7).bitwiseAND(lit(n - 1))
+    val rawDx = abs(xOf(col("src")) - xOf(col("cell")))
+    val dx = least(rawDx, lit(n) - rawDx)
+    val dy = abs(yOf(col("src")) - yOf(col("cell")))
+    val a = graft.geo.GridCell.encode(0.1, 0.1, 7)
+    assert(graft.geo.GridCell.encode(0.1, 3.0, 7) == a + 1)
+    assert(graft.geo.GridCell.encode(0.1, 5.9, 7) == a + 2)
+    val out = g.select(col("cell").as("src"), col("cnt").as("xi"),
+        explode(G.cell_ring(col("cell"), lit(2))).as("cell"))
+      .withColumn("d2", dx * dx + dy * dy)
+      .where(col("d2") > 0)
+      .join(g, Seq("cell"))
+      .groupBy("d2")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("xi") - col("cnt")) * (col("xi") - col("cnt")))
+          .as("sq_sum"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // d2=1: (5,3)x2 + (3,2)x2 -> sq 4+4+1+1; d2=4: (5,2)x2 -> 9+9.
+    assert(out == Map(1L -> ((4L, 10L)), 4L -> ((2L, 18L))))
+    // gamma(1) = 10/(2*4); gamma(2) = 18/(2*2) — consumer's division.
+    assert(out(1L)._2.toDouble / (2 * out(1L)._1) == 1.25)
+    assert(out(4L)._2.toDouble / (2 * out(4L)._1) == 4.5)
+  }
+}
