@@ -260,6 +260,44 @@ object QueriesMisc {
     Some(s"""${dhashOracleCtes(dupSide = false)}
             |SELECT image_id, dhash FROM dh""".stripMargin))
 
+  /** IMAGE SHARPNESS SCORING — the image-modality QUALITY heuristic of a
+    * training-data pipeline (the analog of q_doc_quality's text ratios:
+    * filter/stratify the corpus on it before training): integer Sobel
+    * gradient energy of every stored image via the codegen'd
+    * [[graft.multimodal.Raster.sobelEnergy]] kernel — the dHash 8x8 gray
+    * grid, then the 3x3 Sobel pair over the interior 6x6 and
+    * energy = Σ|gx|+|gy|. All integer (no division, bound < 2^18), so the
+    * score replays EXACTLY in ANSI SQL: the oracle rebuilds the gray grid
+    * from the splitmix64 pixel chain and evaluates the convolution as a
+    * scatter — each gray pixel joins the interior centers within Chebyshev
+    * 1 and CASE weights recover the two kernels — proving the full
+    * decode→gray→convolve chain cross-engine. Map-only at any scale.
+    * (≙ raptor/utils.py quality gating before tree construction.) */
+  private val qImageSharpness = Q(
+    "q_image_sharpness",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .select(col("image_id"),
+        M.sobel_energy(M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h")).as("sharpness")),
+    Some(
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), sob AS (
+         |  SELECT gr.image_id, cy.r AS cy, cx.r AS cx,
+         |    SUM(gr.g * (CASE gr.ox - cx.r WHEN 1 THEN 1 WHEN -1 THEN -1 ELSE 0 END)
+         |             * (CASE gr.oy - cy.r WHEN 0 THEN 2 ELSE 1 END)) AS gx,
+         |    SUM(gr.g * (CASE gr.oy - cy.r WHEN 1 THEN 1 WHEN -1 THEN -1 ELSE 0 END)
+         |             * (CASE gr.ox - cx.r WHEN 0 THEN 2 ELSE 1 END)) AS gy
+         |  FROM gray gr, range(1,7) cy(r), range(1,7) cx(r)
+         |  WHERE abs(gr.oy - cy.r) <= 1 AND abs(gr.ox - cx.r) <= 1
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT image_id, CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS sharpness
+         |FROM sob GROUP BY image_id""".stripMargin))
+
   /** IMAGE NEAR-DUP DETECTION — the image-modality dedup operator of a
     * training-data pipeline: plant a perturbed re-encode (forced-lossy
     * variant, same ground truth) of 5% of the corpus, then find each
@@ -687,7 +725,7 @@ object QueriesMisc {
 
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
-    qImageDhash, qImageNeardup,
+    qImageDhash, qImageSharpness, qImageNeardup,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)

@@ -176,6 +176,45 @@ object Raster {
     hash
   }
 
+  /** Integer Sobel gradient energy of a decoded w*h*3 raster — the image
+    * QUALITY/sharpness score of a training-data pipeline (the image-
+    * modality analog of the text quality heuristics: flat/blurry images
+    * score near 0, detailed ones high; filter or stratify on it). Same
+    * 8x8 nearest-neighbor gray grid as [[dhash]] (gray = R+G+B, integer,
+    * no division), then the 3x3 Sobel pair over the interior 6x6 and
+    * energy = Σ |gx|+|gy| — all integer, so the score replays exactly in
+    * ANSI BIGINT (bound: 36 centers x 2 x 4·765 < 2^18). */
+  def sobelEnergy(bytes: Array[Byte], w: Int, h: Int): Long = {
+    val g = Array.ofDim[Int](8, 8)
+    var oy = 0
+    while (oy < 8) {
+      val sy = oy * h / 8
+      var ox = 0
+      while (ox < 8) {
+        val base = (sy * w + ox * w / 8) * 3
+        g(oy)(ox) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+          (bytes(base + 2) & 0xff)
+        ox += 1
+      }
+      oy += 1
+    }
+    var total = 0L
+    var cy = 1
+    while (cy < 7) {
+      var cx = 1
+      while (cx < 7) {
+        val gx = (g(cy - 1)(cx + 1) + 2 * g(cy)(cx + 1) + g(cy + 1)(cx + 1)) -
+          (g(cy - 1)(cx - 1) + 2 * g(cy)(cx - 1) + g(cy + 1)(cx - 1))
+        val gy = (g(cy + 1)(cx - 1) + 2 * g(cy + 1)(cx) + g(cy + 1)(cx + 1)) -
+          (g(cy - 1)(cx - 1) + 2 * g(cy - 1)(cx) + g(cy - 1)(cx + 1))
+        total += math.abs(gx) + math.abs(gy)
+        cx += 1
+      }
+      cy += 1
+    }
+    total
+  }
+
   /** Unsigned byte at index `i` of a raster blob, 0 when out of range — a
     * TOTAL function so the mosaic pyramid's 48-sum aggregate
     * ([[graft.operators.MosaicPyramid]]) generates branch-light code with

@@ -180,6 +180,24 @@ case class DHash56(bytes: Expression, w: Expression, h: Expression)
   override def prettyName: String = "dhash56"
 }
 
+/** `SOBEL_ENERGY(bytes, w, h) -> Long` integer Sobel gradient energy of a
+  * decoded raster ([[Raster.sobelEnergy]] — the image quality/sharpness
+  * score; same 8x8 gray grid as dHash). */
+case class SobelEnergy(bytes: Expression, w: Expression, h: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = bytes
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, ww: Any, hh: Any): Any =
+    Raster.sobelEnergy(b.asInstanceOf[Array[Byte]],
+      ww.asInstanceOf[Int], hh.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "sobel_energy"
+}
+
 /** `BYTE_AT(bytes, i) -> Int` unsigned byte at index `i` (0 out of range —
   * total, see [[Raster.byteAt]]). Unlike the blob producers above this IS
   * on an aggregation hot path (the mosaic pyramid extracts 48 bytes per row
@@ -208,6 +226,9 @@ object functions {
 
   def dhash56(bytes: Column, w: Column, h: Column): Column =
     col(DHash56(expr(bytes), expr(w), expr(h)))
+
+  def sobel_energy(bytes: Column, w: Column, h: Column): Column =
+    col(SobelEnergy(expr(bytes), expr(w), expr(h)))
 
   def synthetic_video(k: Column, w: Column, h: Column, nFrames: Column): Column =
     col(SyntheticVideo(expr(k), expr(w), expr(h), expr(nFrames)))

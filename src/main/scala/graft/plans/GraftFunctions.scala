@@ -171,6 +171,11 @@ object GraftFunctions {
         "decoded w*h*3 raster (8x8 gray grid, adjacent-compare bits); " +
         "the image near-dup key.") {
       case Seq(b, w, h) => DHash56(b, w, h) },
+    fn("sobel_energy", 3,
+      "sobel_energy(bytes, w, h) - integer Sobel gradient energy of a " +
+        "decoded w*h*3 raster (8x8 gray grid, 3x3 Sobel over the interior); " +
+        "the image sharpness/quality score.") {
+      case Seq(b, w, h) => SobelEnergy(b, w, h) },
     fn("frame_sample", 3,
       "frame_sample(video, frameBytes, stride) - array of every stride-th " +
         "frame (as binary) from a concatenated-frames video blob.") {

@@ -78,6 +78,29 @@ class RasterSpec extends AnyFunSuite {
     assert(minPair > 6, s"unrelated hashes too close: $minPair")
   }
 
+  test("sobel energy: flat image scores 0, step edge scores exactly") {
+    // 8x8 image: sampling is identity (sy = oy, sx = ox), gray = R+G+B.
+    def img(px: (Int, Int) => Int): Array[Byte] = {
+      val b = new Array[Byte](8 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+        b((y * 8 + x) * 3 + c) = px(y, x).toByte
+      b
+    }
+    // constant surface: every gradient is 0
+    assert(Raster.sobelEnergy(img((_, _) => 77), 8, 8) == 0L)
+    // vertical step at x=4 (0 -> 100 per channel, gray 0 -> 300): gy = 0
+    // everywhere; gx = 4*300 = 1200 at the 2 columns straddling the step
+    // (cx = 3, 4) for all 6 interior rows -> 12 * 1200 = 14400
+    assert(Raster.sobelEnergy(img((_, x) => if (x >= 4) 100 else 0), 8, 8)
+      == 14400L)
+    // determinism on a seeded raster + sharper-than-flat ordering
+    val k = 99L
+    val r = Raster.storedBytes(k, 12, 10, "raw")
+    assert(Raster.sobelEnergy(r, 12, 10) ==
+      Raster.sobelEnergy(Raster.storedBytes(k, 12, 10, "raw"), 12, 10))
+    assert(Raster.sobelEnergy(r, 12, 10) > 0L)
+  }
+
   test("video frame sampling: length, stride slices, distinct frames") {
     import graft.multimodal.Raster
     val fb = 8 * 6 * 3

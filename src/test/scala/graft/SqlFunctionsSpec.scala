@@ -73,6 +73,7 @@ class SqlFunctionsSpec extends SparkFunSuite {
         |  psnr_db(synthetic_raster(k, w, h, fmt),
         |          synthetic_raster(k, w, h, 'raw')) AS ps,
         |  dhash56(synthetic_raster(k, w, h, 'raw'), w, h) AS dh,
+        |  sobel_energy(synthetic_raster(k, w, h, 'raw'), w, h) AS se,
         |  length(synthetic_video(k, w, h, 4)) AS vl,
         |  size(frame_sample(synthetic_video(k, w, h, 4), w * h * 3, 2)) AS fs
         |FROM sqlfn_imgs""".stripMargin)
@@ -99,6 +100,9 @@ class SqlFunctionsSpec extends SparkFunSuite {
         M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw"))).as("ps"),
       M.dhash56(M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")),
         col("w"), col("h")).as("dh"),
+      M.sobel_energy(
+        M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")),
+        col("w"), col("h")).as("se"),
       length(M.synthetic_video(col("k"), col("w"), col("h"), lit(4))).as("vl"),
       size(M.frame_sample(M.synthetic_video(col("k"), col("w"), col("h"), lit(4)),
         col("w") * col("h") * lit(3), lit(2))).as("fs"))
