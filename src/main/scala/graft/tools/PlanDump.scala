@@ -195,6 +195,15 @@ object PlanDump {
           " sides bounded by 4^res cells regardless of point count; the" +
           " same shape serves q_variogram at radius 2 with d2 binning",
         graft.Queries.queryMap("q_morans_i")(spark, dir)),
+      ("Hotspot regions / grid DBSCAN (round 4)",
+        "dense cells (cnt >= minPts) + queen adjacency -> distributed" +
+          " hash-to-min connected components; the corpus is scanned ONCE" +
+          " (the binning groupBy) — everything after is bounded by the" +
+          " occupied grid (<= 4^res cells); edges are a 9x scatter + one" +
+          " keyed semi-join, each CC round three keyed shuffles with" +
+          " O(log diameter) rounds; the region table is checkpointed so" +
+          " the shared dense cache releases before return",
+        graft.Queries.queryMap("q_hotspot_regions")(spark, dir)),
       ("Mosaic pyramid (round 4)",
         "decode + 4x4 thumb ONCE in the leaf projection (map-side); the" +
           " mosaic rides the pyramid as 48 per-position byte sums + count" +

@@ -49,6 +49,25 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(num.toDouble / den == 0.5)
   }
 
+  test("hotspot regions: threshold, diagonal adjacency, min label, " +
+      "conservation") {
+    import spark.implicits._
+    val a = graft.geo.GridCell.encode(0.1, 0.1, 7)
+    // A(a, 6 pts) - B(a+1, 7 pts) adjacent; C(a+2+row, 6 pts) is DIAGONAL
+    // to B (dx=1, dy=1) -> one region {A,B,C}. F(a+2, 5 pts) touches B but
+    // is sub-threshold -> excluded (and must NOT bridge anything).
+    // E(far, 8 pts) is an isolated dense singleton region.
+    assert(graft.geo.GridCell.encode(1.6, 5.9, 7) == a + 2 + 128)
+    val pts = Seq.fill(6)((0.1, 0.1)) ++ Seq.fill(7)((0.1, 3.0)) ++
+      Seq.fill(6)((1.6, 5.9)) ++ Seq.fill(5)((0.1, 5.9)) ++
+      Seq.fill(8)((40.0, 100.0))
+    val out = Queries.hotspotRegions(pts.toDF("lat", "lon"), minPts = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val e = graft.geo.GridCell.encode(40.0, 100.0, 7)
+    assert(out == Map(a -> ((3L, 19L)), e -> ((1L, 8L))))
+  }
+
   test("variogram: d2 bins, ordered-pair counts, exact squared diffs") {
     import spark.implicits._
     // Three collinear occupied pixels x, x+1, x+2 (5, 3, 2 pts) plus an
