@@ -430,6 +430,61 @@ object QueriesMisc {
         |FROM l ASOF JOIN p
         |  ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin))
 
+  /** INTERVAL-OVERLAP (RANGE) JOIN — the scale-safe plan for an UNKEYED
+    * temporal containment predicate: error events open an interval
+    * [ts, ts + (event_id%7 + 1) min); every click event landing inside an
+    * interval is credited to it (count + integer milli-value), zero-hit
+    * intervals kept. Written naively this is a theta join (the oracle's
+    * form — |iv| x |pt| nested loop, a non-starter at 10^12 rows). The
+    * engine BUCKETIZES: bucket width B = the max interval length (7 min),
+    * so each interval covers <= 2 buckets (`sequence(s div B, (e-1) div B)`
+    * — bounded fan-out) and each point exactly one; the overlap join
+    * becomes one bucket equi-join + a residual refine, each (iv, pt) pair
+    * meeting in exactly the point's bucket (no pair dedup needed). This is
+    * the bin-bucketed range-join plan (the Databricks range-join
+    * optimization shape); hot buckets split under AQE like any skewed
+    * equi-join. A hash match against the theta-join oracle proves the
+    * bucketization loses and invents nothing. */
+  private val qIntervalJoin = Q(
+    "q_interval_join",
+    (s, dir) => {
+      val B = 420000000L // 7 min in micros == the max interval duration
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("iv_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .withColumn("e", col("s") + (col("iv_id") % 7 + 1) * 60000000L)
+      val pt = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("pt_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          expr("cast(floor(value * 1000) as bigint)").as("vm"))
+      val hits = iv
+        .withColumn("bucket",
+          explode(expr(s"sequence(s div $B, (e - 1) div $B)")))
+        .join(pt.withColumn("bucket", expr(s"t div $B")), Seq("bucket"))
+        .filter(col("t") >= col("s") && col("t") < col("e"))
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("vm")).as("val_milli"))
+      iv.select(col("iv_id")).join(hits, Seq("iv_id"), "left_outer")
+        .select(col("iv_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("val_milli"), lit(0L)).as("val_milli"))
+    },
+    Some(
+      """WITH iv AS (
+        |  SELECT event_id AS iv_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + ((event_id % 7) + 1) * 60000000 AS e
+        |  FROM events WHERE event_type = 'error'
+        |), pt AS (
+        |  SELECT event_id AS pt_id, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT iv_id, CAST(count(pt_id) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(sum(vm), 0) AS BIGINT) AS val_milli
+        |FROM iv LEFT JOIN pt ON pt.t >= iv.s AND pt.t < iv.e
+        |GROUP BY 1""".stripMargin))
+
   // ------------------------------------------------------- event-time windows
 
   private val HourUs = 3600000000L
@@ -726,7 +781,7 @@ object QueriesMisc {
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageSharpness, qImageNeardup,
-    qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin,
+    qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)
 }

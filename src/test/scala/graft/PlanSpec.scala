@@ -72,6 +72,14 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "theta-join pair generator")
   }
 
+  test("interval join is a bucket equi-join, never a theta join") {
+    val df = graft.Queries.queryMap("q_interval_join")(spark, SparkSpec.Sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "cartesian range join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "theta range join")
+    assert(plan.contains("bucket"), "bucket key must drive the join")
+  }
+
   test("descent child join is a broadcast equi-join on the parent cell") {
     // The operator localCheckpoints each level (so its executed plan shows
     // RDD scans); assert the join SHAPE on the candidate stage it builds:
