@@ -169,11 +169,21 @@ object QueriesMisc {
     * highest seed-block index any sampled position touches, +1: max idx =
     * (((g-1)h/g)*w + (g-1)w/g)*3 + 2 (integer div), block = idx/8; chain
     * row m holds mix^m(seed), block j reads m = j + 2. */
-  private def pixelChainCtes(grid: Int, v1Where: String): String = {
+  private def pixelChainCtes(grid: Int, v1Where: String,
+                             flipX: Boolean = false): String = {
     val mixS = graft.multimodal.Raster.duckMixSql("s")
     val g1 = grid - 1
-    val nb = s"CAST((((($g1*h)//$grid)*w + ($g1*w)//$grid)*3 + 2) // 8 + 1" +
-      " AS INTEGER)"
+    // flipX: the grid samples a horizontally MIRRORED raster — position
+    // (oy, ox) of the flipped image is original column w-1-(ox*w//grid).
+    // nb must then cover the max idx over the whole row (sx up to w-1).
+    val sx =
+      if (flipX) s"(i.w - 1 - (ox.r * i.w // $grid))"
+      else s"(ox.r * i.w // $grid)"
+    val nb =
+      if (flipX) s"CAST((((($g1*h)//$grid)*w + (w - 1))*3 + 2) // 8 + 1" +
+        " AS INTEGER)"
+      else s"CAST((((($g1*h)//$grid)*w + ($g1*w)//$grid)*3 + 2) // 8 + 1" +
+        " AS INTEGER)"
     s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, seeds AS (
        |  SELECT k, 0 AS variant, CAST(k AS UBIGINT) AS s0, $nb AS nb
        |  FROM images
@@ -187,7 +197,7 @@ object QueriesMisc {
        |  SELECT k, variant, m + 1, $mixS, nb FROM chain WHERE m <= nb
        |), pos AS (
        |  SELECT i.k, i.image_id, i.fmt, oy.r AS oy, ox.r AS ox,
-       |    ((oy.r * i.h // $grid) * i.w + (ox.r * i.w // $grid)) * 3 + c.r AS idx
+       |    ((oy.r * i.h // $grid) * i.w + $sx) * 3 + c.r AS idx
        |  FROM images i, range(0,$grid) oy(r), range(0,$grid) ox(r), range(0,3) c(r)
        |), px AS (
        |  SELECT p.k, p.image_id, p.fmt, p.oy, p.ox, p.idx % 3 AS ch,
@@ -206,7 +216,8 @@ object QueriesMisc {
     * nearest-neighbor grid, gray = R+G+B, adjacent-compare bits summed as
     * powers of two). With `dupSide` also `dhd(dup_id, dhash)` over the
     * forced-lossy re-encode of the k%20=0 subset. */
-  private def dhashOracleCtes(dupSide: Boolean): String = {
+  private def dhashOracleCtes(dupSide: Boolean,
+                              flipX: Boolean = false): String = {
     val v1Where =
       if (dupSide) "WHERE fmt = 'lossy' OR k % 20 = 0" else "WHERE fmt = 'lossy'"
     val dupCtes = if (!dupSide) "" else s""", grayd AS (
@@ -225,7 +236,7 @@ object QueriesMisc {
       |  FROM images i LEFT JOIN bitsd b ON b.image_id = i.image_id
       |  WHERE i.k % 20 = 0 GROUP BY i.image_id
       |)""".stripMargin
-    s"""${pixelChainCtes(grid = 8, v1Where = v1Where)}, gray AS (
+    s"""${pixelChainCtes(grid = 8, v1Where = v1Where, flipX = flipX)}, gray AS (
        |  SELECT image_id, oy, ox,
        |    SUM(CASE WHEN fmt = 'raw' THEN truth
        |      ELSE least(255, greatest(0, truth + delta)) END) AS g
@@ -258,6 +269,27 @@ object QueriesMisc {
         M.dhash56(M.raster_decode(col("bytes"), col("fmt")),
           col("w"), col("h")).as("dhash")),
     Some(s"""${dhashOracleCtes(dupSide = false)}
+            |SELECT image_id, dhash FROM dh""".stripMargin))
+
+  /** IMAGE AUGMENTATION, proven cross-engine — decode → horizontal flip
+    * ([[graft.multimodal.Raster.hflip]], the canonical label-preserving
+    * augmentation) → perceptual hash of the AUGMENTED image. The oracle
+    * replays the full chain relationally with MIRRORED grid sampling
+    * (position (oy, ox) of the flipped raster reads original column
+    * w-1-(ox·w/8) of the splitmix64 pixel stream), so a hash match proves
+    * the flip kernel's byte remap bit-for-bit on every image — not just a
+    * stats-level invariant. Map-only at any scale; at 10^12 rows the
+    * augmented variants are generated in the same scan that reads the
+    * originals (no second pass, no materialized copy). */
+  private val qAugmentFlip = Q(
+    "q_augment_flip",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .select(col("image_id"),
+        M.dhash56(
+          M.raster_hflip(M.raster_decode(col("bytes"), col("fmt")),
+            col("w"), col("h")),
+          col("w"), col("h")).as("dhash")),
+    Some(s"""${dhashOracleCtes(dupSide = false, flipX = true)}
             |SELECT image_id, dhash FROM dh""".stripMargin))
 
   /** IMAGE SHARPNESS SCORING — the image-modality QUALITY heuristic of a
@@ -780,7 +812,7 @@ object QueriesMisc {
 
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
-    qImageDhash, qImageSharpness, qImageNeardup,
+    qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)

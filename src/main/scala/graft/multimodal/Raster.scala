@@ -112,6 +112,49 @@ object Raster {
     out
   }
 
+  /** Horizontal mirror of a raw w*h*3 raster — the canonical image
+    * AUGMENTATION op of a training pipeline (flip doubles the corpus with
+    * label-preserving variants). Pixel (y, x) <- (y, w-1-x), channels
+    * kept in order. */
+  def hflip(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](bytes.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val src = (y * w + (w - 1 - x)) * 3
+        val dst = (y * w + x) * 3
+        out(dst) = bytes(src)
+        out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 90°-clockwise rotation of a raw w*h*3 raster: the output is h wide x
+    * w tall, out(y, x) <- in(h-1-x, y). Byte multiset is preserved
+    * exactly (RasterSpec pins corners + multiset + the stats invariant). */
+  def rot90(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](bytes.length)
+    var y = 0
+    while (y < w) { // output rows: new height = w
+      var x = 0
+      while (x < h) { // output cols: new width = h
+        val src = ((h - 1 - x) * w + y) * 3
+        val dst = (y * h + x) * 3
+        out(dst) = bytes(src)
+        out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resize of a w*h*3 raster (the feature-extract /
     * thumbnail step of a multimodal pipeline, kept codec-free). */
   /** Synthetic "video": `nFrames` raw rasters concatenated; frame f's seed

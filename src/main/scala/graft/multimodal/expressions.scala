@@ -180,6 +180,40 @@ case class DHash56(bytes: Expression, w: Expression, h: Expression)
   override def prettyName: String = "dhash56"
 }
 
+/** `RASTER_HFLIP(bytes, w, h) -> binary` horizontal mirror — the canonical
+  * label-preserving image augmentation ([[Raster.hflip]]). */
+case class RasterHFlip(bytes: Expression, w: Expression, h: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = bytes
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, ww: Any, hh: Any): Any =
+    Raster.hflip(b.asInstanceOf[Array[Byte]],
+      ww.asInstanceOf[Int], hh.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "raster_hflip"
+}
+
+/** `RASTER_ROT90(bytes, w, h) -> binary` 90°-clockwise rotation (output is
+  * h wide x w tall; [[Raster.rot90]]) — augmentation family. */
+case class RasterRot90(bytes: Expression, w: Expression, h: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = bytes
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, ww: Any, hh: Any): Any =
+    Raster.rot90(b.asInstanceOf[Array[Byte]],
+      ww.asInstanceOf[Int], hh.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "raster_rot90"
+}
+
 /** `SOBEL_ENERGY(bytes, w, h) -> Long` integer Sobel gradient energy of a
   * decoded raster ([[Raster.sobelEnergy]] — the image quality/sharpness
   * score; same 8x8 gray grid as dHash). */
@@ -229,6 +263,11 @@ object functions {
 
   def sobel_energy(bytes: Column, w: Column, h: Column): Column =
     col(SobelEnergy(expr(bytes), expr(w), expr(h)))
+
+  def raster_hflip(bytes: Column, w: Column, h: Column): Column =
+    col(RasterHFlip(expr(bytes), expr(w), expr(h)))
+  def raster_rot90(bytes: Column, w: Column, h: Column): Column =
+    col(RasterRot90(expr(bytes), expr(w), expr(h)))
 
   def synthetic_video(k: Column, w: Column, h: Column, nFrames: Column): Column =
     col(SyntheticVideo(expr(k), expr(w), expr(h), expr(nFrames)))

@@ -171,6 +171,14 @@ object GraftFunctions {
         "decoded w*h*3 raster (8x8 gray grid, adjacent-compare bits); " +
         "the image near-dup key.") {
       case Seq(b, w, h) => DHash56(b, w, h) },
+    fn("raster_hflip", 3,
+      "raster_hflip(bytes, w, h) - horizontal mirror of a raw w*h*3 " +
+        "raster; the canonical label-preserving image augmentation.") {
+      case Seq(b, w, h) => RasterHFlip(b, w, h) },
+    fn("raster_rot90", 3,
+      "raster_rot90(bytes, w, h) - 90-degree clockwise rotation of a raw " +
+        "w*h*3 raster (output h wide x w tall); augmentation family.") {
+      case Seq(b, w, h) => RasterRot90(b, w, h) },
     fn("sobel_energy", 3,
       "sobel_energy(bytes, w, h) - integer Sobel gradient energy of a " +
         "decoded w*h*3 raster (8x8 gray grid, 3x3 Sobel over the interior); " +

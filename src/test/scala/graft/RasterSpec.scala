@@ -78,6 +78,25 @@ class RasterSpec extends AnyFunSuite {
     assert(minPair > 6, s"unrelated hashes too close: $minPair")
   }
 
+  test("augmentation: hflip involution + corners; rot90 cycle + multiset") {
+    val (w, h) = (12, 10)
+    val src = Raster.truthRaster(5L, w, h)
+    val f = Raster.hflip(src, w, h)
+    // corner remap: out(0,0) <- in(0, w-1); out(0,w-1) <- in(0,0)
+    assert(f.slice(0, 3).toSeq == src.slice((w - 1) * 3, w * 3).toSeq)
+    assert(f.slice((w - 1) * 3, w * 3).toSeq == src.slice(0, 3).toSeq)
+    // involution: flip twice == identity
+    assert(Raster.hflip(f, w, h).toSeq == src.toSeq)
+    // rot90: out is h wide x w tall; out(0,0) <- in(h-1, 0)
+    val r = Raster.rot90(src, w, h)
+    assert(r.slice(0, 3).toSeq ==
+      src.slice((h - 1) * w * 3, ((h - 1) * w + 1) * 3).toSeq)
+    // byte multiset preserved (stats invariance) and 4-cycle == identity
+    assert(r.sorted.toSeq == src.sorted.toSeq)
+    val r4 = Raster.rot90(Raster.rot90(Raster.rot90(r, h, w), w, h), h, w)
+    assert(r4.toSeq == src.toSeq)
+  }
+
   test("sobel energy: flat image scores 0, step edge scores exactly") {
     // 8x8 image: sampling is identity (sy = oy, sx = ox), gray = R+G+B.
     def img(px: (Int, Int) => Int): Array[Byte] = {

@@ -74,6 +74,8 @@ class SqlFunctionsSpec extends SparkFunSuite {
         |          synthetic_raster(k, w, h, 'raw')) AS ps,
         |  dhash56(synthetic_raster(k, w, h, 'raw'), w, h) AS dh,
         |  sobel_energy(synthetic_raster(k, w, h, 'raw'), w, h) AS se,
+        |  dhash56(raster_hflip(synthetic_raster(k, w, h, 'raw'), w, h), w, h) AS hf,
+        |  raster_stats(raster_rot90(synthetic_raster(k, w, h, 'raw'), w, h)).mean_px AS rt,
         |  length(synthetic_video(k, w, h, 4)) AS vl,
         |  size(frame_sample(synthetic_video(k, w, h, 4), w * h * 3, 2)) AS fs
         |FROM sqlfn_imgs""".stripMargin)
@@ -103,6 +105,12 @@ class SqlFunctionsSpec extends SparkFunSuite {
       M.sobel_energy(
         M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")),
         col("w"), col("h")).as("se"),
+      M.dhash56(M.raster_hflip(
+        M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")),
+        col("w"), col("h")), col("w"), col("h")).as("hf"),
+      M.raster_stats(M.raster_rot90(
+        M.synthetic_raster(col("k"), col("w"), col("h"), lit("raw")),
+        col("w"), col("h"))).getField("mean_px").as("rt"),
       length(M.synthetic_video(col("k"), col("w"), col("h"), lit(4))).as("vl"),
       size(M.frame_sample(M.synthetic_video(col("k"), col("w"), col("h"), lit(4)),
         col("w") * col("h") * lit(3), lit(2))).as("fs"))
