@@ -126,6 +126,87 @@ object Ann {
     ranked(pairs, k)
   }
 
+  /** FARTHEST-POINT (k-center / Gonzalez greedy) SAMPLING — the diverse-
+    * subset / coreset selection operator of a training-data pipeline: pick
+    * k points such that each new pick is the point FARTHEST from everything
+    * already picked (the classic 2-approximation to the k-center cover;
+    * the opposite of dedup — maximize spread instead of removing it).
+    * Deterministic: seed = min vec_id, ties broken by vec_id.
+    *
+    * Shape: the selected set lives on the driver (k rows — the Lloyd
+    * pattern); each of the k-1 steps is ONE codegen'd map over the corpus
+    * (a least-chain of literal-centroid distances, exactly like the
+    * kmeans assignment stage) + a global top-1 via orderBy..limit(1)
+    * (TakeOrderedAndProject: per-partition top-1, driver merge — no
+    * shuffle). k passes total; at 10^12 rows that is the known cost of
+    * EXACT greedy k-center — the approximate variant (per-partition
+    * greedy + merge) composes from the same kernel.
+    *
+    * Returns (step, vec_id, d2_q): selection order, picked id, and the
+    * pick's min-squared-distance to the prior set quantized to integer
+    * micro-units (floor(d2·1e6) — never hash a raw divided/folded double;
+    * the seed row carries -1). The oracle replays every step as an
+    * unrolled CTE chain with the SAME least-fold and distance op order. */
+  def farthestPoints(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val w = vecs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = w.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("nrm")).collect().head
+    // selected rows: (vec_id, v, nrm) in selection order
+    var sel = Vector((seed.getLong(0), seed.getSeq[Double](1), seed.getDouble(2)))
+    val out = scala.collection.mutable.ListBuffer((0, seed.getLong(0), -1L))
+    var step = 1
+    while (step < k) {
+      val md = sel.map { case (_, sv, snrm) =>
+        col("nrm") - lit(2.0) * V.vec_dot(col("v"),
+          array(sv.map(lit): _*)) + lit(snrm)
+      }.reduceLeft(least(_, _))
+      val win = w.withColumn("md", md)
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("md"))
+        .collect().head
+      sel = sel :+ ((win.getLong(0), win.getSeq[Double](1), win.getDouble(2)))
+      out += ((step, win.getLong(0), math.floor(win.getDouble(3) * 1e6).toLong))
+      step += 1
+    }
+    w.unpersist(blocking = false)
+    out.toSeq.toDF("step", "vec_id", "d2_q")
+      .select(col("step").cast("int").as("step"), col("vec_id"), col("d2_q"))
+  }
+
+  /** Oracle for [[farthestPoints]]: the greedy unrolled as a CTE chain —
+    * st_i cross-joins the i prior selections and takes the argmax of the
+    * identical least-fold of (nrm - 2·dot + snrm) distances. */
+  def farthestPointsSql(k: Int): String = {
+    def mdExpr(i: Int): String =
+      (0 until i).map { j =>
+        s"(w.nrm - 2.0 * ${dot(DuckD, "w.v", s"s$j.v")} + s$j.nrm)"
+      }.reduceLeft((a, b) => s"least($a, $b)")
+    val ctes = (1 until k).map { i =>
+      val joins = (0 until i).map { j =>
+        val src = if (j == 0) "sel0" else s"st$j"
+        s"CROSS JOIN $src s$j"
+      }.mkString(" ")
+      s"""st$i AS (
+         |  SELECT w.vec_id, w.v, w.nrm, ${mdExpr(i)} AS md
+         |  FROM w $joins
+         |  ORDER BY md DESC, w.vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 until k).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS step, vec_id," +
+        s" CAST(floor(md * 1000000.0) AS BIGINT) AS d2_q FROM st$i"
+    }.mkString("\nUNION ALL ")
+    s"""sel0 AS (
+       |  SELECT vec_id, v, nrm FROM w ORDER BY vec_id LIMIT 1
+       |)${if (k > 1) "," else ""}
+       |$ctes
+       |SELECT CAST(0 AS INTEGER) AS step, vec_id,
+       |  CAST(-1 AS BIGINT) AS d2_q FROM sel0
+       |UNION ALL $rows""".stripMargin
+  }
+
   // -------------------------------------------------- int8 quantization
 
   /** Per-vector symmetric int8 quantization facts — the embedding

@@ -15,6 +15,7 @@ object QueriesAnn {
   private val IvfNProbe = 2
   private val NearDupT = 0.4
   private val CentroidDims = 4
+  private val KCenter = 8
 
   /** Oracle base: vectors as double lists + precomputed self-dot. */
   private val base: String =
@@ -251,6 +252,15 @@ object QueriesAnn {
          |  FROM scored
          |) WHERE rnk <= $K""".stripMargin))
 
+  /** Farthest-point (k-center greedy) sampling — diverse-subset selection
+    * ([[Ann.farthestPoints]]); oracle = the greedy unrolled as a CTE chain
+    * with the identical least-fold distance arithmetic, so a hash match
+    * proves every pick AND its quantized spread distance cross-engine. */
+  private val qKcenterSample = Q(
+    "q_kcenter_sample",
+    (s, dir) => Ann.farthestPoints(s, dir, KCenter),
+    Some(s"$base,\n${Ann.farthestPointsSql(KCenter)}"))
+
   val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qAnnIvf, qEmbedNearDup,
-    qEmbedQuant, qLabelCentroid, qPqCodes, qPqAdc)
+    qEmbedQuant, qLabelCentroid, qPqCodes, qPqAdc, qKcenterSample)
 }

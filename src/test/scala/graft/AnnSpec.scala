@@ -112,6 +112,21 @@ class AnnSpec extends SparkFunSuite {
     assert(recall >= 0.7, f"recall $recall%.3f below floor")
   }
 
+  test("k-center greedy: distinct picks, monotone non-increasing spread") {
+    val rows = graft.similarity.Ann.farthestPoints(spark, dir, 6)
+      .orderBy("step").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(1)).distinct.length == 6, "picks must be distinct")
+    assert(rows.head.getInt(0) == 0 && rows.head.getLong(2) == -1L)
+    // greedy invariant: min-distance to the selected set is pointwise
+    // non-increasing as the set grows, so each pick's spread is <= the
+    // previous pick's spread
+    val d2 = rows.tail.map(_.getLong(2))
+    assert(d2.forall(_ > 0L))
+    assert(d2.zip(d2.tail).forall { case (a, b) => b <= a },
+      s"spread must be non-increasing: ${d2.mkString(",")}")
+  }
+
   test("int8 quantization: codes in range, reconstruction error bounded") {
     val vs = collected
     val rows = graft.similarity.Ann.int8QuantFacts(spark, dir).collect()
