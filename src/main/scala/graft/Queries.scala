@@ -122,6 +122,86 @@ object Queries {
       s, Fixtures.polys, Fixtures.benchPolys(192)),
     Some(Fixtures.polyJoinOracleSql(Fixtures.polys, Fixtures.benchPolys(192))))
 
+  /** VECTOR GEOMETRY MEASURES — the ST_Area / ST_Centroid analog over an
+    * array-geometry polygon table (the realistic vector-layer shape: one
+    * row per feature, vertices as array columns). Shoelace on coordinates
+    * quantized to integer millidegrees, so every measure is exact BIGINT
+    * arithmetic on both engines: a2_q = Σ(xᵢyⱼ − xⱼyᵢ) (signed; area =
+    * |a2_q|/2 milli², orientation = sign), centroid numerators
+    * c*_num = Σ(vᵢ+vⱼ)·crossᵢ (centroid = num/(3·a2_q) — the consumer's
+    * one division). Entirely map-only higher-order-function work (no
+    * explode, no shuffle below the scan): at a billion-feature layer this
+    * runs at scan speed. Bounds: |x|≤1.9e5, |cross|≤3.4e10,
+    * |c-term|≤1.3e16·24 — far inside BIGINT; quantization overflow-checked
+    * at millidegrees (microdegrees would overflow the centroid terms).
+    * Runs over the 15 mixed fixtures + the 192-feature dense bench layer;
+    * the oracle replays per-EDGE rows (the polyJoin literal-vertex
+    * discipline) and re-aggregates. */
+  private val qPolyMetrics = Q(
+    "q_poly_metrics",
+    (s, _) => {
+      import s.implicits._
+      val pdf = (Fixtures.polys ++ Fixtures.benchPolys(192))
+        .map(p => (p.polyId, p.lats.toSeq, p.lons.toSeq))
+        .toDF("poly_id", "lats", "lons")
+      pdf
+        .withColumn("xs",
+          expr("transform(lons, v -> cast(floor(v * 1000) as bigint))"))
+        .withColumn("ys",
+          expr("transform(lats, v -> cast(floor(v * 1000) as bigint))"))
+        .withColumn("n", size(col("lats")))
+        .withColumn("cr", expr(
+          """transform(sequence(1, n), i ->
+            |  element_at(xs, i) * element_at(ys, i % n + 1)
+            |  - element_at(xs, i % n + 1) * element_at(ys, i))""".stripMargin))
+        .select(col("poly_id"), col("n").as("n_vertices"),
+          expr("aggregate(cr, cast(0 as bigint), (acc, x) -> acc + x)")
+            .as("a2_q"),
+          expr("""aggregate(transform(sequence(1, n), i ->
+                |  (element_at(xs, i) + element_at(xs, i % n + 1))
+                |  * element_at(cr, i)),
+                |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+            .as("cx_num"),
+          expr("""aggregate(transform(sequence(1, n), i ->
+                |  (element_at(ys, i) + element_at(ys, i % n + 1))
+                |  * element_at(cr, i)),
+                |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+            .as("cy_num"))
+    },
+    Some {
+      // STRING-cast literals, not bare ::DOUBLE: DuckDB parses a bare
+      // numeric literal as DECIMAL first, which can lose the last ulp
+      // (10.299999999999999::DOUBLE == 10.3::DOUBLE) — fatal when the
+      // value sits on a floor(v*1000) quantization boundary. A quoted
+      // string goes through the correctly-rounded strtod path and lands
+      // on the identical double the JVM holds.
+      val edgeRows = (Fixtures.polys ++ Fixtures.benchPolys(192)).flatMap { p =>
+        val n = p.lats.length
+        (0 until n).map { i =>
+          val j = (i + 1) % n
+          s"('${p.polyId}', '${p.lons(i)}'::DOUBLE, '${p.lats(i)}'::DOUBLE, " +
+            s"'${p.lons(j)}'::DOUBLE, '${p.lats(j)}'::DOUBLE)"
+        }
+      }.mkString(",\n    ")
+      s"""WITH e(poly_id, ax, ay, bx, by) AS (VALUES
+         |    $edgeRows
+         |), q AS (
+         |  SELECT poly_id,
+         |    CAST(floor(ax * 1000) AS BIGINT) AS xa,
+         |    CAST(floor(ay * 1000) AS BIGINT) AS ya,
+         |    CAST(floor(bx * 1000) AS BIGINT) AS xb,
+         |    CAST(floor(by * 1000) AS BIGINT) AS yb
+         |  FROM e
+         |), c AS (
+         |  SELECT poly_id, xa, ya, xb, yb, xa * yb - xb * ya AS cr FROM q
+         |)
+         |SELECT poly_id, CAST(count(*) AS INTEGER) AS n_vertices,
+         |  CAST(sum(cr) AS BIGINT) AS a2_q,
+         |  CAST(sum((xa + xb) * cr) AS BIGINT) AS cx_num,
+         |  CAST(sum((ya + yb) * cr) AS BIGINT) AS cy_num
+         |FROM c GROUP BY 1""".stripMargin
+    })
+
   /** Radius for [[qDistPairs]] — small enough that the planted hot
     * cluster (0.001 deg box) contributes thousands, not millions, of
     * pairs, and the background stays sparse. */
@@ -1398,6 +1478,7 @@ object Queries {
     qPipPart,
     qPolyTileCov,
     qPolyJoin,
+    qPolyMetrics,
     qDistPairs,
     qKnn,
     qKnnBudget,

@@ -68,6 +68,19 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(out == Map(a -> ((3L, 19L)), e -> ((1L, 8L))))
   }
 
+  test("poly metrics: exact rect area, orientation sign, centroid identity") {
+    val r = Queries.queryMap("q_poly_metrics")(spark, SparkSpec.Sf)
+      .filter(col("poly_id") === "rect_eq").collect().head
+    // rect_eq: lat in [-1.5, 6.5], lon in [8, 20] -> 12000 x 8000 milli,
+    // CCW in (x=lon, y=lat) -> a2_q = +2*area
+    assert(r.getInt(1) == 4)
+    val a2 = r.getLong(2)
+    assert(a2 == 2L * 12000L * 8000L)
+    // centroid = num / (3*a2) must be the exact center (14.0, 2.5) deg
+    assert(r.getLong(3) == 3L * a2 * 14000L)
+    assert(r.getLong(4) == 3L * a2 * 2500L)
+  }
+
   test("variogram: d2 bins, ordered-pair counts, exact squared diffs") {
     import spark.implicits._
     // Three collinear occupied pixels x, x+1, x+2 (5, 3, 2 pts) plus an
