@@ -477,6 +477,51 @@ object StreamingTiles {
   }
 
 
+  /** STREAM-STREAM INTERVAL JOIN — the streaming form of
+    * `q_interval_join`: error intervals and click points arrive on the
+    * SAME stream and must pair while both sides are in flight. Uses the
+    * identical bucketization (B = max interval length, intervals explode
+    * to ≤ 2 covered buckets, points to exactly one) — which doubles as
+    * the REQUIRED stream-stream equi-key (Spark rejects stream-stream
+    * joins without an equality predicate) — plus the event-time range
+    * condition (`t_ts` within [s_ts, s_ts + 7 min]) that, with the
+    * watermarks, lets the symmetric-hash join EVICT interval state once
+    * no future click can land in it: state is bounded by
+    * watermark + range, not by stream length. Emits (iv_id, pt_id, vm)
+    * pairs (append mode). */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val B = 420000000L // 7 min in micros == max interval duration
+    val ev = spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ets", col("ts").cast("timestamp"))
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("iv_id"), col("ets").as("s_ts"),
+        unix_micros(col("ets")).as("s"))
+      .withColumn("e", col("s") + (col("iv_id") % 7 + 1) * 60000000L)
+      .withColumn("bucket", explode(expr(s"sequence(s div $B, (e - 1) div $B)")))
+      .withWatermark("s_ts", "1 hour")
+    val pt = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("pt_id"), col("ets").as("t_ts"),
+        unix_micros(col("ets")).as("t"),
+        expr("cast(floor(value * 1000) as bigint)").as("vm"))
+      .withColumn("pbucket", expr(s"t div $B"))
+      .withWatermark("t_ts", "1 hour")
+    // The JOIN condition carries only the equi-key and the event-time
+    // range (what the symmetric-hash join derives state eviction from);
+    // the exact [s, e) residual runs as a post-join filter. (The
+    // optimizer pushes the residual back into the join condition, and
+    // StreamingJoinHelper logs a WARN per non-event-time conjunct it
+    // cannot turn into a state bound — harmless: the t_ts/s_ts range
+    // conjuncts still yield the state watermark, and authoring the
+    // residual directly in the join condition would abort the query
+    // during the pre-pushdown analysis instead.)
+    iv.join(pt,
+      col("bucket") === col("pbucket") &&
+        col("t_ts") >= col("s_ts") &&
+        col("t_ts") <= col("s_ts") + expr("INTERVAL 7 MINUTES"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select(col("iv_id"), col("pt_id"), col("vm"))
+  }
+
   /** Streaming event-time windows with a watermark: 1h tumbling counts per
     * event type (streaming analog of `q_events_window`). */
   def eventWindowStream(spark: SparkSession, dir: String): DataFrame =
