@@ -1101,6 +1101,84 @@ object Queries {
          |FROM contrib c JOIN g ON g.cell = c.ocell
          |GROUP BY d2""".stripMargin))
 
+  /** LOCAL MORAN (LISA) QUADRANT CLASSIFICATION — the per-cell companion
+    * of [[qMoransI]]: every occupied res-7 cell labeled HH / LL / HL / LH
+    * (the Anselin LISA cluster map: hotspot, coldspot, high-low outlier,
+    * low-high outlier). The two signs that decide the quadrant are
+    * computed on INTEGER-SCALED deviations, so the map is exact:
+    * dev_i = n·xᵢ − Σx (sign of xᵢ − mean, scaled by n > 0) and
+    * dev_lag = n·lag_sum − n_nbrs·Σx (sign of the neighbor mean minus the
+    * global mean, scaled by n·n_nbrs ≥ 0; isolated cells get lag "low").
+    * The unscaled local Moran numerator is the consumer's product
+    * dev_i·dev_lag — emitted as FACTORS, not the product (each factor
+    * stays < 1.6e16 at n ≤ 4^res cells and 10^12 points; the product
+    * would overflow BIGINT). Zero deviations fold into the "low" branch
+    * (>0 vs <=0) — deterministic on both engines. Same grid-bounded ring
+    * scatter + one keyed equi-join as the global statistic; the globals
+    * ride in on a 1-row cross join. */
+  private val qLisaQuadrants = Q(
+    "q_lisa_quadrants",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val nbr = g.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("src"))
+        .join(g, Seq("cell"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_nbrs"), sum(col("cnt")).as("lag_sum"))
+      val glob = g.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"))
+      g.join(nbr, g("cell") === nbr("src"), "left_outer")
+        .crossJoin(glob)
+        .select(col("cell"), col("cnt").as("xi"),
+          coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+          coalesce(col("lag_sum"), lit(0L)).as("lag_sum"),
+          (col("n") * col("cnt") - col("sx")).as("dev_i"),
+          (col("n") * coalesce(col("lag_sum"), lit(0L)) -
+            coalesce(col("n_nbrs"), lit(0L)) * col("sx")).as("dev_lag"))
+        .withColumn("quadrant",
+          when(col("dev_i") > 0 && col("dev_lag") > 0, 1)
+            .when(col("dev_i") <= 0 && col("dev_lag") <= 0, 2)
+            .when(col("dev_i") > 0, 3).otherwise(4))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), sc AS (
+         |  SELECT cell AS src, ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell
+         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), nbr AS (
+         |  SELECT sc.src, CAST(count(*) AS BIGINT) AS n_nbrs,
+         |    CAST(sum(g.cnt) AS BIGINT) AS lag_sum
+         |  FROM sc JOIN g ON g.cell = sc.ocell GROUP BY 1
+         |), gstat AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cnt) AS BIGINT) AS sx FROM g
+         |), f AS (
+         |  SELECT g.cell, CAST(g.cnt AS BIGINT) AS xi,
+         |    coalesce(n_nbrs, 0) AS n_nbrs,
+         |    coalesce(lag_sum, 0) AS lag_sum,
+         |    gstat.n * g.cnt - gstat.sx AS dev_i,
+         |    gstat.n * coalesce(lag_sum, 0)
+         |      - coalesce(n_nbrs, 0) * gstat.sx AS dev_lag
+         |  FROM g LEFT JOIN nbr ON nbr.src = g.cell CROSS JOIN gstat
+         |)
+         |SELECT cell, xi, n_nbrs, lag_sum, dev_i, dev_lag,
+         |  CAST(CASE WHEN dev_i > 0 AND dev_lag > 0 THEN 1
+         |    WHEN dev_i <= 0 AND dev_lag <= 0 THEN 2
+         |    WHEN dev_i > 0 THEN 3 ELSE 4 END AS INTEGER) AS quadrant
+         |FROM f""".stripMargin))
+
   /** GRID-DBSCAN hotspot regions over `images`-shaped input: bin to res-7
     * cells, keep cells with `cnt >= minPts` (the DBSCAN core-cell
     * predicate), connect dense cells that are queen-adjacent (Chebyshev 1
@@ -1489,6 +1567,7 @@ object Queries {
     qIdwSurface,
     qMoransI,
     qVariogram,
+    qLisaQuadrants,
     qHotspotRegions,
     qSkewSalted,
     qSkewAdaptive,

@@ -49,6 +49,46 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(num.toDouble / den == 0.5)
   }
 
+  test("LISA quadrants: all four classes on a hand fixture") {
+    import spark.implicits._
+    // Cells a(5), a+1(5), a+2(1) collinear, far(2) isolated; n=4, Σx=13,
+    // mean=3.25. Hand calc: a -> HH (dev_i=7, nbr {a+1} dev_lag=7);
+    // a+1 -> HL (dev_i=7, nbrs {a,a+2} dev_lag=4·6-2·13=-2);
+    // a+2 -> LH (dev_i=-9, nbr {a+1} dev_lag=4·5-13=7);
+    // far -> LL (dev_i=-5, no nbrs -> dev_lag=0 folds low).
+    val pts = Seq.fill(5)((0.1, 0.1)) ++ Seq.fill(5)((0.1, 3.0)) ++
+      Seq((0.1, 5.9)) ++ Seq.fill(2)((40.0, 100.0))
+    val g = pts.toDF("lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val nbr = g.select(col("cell").as("src"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .where(col("cell") =!= col("src"))
+      .join(g, Seq("cell"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_nbrs"), sum(col("cnt")).as("lag_sum"))
+    val glob = g.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"))
+    val out = g.join(nbr, g("cell") === nbr("src"), "left_outer")
+      .crossJoin(glob)
+      .select(col("cell"),
+        (col("n") * col("cnt") - col("sx")).as("dev_i"),
+        (col("n") * coalesce(col("lag_sum"), lit(0L)) -
+          coalesce(col("n_nbrs"), lit(0L)) * col("sx")).as("dev_lag"))
+      .withColumn("quadrant",
+        when(col("dev_i") > 0 && col("dev_lag") > 0, 1)
+          .when(col("dev_i") <= 0 && col("dev_lag") <= 0, 2)
+          .when(col("dev_i") > 0, 3).otherwise(4))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    val a = graft.geo.GridCell.encode(0.1, 0.1, 7)
+    val far = graft.geo.GridCell.encode(40.0, 100.0, 7)
+    assert(out(a) == ((7L, 7L, 1)))
+    assert(out(a + 1) == ((7L, -2L, 3)))
+    assert(out(a + 2) == ((-9L, 7L, 4)))
+    assert(out(far) == ((-5L, 0L, 2)))
+  }
+
   test("hotspot regions: threshold, diagonal adjacency, min label, " +
       "conservation") {
     import spark.implicits._
