@@ -1179,6 +1179,61 @@ object Queries {
          |    WHEN dev_i > 0 THEN 3 ELSE 4 END AS INTEGER) AS quadrant
          |FROM f""".stripMargin))
 
+  /** SPATIAL ISOLATION ANTI-JOIN — the negation counterpart of the
+    * hot-cell family: images that are ALONE in their res-9 cell AND have
+    * no occupied cell in the queen ring around it (no other image within
+    * one grid step ≈ 40 km at the equator). The 100 TB shape matters more
+    * than the predicate: "nothing near me" is a NOT EXISTS over a spatial
+    * neighborhood, and the naive plan is a theta anti-join (every point
+    * vs every point). Here it is three keyed hash operations: bin
+    * (groupBy cell), scatter the ≤8-cell ring from SINGLETON cells only
+    * (the candidates — the dense 99% of cells never fan out), left-anti
+    * equi-join the scatter hits, then one equi-join back to pick up the
+    * row payload. Longitude wraps, latitude clamps — a pole-adjacent
+    * point is not spuriously "isolated" across the seam. */
+  private val qIsolated = Q(
+    "q_isolated",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val img = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 9))
+      val g = img.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val cand = g.where(col("cnt") === 1).select("cell")
+      val hits = cand.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("src"))
+        .join(g, Seq("cell"))
+        .select(col("src").as("cell")).distinct()
+      val iso = cand.join(hits, Seq("cell"), "left_anti")
+      img.select(col("image_id"), col("cell"))
+        .join(iso, Seq("cell"))
+        .select("image_id", "cell")
+    },
+    Some(
+      s"""$cte, ic AS (
+         |  SELECT image_id, ${cellSql(9)} AS cell FROM images
+         |), g AS (
+         |  SELECT cell, count(*) AS cnt FROM ic GROUP BY 1
+         |), cand AS (
+         |  SELECT cell FROM g WHERE cnt = 1
+         |), sc AS (
+         |  SELECT cell AS src, ((CAST(9 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 9)
+         |      | CAST(((x + dx.r) % 512 + 512) % 512 AS BIGINT)) AS ocell
+         |  FROM (SELECT cell, cell & 511 AS x, (cell >> 9) & 511 AS y
+         |        FROM cand) c,
+         |    range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 511
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), iso AS (
+         |  SELECT cell FROM cand
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sc JOIN g ON g.cell = sc.ocell
+         |    WHERE sc.src = cand.cell)
+         |)
+         |SELECT ic.image_id, ic.cell
+         |FROM ic JOIN iso ON iso.cell = ic.cell""".stripMargin))
+
   /** GRID-DBSCAN hotspot regions over `images`-shaped input: bin to res-7
     * cells, keep cells with `cnt >= minPts` (the DBSCAN core-cell
     * predicate), connect dense cells that are queen-adjacent (Chebyshev 1
@@ -1568,6 +1623,7 @@ object Queries {
     qMoransI,
     qVariogram,
     qLisaQuadrants,
+    qIsolated,
     qHotspotRegions,
     qSkewSalted,
     qSkewAdaptive,

@@ -89,6 +89,38 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(out(far) == ((-5L, 0L, 2)))
   }
 
+  test("isolation anti-join: singleton + empty ring only; lon wrap kills " +
+      "false isolation across the antimeridian") {
+    import spark.implicits._
+    // a: singleton, empty ring -> isolated. b: singleton but c occupies the
+    // adjacent x-cell -> not isolated. d,e: two points in one cell -> not
+    // candidates (not singleton), and their presence doesn't matter to a.
+    // w1/w2: singletons on OPPOSITE sides of the antimeridian in the same
+    // row -> the wrapped ring sees the other -> neither is isolated.
+    val pts = Seq(
+      ("a", 40.0, 100.0), ("b", 0.1, 0.1), ("c", 0.1, 0.8),
+      ("d", 10.0, 10.0), ("e", 10.0, 10.0),
+      ("w1", 20.0, -179.9), ("w2", 20.0, 179.9))
+    val img = pts.toDF("image_id", "lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 9))
+    // sanity: w1/w2 really straddle the seam (x = 0 and 511, same y)
+    val w = img.where(col("image_id").isin("w1", "w2"))
+      .select(col("cell")).collect().map(_.getLong(0))
+    assert((w(0) & 511L) != (w(1) & 511L))
+    assert(Set(0L, 511L) == w.map(_ & 511L).toSet)
+    val g = img.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val cand = g.where(col("cnt") === 1).select("cell")
+    val hits = cand.select(col("cell").as("src"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .where(col("cell") =!= col("src"))
+      .join(g, Seq("cell"))
+      .select(col("src").as("cell")).distinct()
+    val iso = cand.join(hits, Seq("cell"), "left_anti")
+    val out = img.select("image_id", "cell").join(iso, Seq("cell"))
+      .select("image_id").as[String].collect().toSet
+    assert(out == Set("a"))
+  }
+
   test("hotspot regions: threshold, diagonal adjacency, min label, " +
       "conservation") {
     import spark.implicits._
