@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.agg.PhashCentroid
@@ -1234,6 +1235,92 @@ object Queries {
          |SELECT ic.image_id, ic.cell
          |FROM ic JOIN iso ON iso.cell = ic.cell""".stripMargin))
 
+  /** TRAJECTORY -> TILE RASTERIZATION: a traffic-density raster from the
+    * event stream. Each event gets a deterministic geo-position (the same
+    * LCG derivation family as the `images` table, seeded by event_id);
+    * consecutive events of one user form a segment (lag over a window
+    * KEYED by user — never partitionless); each segment is rasterized to
+    * the res-7 cells its Bresenham grid line steps through
+    * ([[graft.geo.GridCell.lineCells]], codegen'd [[graft.geo.LineCells]]);
+    * the raster is the per-cell count of crossing segments and distinct
+    * users. The 100 TB shape: segment formation is one keyed shuffle,
+    * rasterization is a map-side generator (explode of a bounded array —
+    * <= Chebyshev-length cells, no join), and the final rollup
+    * partial-aggregates before its shuffle. The oracle replays the exact
+    * integer Bresenham state machine (x, y, err) as a recursive CTE, so a
+    * hash match proves every step of every segment cross-engine. */
+  private val qTrajRaster = Q(
+    "q_traj_raster",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val M = 2147483648L; val A = 1103515245L; val C = 12345L
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("h1", ((col("event_id") % M) * A + C) % M)
+        .withColumn("h2", (col("h1") * A + C) % M)
+        .withColumn("lat",
+          lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
+        .withColumn("lon",
+          lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag(col("cell"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("user_id"),
+          explode(G.line_cells(col("prev"), col("cell"))).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_segs"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some(
+      s"""WITH RECURSIVE eh1 AS (
+         |  SELECT event_id, user_id, ts,
+         |    ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h1
+         |  FROM events
+         |), eh2 AS (
+         |  SELECT event_id, user_id, ts, h1,
+         |    (h1 * 1103515245 + 12345) % 2147483648 AS h2
+         |  FROM eh1
+         |), pos AS (
+         |  SELECT event_id, user_id, ts,
+         |    -60.0 + (120.0 * CAST(h1 AS DOUBLE)) / 2147483648.0 AS lat,
+         |    -180.0 + (360.0 * CAST(h2 AS DOUBLE)) / 2147483648.0 AS lon
+         |  FROM eh2
+         |), pc AS (
+         |  SELECT event_id, user_id, ts,
+         |    ${Images.oracleCellSql("lat", "lon", 7)} AS cell
+         |  FROM pos
+         |), seg AS (
+         |  SELECT event_id, user_id, cell,
+         |    lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM pc
+         |), segs AS (
+         |  SELECT event_id AS seg_id, user_id,
+         |    prev & 127 AS x, (prev >> 7) & 127 AS y,
+         |    cell & 127 AS x1, (cell >> 7) & 127 AS y1
+         |  FROM seg WHERE prev IS NOT NULL
+         |), walk AS (
+         |  SELECT seg_id, user_id, x, y, x1, y1,
+         |    abs(x1 - x) AS dx, -abs(y1 - y) AS dy,
+         |    CASE WHEN x < x1 THEN 1 ELSE -1 END AS sx,
+         |    CASE WHEN y < y1 THEN 1 ELSE -1 END AS sy,
+         |    abs(x1 - x) - abs(y1 - y) AS err
+         |  FROM segs
+         |  UNION ALL
+         |  SELECT seg_id, user_id,
+         |    CASE WHEN 2 * err >= dy THEN x + sx ELSE x END,
+         |    CASE WHEN 2 * err <= dx THEN y + sy ELSE y END,
+         |    x1, y1, dx, dy, sx, sy,
+         |    err + CASE WHEN 2 * err >= dy THEN dy ELSE 0 END
+         |        + CASE WHEN 2 * err <= dx THEN dx ELSE 0 END
+         |  FROM walk
+         |  WHERE NOT (x = x1 AND y = y1)
+         |)
+         |SELECT ((CAST(7 AS BIGINT) << 58) | (CAST(y AS BIGINT) << 7)
+         |    | CAST(x AS BIGINT)) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM walk GROUP BY 1""".stripMargin))
+
   /** GRID-DBSCAN hotspot regions over `images`-shaped input: bin to res-7
     * cells, keep cells with `cnt >= minPts` (the DBSCAN core-cell
     * predicate), connect dense cells that are queen-adjacent (Chebyshev 1
@@ -1624,6 +1711,7 @@ object Queries {
     qVariogram,
     qLisaQuadrants,
     qIsolated,
+    qTrajRaster,
     qHotspotRegions,
     qSkewSalted,
     qSkewAdaptive,

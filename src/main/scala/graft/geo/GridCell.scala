@@ -158,6 +158,40 @@ object GridCell {
     arr
   }
 
+  /** Bresenham line rasterization between two SAME-RES cells: the cells
+    * an integer line from `a` to `b` steps through, in path order, each
+    * exactly once (the classic both-axis error form: a step may advance
+    * x, y, or both — diagonal corners are NOT filled in, matching the
+    * 8-connected line the oracle's recursive CTE replays). Planar in grid
+    * space: no longitude wrap — a segment is the direct grid path, and
+    * callers that need the short way around the antimeridian split the
+    * segment first (documented limitation, same as [[planarDist2]]).
+    * Pure integer state (x, y, err), so DuckDB replays it exactly. */
+  def lineCells(a: Long, b: Long): Array[Long] = {
+    val r = resOf(a)
+    require(resOf(b) == r, s"lineCells: res mismatch ${resOf(b)} vs $r")
+    var x = xOf(a); var y = yOf(a)
+    val x1 = xOf(b); val y1 = yOf(b)
+    val dx = math.abs(x1 - x); val sx = if (x < x1) 1L else -1L
+    val dy = -math.abs(y1 - y); val sy = if (y < y1) 1L else -1L
+    var err = dx + dy
+    // dx - dy + 1 = dx + |dy| + 1: safe bound (every step moves >= 1 axis);
+    // trimmed below — diagonal steps make the true length shorter.
+    val out = new Array[Long]((dx - dy + 1).toInt)
+    var i = 0
+    var done = false
+    while (!done) {
+      out(i) = pack(r, x, y); i += 1
+      if (x == x1 && y == y1) done = true
+      else {
+        val e2 = 2 * err
+        if (e2 >= dy) { err += dy; x += sx }
+        if (e2 <= dx) { err += dx; y += sy }
+      }
+    }
+    if (i == out.length) out else java.util.Arrays.copyOf(out, i)
+  }
+
   /** (latMin, latMax, lonMin, lonMax) bounds of a cell. */
   def bounds(cell: Long): (Double, Double, Double, Double) = {
     val r = resOf(cell)

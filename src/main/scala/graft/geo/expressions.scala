@@ -97,6 +97,26 @@ case class CellRing(cell: Expression, k: Expression) extends BinaryExpression
 object CellOps {
   def encodeMultiData(lat: Double, lon: Double, minRes: Int, maxRes: Int): ArrayData =
     new GenericArrayData(GridCell.encodeMulti(lat, lon, minRes, maxRes))
+  def lineCellsData(a: Long, b: Long): ArrayData =
+    new GenericArrayData(GridCell.lineCells(a, b))
+}
+
+/** `LINE_CELLS(cellA, cellB) -> Array[Long]` Bresenham rasterization of the
+  * grid segment between two same-res cells ([[GridCell.lineCells]]) — the
+  * trajectory->tile generator. Codegen'd: runs once per segment row in the
+  * rasterization hot path, unlike the broadcast-side [[CellRing]]. */
+case class LineCells(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    CellOps.lineCellsData(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.geo.CellOps.lineCellsData($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "line_cells"
 }
 
 /** `CELL_ENCODE_MULTI(lat, lon, minRes, maxRes) -> Array[Long]` cells at
@@ -433,6 +453,8 @@ object functions {
     cell_parent_at(cell, org.apache.spark.sql.functions.lit(toRes))
   def cell_ring(cell: Column, k: Column): Column =
     col(CellRing(expr(cell), expr(k)))
+  def line_cells(a: Column, b: Column): Column =
+    col(LineCells(expr(a), expr(b)))
   def cell_zvalue(cell: Column): Column = col(CellZValue(expr(cell)))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     col(HaversineM(expr(lat1), expr(lon1), expr(lat2), expr(lon2)))

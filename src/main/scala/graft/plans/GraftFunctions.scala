@@ -65,6 +65,11 @@ object GraftFunctions {
       "cell_ring(cell, k) - array of all quadkey cells within Chebyshev " +
         "distance k ((2k+1)^2 cells; longitude wraps).") {
       case Seq(c, k) => CellRing(c, k) },
+    fn("line_cells", 2,
+      "line_cells(cellA, cellB) - array of same-res quadkey cells on the " +
+        "Bresenham grid segment from cellA to cellB (trajectory " +
+        "rasterization; planar, no antimeridian wrap).") {
+      case Seq(a, b) => LineCells(a, b) },
     fn("cell_zvalue", 1,
       "cell_zvalue(cell) - Morton z-curve value of a quadkey cell (x/y " +
         "bit-interleaved); the 1-D sort key that preserves 2-D locality " +

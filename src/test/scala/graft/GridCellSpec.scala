@@ -139,4 +139,40 @@ class GridCellSpec extends AnyFunSuite {
     val d = GridCell.haversineM(0.0, 0.0, 0.0, 1.0)
     assert(math.abs(d - 111195.0) < 200.0)
   }
+
+  test("lineCells hand cases: point, horizontal, vertical, pure diagonal") {
+    def p(x: Long, y: Long) = GridCell.pack(7, x, y)
+    assert(GridCell.lineCells(p(5, 5), p(5, 5)).toSeq == Seq(p(5, 5)))
+    assert(GridCell.lineCells(p(2, 9), p(6, 9)).toSeq ==
+      (2L to 6L).map(p(_, 9)))
+    assert(GridCell.lineCells(p(3, 8), p(3, 4)).toSeq ==
+      (8L to 4L by -1).map(p(3, _)))
+    // 45 deg: diagonal steps only, length max+1 = 4
+    assert(GridCell.lineCells(p(0, 0), p(3, 3)).toSeq ==
+      (0L to 3L).map(i => p(i, i)))
+  }
+
+  test("lineCells properties: endpoints, 8-connected steps, distinct, " +
+      "dominant-axis length") {
+    sweep(500) { r =>
+      val res = 5 + r.nextInt(5)
+      val n = GridCell.dim(res)
+      def rc() = GridCell.pack(res, r.nextLong(n), r.nextLong(n))
+      val a = rc(); val b = rc()
+      val cells = GridCell.lineCells(a, b)
+      assert(cells.head == a && cells.last == b)
+      assert(cells.distinct.length == cells.length)
+      // every consecutive pair is a single 8-connected step
+      cells.sliding(2).foreach {
+        case Array(u, v) =>
+          assert(math.abs(GridCell.xOf(u) - GridCell.xOf(v)) <= 1)
+          assert(math.abs(GridCell.yOf(u) - GridCell.yOf(v)) <= 1)
+        case _ =>
+      }
+      // Bresenham plots one cell per dominant-axis column
+      val dx = math.abs(GridCell.xOf(a) - GridCell.xOf(b))
+      val dy = math.abs(GridCell.yOf(a) - GridCell.yOf(b))
+      assert(cells.length == math.max(dx, dy) + 1)
+    }
+  }
 }
