@@ -647,6 +647,53 @@ object Queries {
          |FROM zz GROUP BY 1""".stripMargin
     })
 
+  /** Hilbert-curve layout facts ([[graft.geo.CellHValue]]): the same
+    * bucketed shape as [[qZcurve]] but keyed by the Hilbert index of the
+    * res-12 cell — the layout key with the STRICT adjacency guarantee
+    * (consecutive indices are always 4-neighbors, so a Hilbert-sorted
+    * layout has no Morton seam jumps and the tightest per-row-group
+    * lat/lon envelopes; ZOrderSpec measures both layouts' skipping).
+    * The oracle replays the full per-bit quadrant walk — reflect +
+    * transpose rotation and all — as a 12-step integer CTE chain over
+    * (x, y, d) state, so a hash match proves every rotation branch of
+    * the kernel cross-engine. */
+  private val qHilbert = Q(
+    "q_hilbert",
+    (s, dir) => Images.images(s, dir)
+      .withColumn("hd", graft.geo.functions.cell_hvalue(
+        graft.geo.functions.cell_encode(col("lat"), col("lon"), 12)))
+      .groupBy(shiftright(col("hd"), 14).as("hbucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("hd")).as("h_min"),
+        max(col("hd")).as("h_max")),
+    Some {
+      // h{i+1}: one Hilbert bit-plane step at s = 2048 >> i. All three
+      // outputs read the step's INPUT row, so d uses the pre-rotation
+      // (x, y) exactly like the Scala kernel. rx=1 -> quad = 3 - ry;
+      // rx=0 -> quad = ry (the (3*rx) XOR ry identity on 0/1 bits).
+      val steps = (0 until 12).map { i =>
+        val s = 2048 >> i
+        s"""h${i + 1} AS (SELECT
+           |  CASE WHEN (y & $s) = 0 THEN
+           |    (CASE WHEN (x & $s) > 0 THEN 4095 - y ELSE y END)
+           |  ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 THEN
+           |    (CASE WHEN (x & $s) > 0 THEN 4095 - x ELSE x END)
+           |  ELSE y END AS y,
+           |  d + ${s.toLong * s} * (CASE WHEN (x & $s) > 0
+           |    THEN 3 - (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)
+           |    ELSE (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) END) AS d
+           |  FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""$cte,
+         |cells AS (SELECT ${cellSql(12)} AS cell FROM images),
+         |h0 AS (SELECT (cell & 4095) AS x, ((cell >> 12) & 4095) AS y,
+         |       CAST(0 AS BIGINT) AS d FROM cells),
+         |$steps
+         |SELECT (d >> 14) AS hbucket, CAST(count(*) AS BIGINT) AS cnt,
+         |  min(d) AS h_min, max(d) AS h_max
+         |FROM h12 GROUP BY 1""".stripMargin
+    })
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -1722,6 +1769,7 @@ object Queries {
     qStatsTransfer,
     qBucketJoin,
     qZcurve,
+    qHilbert,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++

@@ -88,6 +88,34 @@ object GridCell {
     (v | (v << 1)) & 0x5555555555555555L
   }
 
+  /** Hilbert curve index of a cell: the position of (x, y) along the
+    * order-`res` Hilbert curve (classic per-bit quadrant walk with
+    * reflect+transpose rotation). Like [[interleave]] this is a 1-D layout
+    * key for data-skipping writes, but with the strictly better locality
+    * guarantee: CONSECUTIVE Hilbert indices are always 4-neighbors (no
+    * Morton "seam jumps"), so sorted row groups get the tightest possible
+    * lat/lon min/max envelopes. Pure integer state (x, y, d), replayed by
+    * the oracle as an unrolled per-bit CTE chain. Public-knowledge
+    * algorithm (the standard xy2d form). */
+  def hilbertD(cell: Long): Long = {
+    val r = resOf(cell)
+    val n = dim(r)
+    var x = xOf(cell); var y = yOf(cell)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Immediate parent (one resolution coarser). Res-0 cells are their own
     * parent — callers stop the pyramid loop before that (SURVEY.md O4). */
   def parent(cell: Long): Long = {

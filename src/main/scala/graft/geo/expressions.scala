@@ -76,6 +76,27 @@ case class CellZValue(child: Expression) extends UnaryExpression {
   override def prettyName: String = "cell_zvalue"
 }
 
+/** `CELL_HVALUE(cell) -> Long` Hilbert curve index of a cell
+  * ([[GridCell.hilbertD]]) — the layout key with the strict adjacency
+  * guarantee (consecutive indices are always 4-neighbors), for the
+  * tightest data-skipping envelopes. */
+case class CellHValue(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cell_hvalue expects a bigint cell id, got ${child.dataType}")
+  override protected def nullSafeEval(c: Any): Any =
+    GridCell.hilbertD(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geo.GridCell.hilbertD($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "cell_hvalue"
+}
+
 /** `CELL_RING(cell, k) -> Array[Long]` Chebyshev-k neighborhood (≙ H3 kRing;
   * the kNN candidate-gathering primitive, SURVEY.md J4). Array-producing, so
   * eval-based; the array is tiny (queries side, broadcast). */
@@ -456,6 +477,7 @@ object functions {
   def line_cells(a: Column, b: Column): Column =
     col(LineCells(expr(a), expr(b)))
   def cell_zvalue(cell: Column): Column = col(CellZValue(expr(cell)))
+  def cell_hvalue(cell: Column): Column = col(CellHValue(expr(cell)))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     col(HaversineM(expr(lat1), expr(lon1), expr(lat2), expr(lon2)))
   def point_in_poly(lat: Column, lon: Column, lats: Column, lons: Column): Column =

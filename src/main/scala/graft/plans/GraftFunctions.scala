@@ -75,6 +75,11 @@ object GraftFunctions {
         "bit-interleaved); the 1-D sort key that preserves 2-D locality " +
         "for data-skipping layouts.") {
       case Seq(c) => CellZValue(c) },
+    fn("cell_hvalue", 1,
+      "cell_hvalue(cell) - Hilbert curve index of a quadkey cell; the " +
+        "layout key whose consecutive values are always grid neighbors " +
+        "(tightest data-skipping envelopes).") {
+      case Seq(c) => CellHValue(c) },
     fn("haversine_m", 4,
       "haversine_m(lat1, lon1, lat2, lon2) - great-circle distance in " +
         "meters.") {

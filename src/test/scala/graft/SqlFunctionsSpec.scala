@@ -27,6 +27,9 @@ class SqlFunctionsSpec extends SparkFunSuite {
         |  cell_encode_multi(lat, lon, 10, 12) AS multi,
         |  size(cell_ring(cell_encode(lat, lon, 8), 1)) AS ring_n,
         |  cell_zvalue(cell_encode(lat, lon, 12)) AS zv,
+        |  cell_hvalue(cell_encode(lat, lon, 12)) AS hv,
+        |  size(line_cells(cell_encode(lat, lon, 7),
+        |    cell_encode(0.0D, 0.0D, 7))) AS lc,
         |  hex_encode(lat, lon, 8) AS hx,
         |  hex_parent_at(hex_encode(lat, lon, 12), 6) AS hxp,
         |  hex_parent_once(hex_encode(lat, lon, 8)) AS hxp1,
@@ -45,6 +48,9 @@ class SqlFunctionsSpec extends SparkFunSuite {
       size(G.cell_ring(G.cell_encode(col("lat"), col("lon"), 8), lit(1)))
         .as("ring_n"),
       G.cell_zvalue(G.cell_encode(col("lat"), col("lon"), 12)).as("zv"),
+      G.cell_hvalue(G.cell_encode(col("lat"), col("lon"), 12)).as("hv"),
+      size(G.line_cells(G.cell_encode(col("lat"), col("lon"), 7),
+        G.cell_encode(lit(0.0), lit(0.0), 7))).as("lc"),
       G.hex_encode(col("lat"), col("lon"), 8).as("hx"),
       G.hex_parent_at(G.hex_encode(col("lat"), col("lon"), 12), 6).as("hxp"),
       G.hex_parent_once(G.hex_encode(col("lat"), col("lon"), 8)).as("hxp1"),

@@ -74,4 +74,64 @@ class ZOrderSpec extends SparkFunSuite {
     assert(zRows * 2 <= rrRows,
       s"z layout read $zRows rows vs $rrRows round-robin — no skipping?")
   }
+
+  test("hilbertD: exact 4x4 reference walk") {
+    // The order-2 Hilbert curve, origin lower-left, first step +x:
+    // d -> (x, y) for all 16 positions.
+    val want = Seq(
+      (0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3), (1, 2),
+      (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1), (2, 0), (3, 0))
+    want.zipWithIndex.foreach { case ((x, y), d) =>
+      assert(GridCell.hilbertD(GridCell.pack(2, x, y)) == d.toLong,
+        s"($x,$y) should be at Hilbert position $d")
+    }
+  }
+
+  test("hilbertD: bijection and strict adjacency at res 4; Morton has " +
+      "seam jumps, Hilbert has none") {
+    val n = 16
+    val cells = for (y <- 0 until n; x <- 0 until n)
+      yield GridCell.pack(4, x, y)
+    val byH = cells.sortBy(GridCell.hilbertD)
+    // bijection onto [0, n^2)
+    assert(cells.map(GridCell.hilbertD).sorted == (0L until (n.toLong * n)))
+    // THE Hilbert property: consecutive indices are 4-neighbors
+    // (Manhattan distance exactly 1) — no jump anywhere on the curve
+    def manhattan(a: Long, b: Long): Long =
+      math.abs(GridCell.xOf(a) - GridCell.xOf(b)) +
+        math.abs(GridCell.yOf(a) - GridCell.yOf(b))
+    byH.sliding(2).foreach {
+      case Seq(u, v) => assert(manhattan(u, v) == 1L)
+      case _ =>
+    }
+    // Morton, by contrast, jumps at quadrant seams — strictly worse
+    // locality between consecutive sort positions
+    val byZ = cells.sortBy(GridCell.interleave)
+    val zJumps = byZ.sliding(2).count {
+      case Seq(u, v) => manhattan(u, v) > 1L
+      case _         => false
+    }
+    assert(zJumps > 0)
+  }
+
+  test("hilbert-sorted layout skips row groups like the z layout") {
+    val tmp = Files.createTempDirectory("graft-hilbert").toString
+    val imgs = Images.images(spark, SparkSpec.Sf)
+      .select(col("image_id"), col("lat"), col("lon"))
+      .withColumn("hd", G.cell_hvalue(G.cell_encode(col("lat"), col("lon"), 12)))
+    imgs.repartitionByRange(8, col("hd")).sortWithinPartitions("hd")
+      .write.option("parquet.block.size", 512 * 1024).parquet(s"$tmp/hsorted")
+    imgs.repartition(8)
+      .write.option("parquet.block.size", 512 * 1024).parquet(s"$tmp/shuffled")
+    def bbox(dir: String) = spark.read.parquet(dir)
+      .filter(col("lat").between(10.0, 14.0) && col("lon").between(20.0, 28.0))
+      .select("image_id")
+    val (hRows, rrRows) = (scanOutputRows(bbox(s"$tmp/hsorted")),
+      scanOutputRows(bbox(s"$tmp/shuffled")))
+    assert(bbox(s"$tmp/hsorted").collect().map(_.getString(0)).sorted.toSeq ==
+      bbox(s"$tmp/shuffled").collect().map(_.getString(0)).sorted.toSeq)
+    assert(hRows > 0 && rrRows == imgs.count())
+    assert(hRows * 2 <= rrRows,
+      s"hilbert layout read $hRows rows vs $rrRows round-robin — no skipping?")
+  }
 }
