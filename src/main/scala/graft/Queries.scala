@@ -1227,6 +1227,70 @@ object Queries {
          |    WHEN dev_i > 0 THEN 3 ELSE 4 END AS INTEGER) AS quadrant
          |FROM f""".stripMargin))
 
+  /** GETIS-ORD Gi* HOT/COLD CLASSIFICATION — the third member of the
+    * local-stats family ([[qMoransI]] global, [[qLisaQuadrants]] local
+    * quadrants): per occupied res-7 cell, the sign of the Gi* numerator
+    * `star_sum − n_star·x̄` computed on INTEGER-SCALED factors
+    * (dev_star = n·star_sum − n_star·Σx, where star_sum/n_star are the
+    * ring sums INCLUDING self — the defining Gi* difference from the
+    * LISA lag). The full Gi* z-score needs a sqrt; the hashed output
+    * stays integer-exact (the q_bic_k lesson: never hash a raw
+    * transcendental) and emits the numerator factors plus the sign
+    * label; a consumer needing the z-score divides two emitted integers
+    * and takes one sqrt driver-side. Same bounded ring scatter + one
+    * keyed equi-join; occupied-cell universe (empty cells excluded on
+    * both engines, documented). */
+  private val qGetisOrd = Q(
+    "q_getis_ord",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val star = g.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .join(g, Seq("cell"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_star"), sum(col("cnt")).as("star_sum"))
+      val glob = g.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"))
+      g.join(star, g("cell") === star("src"))
+        .crossJoin(glob)
+        .select(col("cell"), col("cnt").as("xi"),
+          col("n_star"), col("star_sum"),
+          (col("n") * col("star_sum") - col("n_star") * col("sx"))
+            .as("dev_star"))
+        .withColumn("label",
+          when(col("dev_star") > 0, lit("hot"))
+            .when(col("dev_star") < 0, lit("cold"))
+            .otherwise(lit("neutral")))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), sc AS (
+         |  SELECT cell AS src, ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell
+         |  FROM (SELECT cell, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |        FROM g) c,
+         |    range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |), star AS (
+         |  SELECT sc.src, CAST(count(*) AS BIGINT) AS n_star,
+         |    CAST(sum(g.cnt) AS BIGINT) AS star_sum
+         |  FROM sc JOIN g ON g.cell = sc.ocell GROUP BY 1
+         |), gstat AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cnt) AS BIGINT) AS sx FROM g
+         |)
+         |SELECT g.cell, CAST(g.cnt AS BIGINT) AS xi, n_star, star_sum,
+         |  gstat.n * star_sum - n_star * gstat.sx AS dev_star,
+         |  CASE WHEN gstat.n * star_sum - n_star * gstat.sx > 0 THEN 'hot'
+         |    WHEN gstat.n * star_sum - n_star * gstat.sx < 0 THEN 'cold'
+         |    ELSE 'neutral' END AS label
+         |FROM g JOIN star ON star.src = g.cell CROSS JOIN gstat""".stripMargin))
+
   /** SPATIAL ISOLATION ANTI-JOIN — the negation counterpart of the
     * hot-cell family: images that are ALONE in their res-9 cell AND have
     * no occupied cell in the queen ring around it (no other image within
@@ -1757,6 +1821,7 @@ object Queries {
     qMoransI,
     qVariogram,
     qLisaQuadrants,
+    qGetisOrd,
     qIsolated,
     qTrajRaster,
     qHotspotRegions,

@@ -89,6 +89,35 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(out(far) == ((-5L, 0L, 2)))
   }
 
+  test("Getis-Ord star factors: ring includes self; hot/cold signs on the " +
+      "Moran fixture") {
+    import spark.implicits._
+    // Same fixture as the Moran test: a(5), a+1(5), a+2(1), far(2);
+    // n=4, sx=13. Hand Gi*: a {a,a+1} dev=4*10-2*13=14 hot;
+    // a+1 {a,a+1,a+2} dev=4*11-3*13=5 hot; a+2 {a+1,a+2} dev=4*6-2*13=-2
+    // cold; far {far} dev=4*2-1*13=-5 cold.
+    val pts = Seq.fill(5)((0.1, 0.1)) ++ Seq.fill(5)((0.1, 3.0)) ++
+      Seq((0.1, 5.9)) ++ Seq.fill(2)((40.0, 100.0))
+    val g = pts.toDF("lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val star = g.select(col("cell").as("src"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .join(g, Seq("cell"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_star"), sum(col("cnt")).as("star_sum"))
+    val glob = g.agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"))
+    val out = g.join(star, g("cell") === star("src")).crossJoin(glob)
+      .select(col("cell"),
+        (col("n") * col("star_sum") - col("n_star") * col("sx"))
+          .as("dev_star"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = graft.geo.GridCell.encode(0.1, 0.1, 7)
+    val far = graft.geo.GridCell.encode(40.0, 100.0, 7)
+    assert(out(a) == 14L && out(a + 1) == 5L)
+    assert(out(a + 2) == -2L && out(far) == -5L)
+  }
+
   test("isolation anti-join: singleton + empty ring only; lon wrap kills " +
       "false isolation across the antimeridian") {
     import spark.implicits._
