@@ -694,6 +694,78 @@ object Queries {
          |FROM h12 GROUP BY 1""".stripMargin
     })
 
+  /** BBOX -> Z-RANGE SCAN PLANNING: the query-side consumer of the
+    * [[qZcurve]]/[[qHilbert]] layout keys. A lat/lon bbox becomes a SHORT
+    * LIST OF CONTIGUOUS 1-D RANGES on the Morton key: cover the box with
+    * coarse res-7 cells (driver-held, like the pip broadcast index — the
+    * planner's split list), map each to its leaf-z prefix range
+    * `[z7 << 10, (z7 << 10) + 2^10)` (exact by the interleave prefix
+    * property: a child's z is its parent's z with 2·Δres suffix bits),
+    * then probe the res-12 z of every image against the broadcast ranges.
+    * Emitted per range: index hits (`cnt`) and exact-refine survivors
+    * (`n_exact`) — the range scan's false-positive measure. At 100 TB
+    * this is how a bbox query reads a z-sorted table: K contiguous scans
+    * instead of a 2-D filter over everything; the BroadcastNestedLoop
+    * range probe here stands in for the planner handing byte ranges to
+    * the reader. The oracle replays the cover floors ('…'::DOUBLE guards
+    * the decimal-literal trap), the 5-mask spread, the prefix shift, and
+    * the refine — full cross-engine planning proof. */
+  private val qZrangeScan = Q(
+    "q_zrange_scan",
+    (s, dir) => {
+      import graft.geo.GridCell
+      val ranges = GridCell.cover(10.0, 14.0, 20.0, 28.0, 7)
+        .map(c => (GridCell.interleave(c) << 10,
+          (GridCell.interleave(c) << 10) + 1023L))
+      val rdf = s.createDataFrame(ranges.toSeq).toDF("z_lo", "z_hi")
+      val img = Images.images(s, dir)
+        .withColumn("z", graft.geo.functions.cell_zvalue(
+          graft.geo.functions.cell_encode(col("lat"), col("lon"), 12)))
+      img.join(broadcast(rdf), col("z").between(col("z_lo"), col("z_hi")))
+        .groupBy("z_lo", "z_hi")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("lat").between(10.0, 14.0) &&
+            col("lon").between(20.0, 28.0), 1L).otherwise(0L)).as("n_exact"))
+    },
+    Some {
+      val spread = Seq(
+        16 -> "281470681808895", 8 -> "71777214294589695",
+        4 -> "1085102592571150095", 2 -> "3689348814741910323",
+        1 -> "6148914691236517205")
+      def chain(pfx: String, src: String, carry: Seq[String]) = {
+        val keep = carry.map(c => s"$c, ").mkString
+        spread.zipWithIndex.map { case ((sh, mask), i) =>
+          s"""$pfx${i + 1} AS (SELECT $keep
+             |  ((x | (x << $sh)) & $mask) AS x,
+             |  ((y | (y << $sh)) & $mask) AS y
+             |  FROM ${if (i == 0) src else s"$pfx$i"})""".stripMargin
+        }.mkString(",\n")
+      }
+      s"""$cte,
+         |xr AS (SELECT
+         |  CAST(floor((('20.0'::DOUBLE) + 180.0) / 360.0 * 128) AS BIGINT) AS x0,
+         |  CAST(floor((('28.0'::DOUBLE) + 180.0) / 360.0 * 128) AS BIGINT) AS x1,
+         |  CAST(floor((('10.0'::DOUBLE) + 90.0) / 180.0 * 128) AS BIGINT) AS y0,
+         |  CAST(floor((('14.0'::DOUBLE) + 90.0) / 180.0 * 128) AS BIGINT) AS y1),
+         |cov0 AS (SELECT rx.r AS x, ry.r AS y
+         |  FROM xr, range(0,128) rx(r), range(0,128) ry(r)
+         |  WHERE rx.r BETWEEN x0 AND x1 AND ry.r BETWEEN y0 AND y1),
+         |${chain("cov", "cov0", Seq.empty)},
+         |ranges AS (SELECT ((x | (y << 1)) << 10) AS z_lo,
+         |  ((x | (y << 1)) << 10) + 1023 AS z_hi FROM cov5),
+         |img0 AS (SELECT lat, lon,
+         |  (${cellSql(12)} & 4095) AS x,
+         |  ((${cellSql(12)} >> 12) & 4095) AS y FROM images),
+         |${chain("img", "img0", Seq("lat", "lon"))},
+         |zz AS (SELECT lat, lon, (x | (y << 1)) AS z FROM img5)
+         |SELECT r.z_lo, r.z_hi, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CASE WHEN lat BETWEEN 10.0 AND 14.0
+         |    AND lon BETWEEN 20.0 AND 28.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact
+         |FROM zz JOIN ranges r ON zz.z BETWEEN r.z_lo AND r.z_hi
+         |GROUP BY 1, 2""".stripMargin
+    })
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -1835,6 +1907,7 @@ object Queries {
     qBucketJoin,
     qZcurve,
     qHilbert,
+    qZrangeScan,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++

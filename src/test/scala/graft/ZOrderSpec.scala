@@ -75,6 +75,24 @@ class ZOrderSpec extends SparkFunSuite {
       s"z layout read $zRows rows vs $rrRows round-robin — no skipping?")
   }
 
+  test("z prefix property: a leaf's z lies in exactly its parent's range " +
+      "(the q_zrange_scan planning invariant)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { _ =>
+      val lat = -89.9 + rnd.nextDouble() * 179.8
+      val lon = -179.9 + rnd.nextDouble() * 359.8
+      val leaf = GridCell.encode(lat, lon, 12)
+      val p = GridCell.parentAt(leaf, 7)
+      val z = GridCell.interleave(leaf)
+      val zlo = GridCell.interleave(p) << 10
+      assert(z >= zlo && z < zlo + 1024)
+      // ranges partition z space: any OTHER res-7 cell's range excludes it
+      val other = GridCell.pack(7, (GridCell.xOf(p) + 1) % 128, GridCell.yOf(p))
+      val olo = GridCell.interleave(other) << 10
+      assert(z < olo || z >= olo + 1024)
+    }
+  }
+
   test("hilbertD: exact 4x4 reference walk") {
     // The order-2 Hilbert curve, origin lower-left, first step +x:
     // d -> (x, y) for all 16 positions.
