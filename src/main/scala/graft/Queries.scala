@@ -766,6 +766,45 @@ object Queries {
          |GROUP BY 1, 2""".stripMargin
     })
 
+  /** QUADTREE COMPACTION ([[graft.operators.CellCompact]], ≙ H3
+    * `compact`): the occupied res-7 cell set rewritten as the minimal
+    * mixed-resolution set — every fully-occupied 2x2 quad collapses into
+    * its parent, recursively down to res 4. Output is the compact set
+    * with its per-cell resolution; CompactSpec pins the invariants
+    * (uncompact∘compact == identity, no ancestor pairs). The oracle
+    * replays each level's complete-quad substitution as a
+    * group-having-4 + NOT IN pair, unrolled res 7 -> 4. */
+  private val qCompact = Q(
+    "q_compact",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val leaves = Images.images(s, dir)
+        .select(G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
+        .distinct()
+      graft.operators.CellCompact.compact(leaves, 7, 4)
+        .withColumn("res", shiftrightunsigned(col("cell"), 58))
+    },
+    Some {
+      val levels = (7 until 4 by -1).map { r =>
+        val m = (1L << r) - 1
+        s"""k$r AS (SELECT cell,
+           |  ((CAST(${r - 1} AS BIGINT) << 58) |
+           |   ((((cell >> $r) & $m) >> 1) << ${r - 1}) |
+           |   ((cell & $m) >> 1)) AS p FROM l$r),
+           |f$r AS (SELECT p FROM k$r GROUP BY p HAVING count(*) = 4),
+           |keep$r AS (SELECT cell FROM k$r
+           |  WHERE p NOT IN (SELECT p FROM f$r)),
+           |l${r - 1} AS (SELECT p AS cell FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""$cte,
+         |l7 AS (SELECT DISTINCT ${cellSql(7)} AS cell FROM images),
+         |$levels
+         |SELECT cell, cell >> 58 AS res FROM (
+         |  SELECT cell FROM keep7 UNION ALL SELECT cell FROM keep6
+         |  UNION ALL SELECT cell FROM keep5 UNION ALL SELECT cell FROM l4
+         |) u""".stripMargin
+    })
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -1908,6 +1947,7 @@ object Queries {
     qZcurve,
     qHilbert,
     qZrangeScan,
+    qCompact,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
