@@ -805,6 +805,98 @@ object Queries {
          |) u""".stripMargin
     })
 
+  /** POLYGON BUFFER VIA CELL MORPHOLOGY — geofencing with tolerance: each
+    * fixture polygon's res-7 bbox cover (the driver-held prefilter index,
+    * same shape as the pip join's) is DILATED by one ring step (≈ one
+    * cell ≈ 40 km at the equator) — the raster-morphology analog of
+    * ST_Buffer at cell granularity. Emitted per polygon: images inside
+    * the core cover vs. images in the one-cell tolerance band (dilation
+    * minus core) — the geofence-with-hysteresis shape. All set algebra is
+    * keyed: ring explode over the tiny driver-held cover (broadcast),
+    * distinct, anti-join for the band, then one equi-join against the
+    * binned corpus per set. The oracle recomputes the bbox floors from
+    * literal vertex rows, the clamped cover enumeration, the wrapped
+    * dilation and the band subtraction — the full morphology
+    * cross-engine. */
+  private val qPolyBuffer = Q(
+    "q_poly_buffer",
+    (s, dir) => {
+      import graft.geo.{functions => G, GridCell}
+      import s.implicits._
+      val core = Fixtures.polys.flatMap { p =>
+        val (la0, la1, lo0, lo1) = GridCell.polyBounds(p.lats, p.lons)
+        GridCell.cover(la0, la1, lo0, lo1, 7).map(c => (p.polyId, c))
+      }.toSeq.toDF("poly_id", "cell")
+      val dil = core.select(col("poly_id"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .distinct()
+      val band = dil.join(core, Seq("poly_id", "cell"), "left_anti")
+      val img = Images.images(s, dir)
+        .select(G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
+      val nCore = img.join(broadcast(core), Seq("cell"))
+        .groupBy("poly_id").agg(count(lit(1)).as("n_core"))
+      val nBand = img.join(broadcast(band), Seq("cell"))
+        .groupBy("poly_id").agg(count(lit(1)).as("n_band"))
+      Fixtures.polys.map(_.polyId).toDF("poly_id")
+        .join(nCore, Seq("poly_id"), "left_outer")
+        .join(nBand, Seq("poly_id"), "left_outer")
+        .select(col("poly_id"),
+          coalesce(col("n_core"), lit(0L)).as("n_core"),
+          coalesce(col("n_band"), lit(0L)).as("n_band"))
+    },
+    Some {
+      val vrows = Fixtures.polys.flatMap { p =>
+        p.lats.indices.map(i =>
+          s"('${p.polyId}', ${p.lats(i)}::DOUBLE, ${p.lons(i)}::DOUBLE)")
+      }.mkString(",\n    ")
+      s"""$cte,
+         |pv(poly_id, lat, lon) AS (VALUES
+         |    $vrows
+         |), bb AS (
+         |  SELECT poly_id, min(lat) AS la0, max(lat) AS la1,
+         |    min(lon) AS lo0, max(lon) AS lo1 FROM pv GROUP BY 1
+         |), ix AS (
+         |  SELECT poly_id,
+         |    GREATEST(0, LEAST(127,
+         |      CAST(floor(((lo0 + 180.0) / 360.0) * 128) AS BIGINT))) AS x0,
+         |    GREATEST(0, LEAST(127,
+         |      CAST(floor(((lo1 + 180.0) / 360.0) * 128) AS BIGINT))) AS x1,
+         |    GREATEST(0, LEAST(127,
+         |      CAST(floor(((la0 + 90.0) / 180.0) * 128) AS BIGINT))) AS y0,
+         |    GREATEST(0, LEAST(127,
+         |      CAST(floor(((la1 + 90.0) / 180.0) * 128) AS BIGINT))) AS y1
+         |  FROM bb
+         |), core AS (
+         |  SELECT poly_id, rx.r AS x, ry.r AS y
+         |  FROM ix, range(0,128) rx(r), range(0,128) ry(r)
+         |  WHERE rx.r BETWEEN x0 AND x1 AND ry.r BETWEEN y0 AND y1
+         |), dil AS (
+         |  SELECT DISTINCT poly_id,
+         |    ((x + dx.r) % 128 + 128) % 128 AS x, y + dy.r AS y
+         |  FROM core, range(-1,2) dx(r), range(-1,2) dy(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |), band AS (
+         |  SELECT poly_id, x, y FROM dil
+         |  WHERE NOT EXISTS (SELECT 1 FROM core c
+         |    WHERE c.poly_id = dil.poly_id AND c.x = dil.x AND c.y = dil.y)
+         |), icxy AS (
+         |  SELECT (${cellSql(7)} & 127) AS x,
+         |    ((${cellSql(7)} >> 7) & 127) AS y FROM images
+         |), nc AS (
+         |  SELECT poly_id, CAST(count(*) AS BIGINT) AS n_core
+         |  FROM core JOIN icxy ON icxy.x = core.x AND icxy.y = core.y
+         |  GROUP BY 1
+         |), nb AS (
+         |  SELECT poly_id, CAST(count(*) AS BIGINT) AS n_band
+         |  FROM band JOIN icxy ON icxy.x = band.x AND icxy.y = band.y
+         |  GROUP BY 1
+         |)
+         |SELECT bb.poly_id, coalesce(n_core, 0) AS n_core,
+         |  coalesce(n_band, 0) AS n_band
+         |FROM bb LEFT JOIN nc ON nc.poly_id = bb.poly_id
+         |LEFT JOIN nb ON nb.poly_id = bb.poly_id""".stripMargin
+    })
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -1948,6 +2040,7 @@ object Queries {
     qHilbert,
     qZrangeScan,
     qCompact,
+    qPolyBuffer,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++

@@ -150,6 +150,23 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(out == Set("a"))
   }
 
+  test("cell morphology: dilating an interior rectangle cover adds " +
+      "exactly the perimeter ring") {
+    import spark.implicits._
+    val core = graft.geo.GridCell.cover(10.0, 12.0, 10.0, 14.0, 7)
+    val coreDf = core.toSeq.toDF("cell")
+    val dil = coreDf.select(explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .distinct()
+    val band = dil.join(coreDf, Seq("cell"), "left_anti")
+      .as[Long].collect().toSet
+    // interior box (no pole / antimeridian contact): dilation == cover of
+    // the +1-cell bbox, so the band is the rectangle's perimeter ring
+    val xs = core.map(graft.geo.GridCell.xOf); val ys = core.map(graft.geo.GridCell.yOf)
+    val w = xs.max - xs.min + 1; val h = ys.max - ys.min + 1
+    assert(band.size == 2 * (w + h) + 4)
+    assert(band.intersect(core.toSet).isEmpty)
+  }
+
   test("hotspot regions: threshold, diagonal adjacency, min label, " +
       "conservation") {
     import spark.implicits._
