@@ -21,6 +21,44 @@ object Queries {
   private val cte = Images.oracleCte
   private def cellSql(res: Int) = Images.oracleCellSql("lat", "lon", res)
 
+  /** Events with a deterministic geo-position (the images table's LCG
+    * derivation family seeded by event_id) and their `res`-cell — the
+    * shared input of the trajectory/co-location queries. */
+  private def eventPositions(s: SparkSession, dir: String, res: Int): DataFrame = {
+    import graft.geo.{functions => G}
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
+      .withColumn("h2", (col("h1") * A + C) % M)
+      .withColumn("lat",
+        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
+      .withColumn("lon",
+        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+  }
+
+  /** Oracle twin of [[eventPositions]]: CTE chain ending in
+    * `pc(event_id, user_id, event_type, ts, cell)`. */
+  private def eventCellCtes(res: Int): String =
+    s"""eh1 AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |    ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h1
+       |  FROM events
+       |), eh2 AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |    h1, (h1 * 1103515245 + 12345) % 2147483648 AS h2
+       |  FROM eh1
+       |), pos AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |    -60.0 + (120.0 * CAST(h1 AS DOUBLE)) / 2147483648.0 AS lat,
+       |    -180.0 + (360.0 * CAST(h2 AS DOUBLE)) / 2147483648.0 AS lon
+       |  FROM eh2
+       |), pc AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |    ${Images.oracleCellSql("lat", "lon", res)} AS cell
+       |  FROM pos
+       |)""".stripMargin
+
   // -------------------------------------------------------- tile assignment
 
   /** Raster<->vector tile assignment + per-tile rollup at res 7 — the
@@ -897,6 +935,42 @@ object Queries {
          |LEFT JOIN nb ON nb.poly_id = bb.poly_id""".stripMargin
     })
 
+  /** SPATIAL CO-LOCATION JOIN — the cross-DATASET grid join: the event
+    * stream (deterministic positions, [[eventPositions]]) against the
+    * image corpus, co-binned at res 6. Per event type: total events,
+    * events landing in an image-occupied cell, and distinct shared cells
+    * — the participation-index numerators of co-location pattern mining
+    * (ratios are the consumer's division; only integers are hashed).
+    * Scale shape: both sides reduce BEFORE the join (the image side to
+    * its occupied-cell set — at 100 TB a persisted snapshot level, not a
+    * rescan), then one keyed equi-join and a partial-aggregated rollup.
+    * No theta join anywhere. */
+  private val qColoc = Q(
+    "q_coloc",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 6)
+      val occ = Images.images(s, dir)
+        .select(graft.geo.functions
+          .cell_encode(col("lat"), col("lon"), 6).as("cell"))
+        .distinct().withColumn("hit", lit(1))
+      ev.join(occ, Seq("cell"), "left_outer")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_ev_coloc"),
+          countDistinct(when(col("hit") === 1, col("cell"))).as("n_cells"))
+    },
+    Some(
+      s"""$cte, ${eventCellCtes(6)}, occ AS (
+         |  SELECT DISTINCT ${cellSql(6)} AS cell FROM images
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_ev,
+         |  CAST(sum(CASE WHEN occ.cell IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ev_coloc,
+         |  CAST(count(DISTINCT CASE WHEN occ.cell IS NOT NULL
+         |    THEN pc.cell END) AS BIGINT) AS n_cells
+         |FROM pc LEFT JOIN occ ON occ.cell = pc.cell
+         |GROUP BY 1""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -1567,15 +1641,7 @@ object Queries {
     "q_traj_raster",
     (s, dir) => {
       import graft.geo.{functions => G}
-      val M = 2147483648L; val A = 1103515245L; val C = 12345L
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("h1", ((col("event_id") % M) * A + C) % M)
-        .withColumn("h2", (col("h1") * A + C) % M)
-        .withColumn("lat",
-          lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
-        .withColumn("lon",
-          lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
-        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      val ev = eventPositions(s, dir, 7)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       ev.withColumn("prev", lag(col("cell"), 1).over(w))
         .where(col("prev").isNotNull)
@@ -1586,24 +1652,7 @@ object Queries {
           countDistinct(col("user_id")).as("n_users"))
     },
     Some(
-      s"""WITH RECURSIVE eh1 AS (
-         |  SELECT event_id, user_id, ts,
-         |    ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h1
-         |  FROM events
-         |), eh2 AS (
-         |  SELECT event_id, user_id, ts, h1,
-         |    (h1 * 1103515245 + 12345) % 2147483648 AS h2
-         |  FROM eh1
-         |), pos AS (
-         |  SELECT event_id, user_id, ts,
-         |    -60.0 + (120.0 * CAST(h1 AS DOUBLE)) / 2147483648.0 AS lat,
-         |    -180.0 + (360.0 * CAST(h2 AS DOUBLE)) / 2147483648.0 AS lon
-         |  FROM eh2
-         |), pc AS (
-         |  SELECT event_id, user_id, ts,
-         |    ${Images.oracleCellSql("lat", "lon", 7)} AS cell
-         |  FROM pos
-         |), seg AS (
+      s"""WITH RECURSIVE ${eventCellCtes(7)}, seg AS (
          |  SELECT event_id, user_id, cell,
          |    lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
          |  FROM pc
@@ -2041,6 +2090,7 @@ object Queries {
     qZrangeScan,
     qCompact,
     qPolyBuffer,
+    qColoc,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
