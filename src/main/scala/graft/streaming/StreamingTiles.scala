@@ -16,6 +16,13 @@ case class OpenSession(sess: Long, startUs: Long, lastUs: Long, nEvents: Long)
 case class ClosedSession(user_id: Long, sess: Long, n_events: Long,
                          start_us: Long, end_us: Long)
 
+/** State of [[StreamingTiles.trajRasterStream]]: one user's last seen
+  * position (its cell plus the (t, event_id) order key). */
+case class LastPos(t: Long, eventId: Long, cell: Long)
+
+/** One trajectory-raster fact: segment of `user_id` crossed `cell`. */
+case class TrajCell(user_id: Long, cell: Long)
+
 /** Incremental (streaming) variants of the core rollups. The reference is
   * strictly batch (SURVEY.md §2.9) — these exist for the pipeline role the
   * engine plays at 100 TB: tiles and event windows maintained continuously
@@ -332,6 +339,51 @@ object StreamingTiles {
   }
 
   val SessionGapUs = 1800000000L // 30 min, matches q_events_sessions
+
+  /** STREAMING TRAJECTORY RASTERIZATION — the incremental form of
+    * `q_traj_raster`: per-user LAST POSITION carried across micro-batches
+    * (`flatMapGroupsWithState`), each arriving event extends the user's
+    * path by one segment which is rasterized AT INGEST by the same
+    * integer Bresenham kernel ([[graft.geo.GridCell.lineCells]]) the
+    * batch query uses. Emits append-mode crossing FACTS (user, cell);
+    * the raster rollup is the consumer's streaming/batch aggregation —
+    * facts are associative, so any downstream grouping is exact. State
+    * is ONE small record per active user (bounded by user cardinality).
+    * Ordering contract: same as [[sessionStream]] — in-batch (t,
+    * event_id) order; a cross-batch late event chains from the stored
+    * last position rather than splicing into the past path (single-pass
+    * at-ingest tradeoff; StreamingSpec pins time-split parity). */
+  def trajRasterStream(spark: SparkSession, dir: String): Dataset[TrajCell] = {
+    import spark.implicits._
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
+      .withColumn("h2", (col("h1") * A + C) % M)
+      .withColumn("lat",
+        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
+      .withColumn("lon",
+        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[LastPos]) =>
+          val evs = rows.toArray.sortBy(e => (e._3, e._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TrajCell]
+          var last = state.getOption.orNull
+          evs.foreach { case (_, eid, t, cell) =>
+            if (last != null)
+              graft.geo.GridCell.lineCells(last.cell, cell)
+                .foreach(c => out += TrajCell(uid, c))
+            last = LastPos(t, eid, cell)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
 
   /** Streaming sessionization via CUSTOM STATE
     * (`flatMapGroupsWithState`, Append): per-user open-session state

@@ -214,6 +214,40 @@ object PlanDump {
         graft.operators.MosaicPyramid.summarize(
           graft.operators.MosaicPyramid.levelAt(
             Images.imagesWithBytes(spark, dir), leafRes = 7, outRes = 4))),
+      ("Trajectory rasterization (round 4)",
+        "segment formation is the ONLY data-sized exchange (the per-user" +
+          " keyed window); rasterization is a map-side generator — the" +
+          " codegen line_cells Bresenham kernel + explode, no join — and" +
+          " the raster rollup partial-aggregates before its shuffle;" +
+          " fanout is bounded by the segment's Chebyshev cell length",
+        graft.Queries.queryMap("q_traj_raster")(spark, dir)),
+      ("Bbox -> z-range scan (round 4)",
+        "the bbox becomes a driver-held list of CONTIGUOUS Morton ranges" +
+          " (the planner's split list) broadcast into a nested-loop range" +
+          " probe over the map-side z projection — at rest this is K" +
+          " contiguous reads of a z-sorted table, never a 2-D filter over" +
+          " everything; the per-range rollup partial-aggregates",
+        graft.Queries.queryMap("q_zrange_scan")(spark, dir)),
+      ("Spatial isolation anti-join (round 4)",
+        "\"nothing near me\" WITHOUT a theta join: bin, keep singleton" +
+          " cells, scatter their <= 8-cell ring (the dense majority never" +
+          " fans out), LEFT ANTI equi-join the hits, one keyed join back" +
+          " for the payload — three keyed hash ops total",
+        graft.Queries.queryMap("q_isolated")(spark, dir)),
+      ("Quadtree compaction (round 4)",
+        "H3-style compact: per level ONE groupBy(parent) counting to 4" +
+          " and ONE anti-join keeps partial quads — log-bounded rounds," +
+          " frontier shrinks 4x per merge level, no driver state; the" +
+          " compact set is what a 100 TB planner broadcasts instead of" +
+          " the leaf inventory",
+        graft.Queries.queryMap("q_compact")(spark, dir)),
+      ("Local spatial statistics: LISA / Getis-Ord (round 4)",
+        "per-cell cluster maps from the SAME grid-bounded shape as the" +
+          " global Moran statistic: one ring scatter + one keyed" +
+          " equi-join + a 1-row global cross join; every hashed column is" +
+          " an integer-scaled deviation factor (sign-exact, no" +
+          " transcendental ever hashed)",
+        graft.Queries.queryMap("q_lisa_quadrants")(spark, dir)),
       ("Manifest file pruning (round 4)",
         "the scan is PLANNED from the FILES manifest on the driver: only" +
           " data files whose recorded cell [min,max] overlaps the range" +

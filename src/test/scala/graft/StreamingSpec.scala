@@ -584,4 +584,64 @@ class StreamingSpec extends SparkFunSuite {
       .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming trajectory rasterization == driver path replay across " +
+      "a time-split resume") {
+    val inDir = Files.createTempDirectory("graft-stream-traj").toString
+    val ckpt = Files.createTempDirectory("graft-stream-trajck").toString
+    val outDir = Files.createTempDirectory("graft-stream-trajout").toString
+    val ts = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("t"))
+      .orderBy(col("t")).collect().map(_.getLong(0))
+    val mid = ts(ts.length / 2)
+    def dump(pred: org.apache.spark.sql.Column): Unit =
+      spark.read.parquet(s"${SparkSpec.Sf}/events.parquet").where(pred)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val q = StreamingTiles.trajRasterStream(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // increment 1, then increment 2 resumed from the checkpoint: segments
+    // SPANNING the split are chained by the carried last-position state
+    dump(unix_micros(col("ts").cast("timestamp")) < mid)
+    run()
+    dump(unix_micros(col("ts").cast("timestamp")) >= mid)
+    run()
+    val got = spark.read.parquet(outDir)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_segs"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // independent driver-side truth: per-user (t, event_id)-ordered walk
+    // through the SAME position derivation + Bresenham kernel
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    val evs = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val facts = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      rows.sortBy(e => (e._3, e._2)).sliding(2).flatMap {
+        case Array(a, b) =>
+          def cellOf(eid: Long): Long = {
+            val h1 = ((eid % M) * A + C) % M
+            val h2 = (h1 * A + C) % M
+            graft.geo.GridCell.encode(
+              -60.0 + (120.0 * h1.toDouble) / 2147483648.0,
+              -180.0 + (360.0 * h2.toDouble) / 2147483648.0, 7)
+          }
+          graft.geo.GridCell.lineCells(cellOf(a._2), cellOf(b._2))
+            .map(c => (uid, c))
+        case _ => Seq.empty
+      }
+    }
+    val want = facts.groupBy(_._2).map { case (cell, fs) =>
+      cell -> (fs.size.toLong, fs.map(_._1).distinct.size.toLong)
+    }
+    assert(got == want && got.nonEmpty)
+  }
 }
