@@ -971,6 +971,39 @@ object Queries {
          |FROM pc LEFT JOIN occ ON occ.cell = pc.cell
          |GROUP BY 1""".stripMargin))
 
+  /** SPATIOTEMPORAL HOTSPOTS — the space × time composition: events
+    * co-binned by (hour window, res-5 cell), then the top-3 cells PER
+    * HOUR by a keyed rank window ((cnt DESC, cell) — deterministic under
+    * ties). The monitoring query of a geo event stream ("where was hot,
+    * hour by hour"). Scale shape: one partial-aggregated groupBy on the
+    * composite key, then a window KEYED by the hour (thousands of
+    * independent partitions — never a partitionless global sort);
+    * integer hour index, no timestamps hashed. */
+  private val qStHotspots = Q(
+    "q_st_hotspots",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 5)
+      val binned = ev.groupBy(
+          floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+            .cast("long").as("win"),
+          col("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("win").orderBy(col("cnt").desc, col("cell"))
+      binned.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, b AS (
+         |  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
+         |    cell, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pc GROUP BY 1, 2
+         |), r AS (
+         |  SELECT win, cell, cnt,
+         |    CAST(row_number() OVER (PARTITION BY win
+         |      ORDER BY cnt DESC, cell) AS INTEGER) AS rk
+         |  FROM b
+         |)
+         |SELECT win, cell, cnt, rk FROM r WHERE rk <= 3""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2091,6 +2124,7 @@ object Queries {
     qCompact,
     qPolyBuffer,
     qColoc,
+    qStHotspots,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
