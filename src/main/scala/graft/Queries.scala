@@ -1004,6 +1004,118 @@ object Queries {
          |)
          |SELECT win, cell, cnt, rk FROM r WHERE rk <= 3""".stripMargin))
 
+  /** ORIGIN-DESTINATION FLOW MATRIX — the flow-map aggregate over the
+    * trajectory segments: consecutive per-user event positions rolled up
+    * to coarse res-4 cells, counted per (from_cell, to_cell) ordered
+    * pair, self-flows included (intra-cell movement is the diagonal).
+    * Scale shape: the same ONE keyed window as [[qTrajRaster]] (parents
+    * are bit-slices — no second encode), then a partial-aggregated
+    * groupBy on the composite key; an OD matrix over 10^12 events is two
+    * keyed shuffles, bounded output (≤ occupied² pairs, sparse in
+    * practice). */
+  private val qOdFlows = Q(
+    "q_od_flows",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val ev = eventPositions(s, dir, 7)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag(col("cell"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(G.cell_parent_at(col("prev"), 4).as("from_cell"),
+          G.cell_parent_at(col("cell"), 4).as("to_cell"),
+          col("user_id"))
+        .groupBy("from_cell", "to_cell")
+        .agg(count(lit(1)).as("n_segs"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(7)}, seg AS (
+         |  SELECT user_id, cell,
+         |    lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev
+         |  FROM pc
+         |)
+         |SELECT ((CAST(4 AS BIGINT) << 58)
+         |    | ((((prev >> 7) & 127) >> 3) << 4)
+         |    | ((prev & 127) >> 3)) AS from_cell,
+         |  ((CAST(4 AS BIGINT) << 58)
+         |    | ((((cell >> 7) & 127) >> 3) << 4)
+         |    | ((cell & 127) >> 3)) AS to_cell,
+         |  CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM seg WHERE prev IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin))
+
+  /** TRAJECTORY HEADING HISTOGRAM — per-segment compass sector from PURE
+    * INTEGER grid displacement (no atan2 — the transcendental-hash
+    * lesson): sector 0..7 = E NE N NW W SW S SE decided by the signs of
+    * (dx, dy) and the |dx| vs |dy| dominance test, 8 = stationary
+    * (same cell). dx is the WRAPPED shortest x-displacement (a hop
+    * across the antimeridian heads the short way). One keyed window +
+    * one 9-bucket aggregation — movement-pattern analytics at scan
+    * speed. */
+  private val qTrajHeadings = Q(
+    "q_traj_headings",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 7)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seg = ev.withColumn("prev", lag(col("cell"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("rawdx",
+          (col("cell").bitwiseAND(lit(127L))) -
+            (col("prev").bitwiseAND(lit(127L))))
+        .withColumn("dx",
+          when(col("rawdx") > 64, col("rawdx") - 128)
+            .when(col("rawdx") < -64, col("rawdx") + 128)
+            .otherwise(col("rawdx")))
+        .withColumn("dy",
+          (shiftrightunsigned(col("cell"), 7).bitwiseAND(lit(127L))) -
+            (shiftrightunsigned(col("prev"), 7).bitwiseAND(lit(127L))))
+      seg.withColumn("sector",
+          when(col("dx") === 0 && col("dy") === 0, 8)
+            .when(abs(col("dx")) > abs(col("dy")) && col("dx") > 0, 0)
+            .when(abs(col("dx")) > abs(col("dy")), 4)
+            .when(abs(col("dy")) > abs(col("dx")) && col("dy") > 0, 2)
+            .when(abs(col("dy")) > abs(col("dx")), 6)
+            .when(col("dx") > 0 && col("dy") > 0, 1)
+            .when(col("dx") > 0, 7)
+            .when(col("dy") > 0, 3)
+            .otherwise(5))
+        .groupBy("sector")
+        .agg(count(lit(1)).as("n_segs"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(7)}, seg AS (
+         |  SELECT user_id, cell,
+         |    lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev
+         |  FROM pc
+         |), d0 AS (
+         |  SELECT user_id,
+         |    (cell & 127) - (prev & 127) AS rawdx,
+         |    ((cell >> 7) & 127) - ((prev >> 7) & 127) AS dy
+         |  FROM seg WHERE prev IS NOT NULL
+         |), d AS (
+         |  SELECT user_id, dy,
+         |    CASE WHEN rawdx > 64 THEN rawdx - 128
+         |      WHEN rawdx < -64 THEN rawdx + 128 ELSE rawdx END AS dx
+         |  FROM d0
+         |)
+         |SELECT CAST(CASE
+         |    WHEN dx = 0 AND dy = 0 THEN 8
+         |    WHEN abs(dx) > abs(dy) AND dx > 0 THEN 0
+         |    WHEN abs(dx) > abs(dy) THEN 4
+         |    WHEN abs(dy) > abs(dx) AND dy > 0 THEN 2
+         |    WHEN abs(dy) > abs(dx) THEN 6
+         |    WHEN dx > 0 AND dy > 0 THEN 1
+         |    WHEN dx > 0 THEN 7
+         |    WHEN dy > 0 THEN 3
+         |    ELSE 5 END AS INTEGER) AS sector,
+         |  CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM d GROUP BY 1""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2125,6 +2237,8 @@ object Queries {
     qPolyBuffer,
     qColoc,
     qStHotspots,
+    qOdFlows,
+    qTrajHeadings,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++

@@ -143,6 +143,33 @@ class PlanSpec extends SparkFunSuite {
       "assignment projection must be codegen'd")
   }
 
+  test("trajectory raster: map-side generator, no join, only keyed " +
+      "exchanges (user window + distinct-agg rollup)") {
+    val df = Queries.queryMap("q_traj_raster")(spark, SparkSpec.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "line_cells explode missing")
+    assert(!plan.contains("Join"),
+      s"rasterization must be a generator, not a join:\n$plan")
+    // 1 user-window exchange + the count(DISTINCT user) rollup's
+    // two-phase (cell,user)->(cell) exchanges; nothing else may shuffle
+    // (in particular nothing proportional to the exploded cell facts
+    // beyond the keyed rollup itself)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 4,
+      s"unexpected extra shuffles in the rasterization plan ($nEx):\n$plan")
+  }
+
+  test("isolation query is keyed anti-join work, never a theta anti-join") {
+    val df = Queries.queryMap("q_isolated")(spark, SparkSpec.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "left-anti hit subtraction missing")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"isolation must stay equi-keyed:\n$plan")
+  }
+
   test("image near-dup evaluates the dhash kernel once per side") {
     // InferFiltersFromConstraints would push isnotnull(dhash56(...)) below
     // the dedup aggregates and re-run the dominant kernel on every
