@@ -1116,6 +1116,55 @@ object Queries {
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          |FROM d GROUP BY 1""".stripMargin))
 
+  /** STAY-POINT DETECTION + REVISITS — the trajectory STOP analysis: a
+    * "stay" is a maximal run of consecutive same-cell events of one user
+    * (the gap-sessionization pattern applied SPATIALLY: break on cell
+    * change instead of time gap, run id = running break count). Emitted
+    * per (user, cell): number of distinct stays (revisit count — how
+    * often the user RETURNED after leaving), the longest stay's event
+    * count, and total events there; only revisited-or-dwelled cells
+    * (n_stays > 1 OR longest >= 2) survive — the interesting movement
+    * facts. One keyed window + two keyed aggs; no joins. */
+  private val qStayPoints = Q(
+    "q_stay_points",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 5)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag(col("cell"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("prev") =!= col("cell"), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("cell"), col("run"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"), col("cell"))
+        .agg(count(lit(1)).as("n_stays"), max(col("n")).as("longest"),
+          sum(col("n")).as("n_events"))
+        .where(col("n_stays") > 1 || col("longest") >= 2)
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, seg AS (
+         |  SELECT user_id, cell, ts, event_id,
+         |    lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev
+         |  FROM pc
+         |), runs AS (
+         |  SELECT user_id, cell,
+         |    sum(CASE WHEN prev IS NULL OR prev != cell THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM seg
+         |), per_run AS (
+         |  SELECT user_id, cell, run, count(*) AS n
+         |  FROM runs GROUP BY 1, 2, 3
+         |)
+         |SELECT user_id, cell, CAST(count(*) AS BIGINT) AS n_stays,
+         |  CAST(max(n) AS BIGINT) AS longest,
+         |  CAST(sum(n) AS BIGINT) AS n_events
+         |FROM per_run GROUP BY 1, 2
+         |HAVING count(*) > 1 OR max(n) >= 2""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2239,6 +2288,7 @@ object Queries {
     qStHotspots,
     qOdFlows,
     qTrajHeadings,
+    qStayPoints,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
