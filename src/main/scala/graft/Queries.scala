@@ -325,6 +325,36 @@ object Queries {
     (s, dir) => knnRanked(s, dir),
     Some(knnBruteOracle("SELECT * FROM ranked")))
 
+  /** kNN CLASSIFICATION — majority vote over the shared ranked set: each
+    * query point labeled by the most common `fmt` among its k nearest
+    * images (tie-break: label order — deterministic). The classic
+    * lazy-learning classifier as three keyed ops over the ALREADY
+    * materialized kNN result (one payload join, one (q,label) count, one
+    * q-keyed argmax window) — the marginal cost of classification on top
+    * of retrieval is near zero, which is the point at 100 TB: label
+    * propagation rides the existing ranked set. */
+  private val qKnnClassify = Q(
+    "q_knn_classify",
+    (s, dir) => {
+      val lbl = knnRanked(s, dir)
+        .join(Images.images(s, dir).select("image_id", "fmt"),
+          Seq("image_id"))
+        .groupBy(col("qid"), col("fmt"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("fmt"))
+      lbl.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("qid"), col("fmt").as("label"), col("votes"))
+    },
+    Some(knnBruteOracle(
+      """SELECT qid, fmt AS label, votes FROM (
+        |  SELECT r.qid, i.fmt, CAST(count(*) AS BIGINT) AS votes,
+        |    row_number() OVER (PARTITION BY r.qid
+        |      ORDER BY count(*) DESC, i.fmt) AS rk
+        |  FROM ranked r JOIN images i USING (image_id)
+        |  GROUP BY r.qid, i.fmt
+        |) t WHERE rk = 1""".stripMargin)))
+
   private val BudgetBytes = 2000L
 
   /** Budgeted top-k, stop-before-overflow (raptor/tree_retriever.py:197-209). */
@@ -2258,6 +2288,7 @@ object Queries {
     qPolyMetrics,
     qDistPairs,
     qKnn,
+    qKnnClassify,
     qKnnBudget,
     qKnnBudgetIncl,
     qHotCells,
