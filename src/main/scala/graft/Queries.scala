@@ -1195,6 +1195,101 @@ object Queries {
          |FROM per_run GROUP BY 1, 2
          |HAVING count(*) > 1 OR max(n) >= 2""".stripMargin))
 
+  /** TREND SURFACE (first-order spatial regression) — fit a plane
+    * z = a + b·x + c·y to the binned density (z = cnt of res-6 cell
+    * (x, y)) by least squares, emitted as the INTEGER normal-equation
+    * sufficient statistics (n, Σx, Σy, Σz, Σx², Σy², Σxy, Σxz, Σyz —
+    * all exact BIGINTs; the 3x3 solve is the consumer's driver-side
+    * linear algebra, the geostatistics "trend removal" step before
+    * kriging the residuals with [[qVariogram]]). One corpus-scan
+    * groupBy, then a single 9-sum whole-stage-codegen aggregate over the
+    * occupied grid — the same reduce-to-sufficient-pieces discipline as
+    * the Moran family, associative under any partitioning. */
+  private val qTrendSurface = Q(
+    "q_trend_surface",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("z"))
+        .select(col("cell").bitwiseAND(lit(63L)).as("x"),
+          shiftrightunsigned(col("cell"), 6).bitwiseAND(lit(63L)).as("y"),
+          col("z"))
+      g.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS z
+         |  FROM images GROUP BY 1
+         |), xyz AS (
+         |  SELECT cell & 63 AS x, (cell >> 6) & 63 AS y, z FROM g
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(z) AS BIGINT) AS sz,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * z) AS BIGINT) AS sxz,
+         |  CAST(sum(y * z) AS BIGINT) AS syz
+         |FROM xyz""".stripMargin))
+
+  /** ANTIMERIDIAN-CROSSING BBOX QUERY — the seam edge case pinned on
+    * data: a box with lonMin > lonMax (170°E .. -170°W) goes through
+    * [[graft.geo.GridCell.cover]]'s split path (two x-ranges), the
+    * driver-held cover cells broadcast into one equi-join, exact refine
+    * with the wrapped OR-predicate on top. Per cover cell: index hits
+    * and refined survivors. At 100 TB the seam box is where naive
+    * BETWEEN-filter plans silently return wrong (empty) answers; the
+    * cover-join plan is seam-agnostic by construction. */
+  private val qBboxWrap = Q(
+    "q_bbox_wrap",
+    (s, dir) => {
+      import graft.geo.{functions => G, GridCell}
+      import s.implicits._
+      val cov = GridCell.cover(-20.0, 20.0, 170.0, -170.0, 6)
+        .toSeq.toDF("cell")
+      val img = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+      img.join(broadcast(cov), Seq("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("lat").between(-20.0, 20.0) &&
+            (col("lon") >= 170.0 || col("lon") <= -170.0), 1L)
+            .otherwise(0L)).as("n_exact"))
+    },
+    Some(
+      s"""$cte, ic AS (
+         |  SELECT ${cellSql(6)} AS cell, lat, lon FROM images
+         |), xr AS (
+         |  SELECT
+         |    CAST(floor((('170.0'::DOUBLE) + 180.0) / 360.0 * 64) AS BIGINT)
+         |      AS xa,
+         |    CAST(floor((('-170.0'::DOUBLE) + 180.0) / 360.0 * 64) AS BIGINT)
+         |      AS xb,
+         |    CAST(floor((('-20.0'::DOUBLE) + 90.0) / 180.0 * 64) AS BIGINT)
+         |      AS y0,
+         |    CAST(floor((('20.0'::DOUBLE) + 90.0) / 180.0 * 64) AS BIGINT)
+         |      AS y1
+         |), cov AS (
+         |  SELECT ((CAST(6 AS BIGINT) << 58) | (ry.r << 6) | rx.r) AS cell
+         |  FROM xr, range(0,64) rx(r), range(0,64) ry(r)
+         |  WHERE ry.r BETWEEN y0 AND y1
+         |    AND (rx.r >= xa OR rx.r <= xb)
+         |)
+         |SELECT ic.cell, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CASE WHEN lat BETWEEN -20.0 AND 20.0
+         |    AND (lon >= 170.0 OR lon <= -170.0) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_exact
+         |FROM ic JOIN cov ON cov.cell = ic.cell
+         |GROUP BY 1""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2320,6 +2415,8 @@ object Queries {
     qOdFlows,
     qTrajHeadings,
     qStayPoints,
+    qTrendSurface,
+    qBboxWrap,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
