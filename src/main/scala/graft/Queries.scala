@@ -1290,6 +1290,47 @@ object Queries {
          |FROM ic JOIN cov ON cov.cell = ic.cell
          |GROUP BY 1""".stripMargin))
 
+  /** RASTER ALGEBRA / CHANGE DETECTION — per-pixel arithmetic between
+    * TWO rasters: the image-density grid vs the event-density grid at
+    * res 6, full-outer joined on the pixel, emitting both bands plus
+    * their integer difference and a 3-state change class (the
+    * before/after map-algebra shape: band math over co-registered
+    * rasters). Scale shape: each raster is its own partial-aggregated
+    * groupBy; the pixel join is keyed and bounded by the occupied grid
+    * (≤ 4^res), not the point counts. */
+  private val qRasterDiff = Q(
+    "q_raster_diff",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val a = Images.images(s, dir)
+        .groupBy(G.cell_encode(col("lat"), col("lon"), 6).as("cell"))
+        .agg(count(lit(1)).as("n_img"))
+      val b = eventPositions(s, dir, 6)
+        .groupBy("cell").agg(count(lit(1)).as("n_ev"))
+      a.join(b, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_img"), lit(0L)).as("n_img"),
+          coalesce(col("n_ev"), lit(0L)).as("n_ev"))
+        .withColumn("diff", col("n_img") - col("n_ev"))
+        .withColumn("chg",
+          when(col("diff") > 0, 1).when(col("diff") < 0, -1).otherwise(0))
+    },
+    Some(
+      s"""$cte, ${eventCellCtes(6)}, a AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS n_img
+         |  FROM images GROUP BY 1
+         |), b AS (
+         |  SELECT cell, count(*) AS n_ev FROM pc GROUP BY 1
+         |)
+         |SELECT coalesce(a.cell, b.cell) AS cell,
+         |  CAST(coalesce(n_img, 0) AS BIGINT) AS n_img,
+         |  CAST(coalesce(n_ev, 0) AS BIGINT) AS n_ev,
+         |  CAST(coalesce(n_img, 0) - coalesce(n_ev, 0) AS BIGINT) AS diff,
+         |  CAST(CASE WHEN coalesce(n_img, 0) - coalesce(n_ev, 0) > 0 THEN 1
+         |    WHEN coalesce(n_img, 0) - coalesce(n_ev, 0) < 0 THEN -1
+         |    ELSE 0 END AS INTEGER) AS chg
+         |FROM a FULL OUTER JOIN b ON a.cell = b.cell""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2417,6 +2458,7 @@ object Queries {
     qStayPoints,
     qTrendSurface,
     qBboxWrap,
+    qRasterDiff,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
