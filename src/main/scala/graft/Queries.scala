@@ -1331,6 +1331,170 @@ object Queries {
          |    ELSE 0 END AS INTEGER) AS chg
          |FROM a FULL OUTER JOIN b ON a.cell = b.cell""".stripMargin))
 
+  /** REGION BOUNDARY EXTRACTION — the perimeter of the dense-cell mask
+    * (the raster step toward vectorizing [[qHotspotRegions]]'s regions):
+    * a dense res-7 cell (cnt >= 6, the DBSCAN core predicate) is a
+    * BOUNDARY cell iff fewer than all 8 queen neighbors are dense
+    * (morphological erosion complement). Emitted with its dense-neighbor
+    * count. Same grid-bounded scatter + keyed join as the whole stats
+    * family; the corpus is scanned once. */
+  private val qRegionEdges = Q(
+    "q_region_edges",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val dense = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 6)
+      val nbrs = dense.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("src"))
+        .join(dense.select("cell"), Seq("cell"))
+        .groupBy(col("src")).agg(count(lit(1)).as("n_dense_nbrs"))
+      dense.join(nbrs, dense("cell") === nbrs("src"), "left_outer")
+        .select(col("cell"), col("cnt"),
+          coalesce(col("n_dense_nbrs"), lit(0L)).as("n_dense_nbrs"))
+        .where(col("n_dense_nbrs") < 8)
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), dense AS (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g WHERE cnt >= 6
+         |), sc AS (
+         |  SELECT cell AS src, ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell
+         |  FROM dense, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), nb AS (
+         |  SELECT sc.src, CAST(count(*) AS BIGINT) AS n_dense_nbrs
+         |  FROM sc JOIN dense d ON d.cell = sc.ocell GROUP BY 1
+         |)
+         |SELECT dense.cell, CAST(cnt AS BIGINT) AS cnt,
+         |  coalesce(n_dense_nbrs, 0) AS n_dense_nbrs
+         |FROM dense LEFT JOIN nb ON nb.src = dense.cell
+         |WHERE coalesce(n_dense_nbrs, 0) < 8""".stripMargin))
+
+  /** BIVARIATE SPATIAL CROSS-CORRELATION FACTORS — the two-variable LISA
+    * (bivariate Moran shape): does IMAGE density co-locate with
+    * neighboring EVENT density? Universe = occupied image cells at res 6
+    * (documented; empty-image cells carry no x value). Emitted per cell,
+    * all integer-scaled: dev_x = n·xᵢ − Σx (image deviation over its
+    * universe) and dev_lagy, the sign of the neighbors' event mean minus
+    * the global event mean over the EVENT raster's own occupied-cell
+    * universe: sign(lag_y/n_nbrs − Σy/n_yc) = sign(n_yc·lag_y −
+    * n_nbrs·Σy) — exact integer cross-multiplication, no division.
+    * Quadrant from the two signs as in [[qLisaQuadrants]]. Two binning
+    * scans (one per
+    * dataset), grid-bounded scatter, keyed joins — the cross-variable
+    * generalization costs one extra groupBy. */
+  private val qBivarMoran = Q(
+    "q_bivar_moran",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val gx = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("x"))
+      val gy = eventPositions(s, dir, 6)
+        .groupBy("cell").agg(count(lit(1)).as("y"))
+      val lag = gx.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("src"))
+        .join(gy, Seq("cell"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_nbrs"), sum(col("y")).as("lag_y"))
+      val sx = gx.agg(count(lit(1)).as("n"), sum(col("x")).as("sumx"))
+      val sy = gy.agg(count(lit(1)).as("n_yc"), sum(col("y")).as("sumy"))
+      gx.join(lag, gx("cell") === lag("src"), "left_outer")
+        .crossJoin(sx).crossJoin(sy)
+        .select(col("cell"), col("x"),
+          coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+          coalesce(col("lag_y"), lit(0L)).as("lag_y"),
+          (col("n") * col("x") - col("sumx")).as("dev_x"),
+          (col("n_yc") * coalesce(col("lag_y"), lit(0L)) -
+            coalesce(col("n_nbrs"), lit(0L)) * col("sumy")).as("dev_lagy"))
+        .withColumn("quadrant",
+          when(col("dev_x") > 0 && col("dev_lagy") > 0, 1)
+            .when(col("dev_x") <= 0 && col("dev_lagy") <= 0, 2)
+            .when(col("dev_x") > 0, 3).otherwise(4))
+    },
+    Some(
+      s"""$cte, ${eventCellCtes(6)}, gx AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS x
+         |  FROM images GROUP BY 1
+         |), gy AS (
+         |  SELECT cell, count(*) AS y FROM pc GROUP BY 1
+         |), sc AS (
+         |  SELECT cell AS src, ((CAST(6 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 6)
+         |      | CAST(((x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell
+         |  FROM (SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
+         |        FROM gx) c,
+         |    range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 63
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), lag AS (
+         |  SELECT sc.src, CAST(count(*) AS BIGINT) AS n_nbrs,
+         |    CAST(sum(gy.y) AS BIGINT) AS lag_y
+         |  FROM sc JOIN gy ON gy.cell = sc.ocell GROUP BY 1
+         |), sx AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sumx FROM gx
+         |), sy AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_yc,
+         |    CAST(sum(y) AS BIGINT) AS sumy FROM gy
+         |), f AS (
+         |  SELECT gx.cell, CAST(gx.x AS BIGINT) AS x,
+         |    coalesce(n_nbrs, 0) AS n_nbrs,
+         |    coalesce(lag_y, 0) AS lag_y,
+         |    sx.n * gx.x - sx.sumx AS dev_x,
+         |    sy.n_yc * coalesce(lag_y, 0)
+         |      - coalesce(n_nbrs, 0) * sy.sumy AS dev_lagy
+         |  FROM gx LEFT JOIN lag ON lag.src = gx.cell
+         |  CROSS JOIN sx CROSS JOIN sy
+         |)
+         |SELECT cell, x, n_nbrs, lag_y, dev_x, dev_lagy,
+         |  CAST(CASE WHEN dev_x > 0 AND dev_lagy > 0 THEN 1
+         |    WHEN dev_x <= 0 AND dev_lagy <= 0 THEN 2
+         |    WHEN dev_x > 0 THEN 3 ELSE 4 END AS INTEGER) AS quadrant
+         |FROM f""".stripMargin))
+
+  /** LANDSCAPE EVENNESS (Simpson concentration pieces) — per res-4
+    * parent region, how evenly are its points spread over its res-6
+    * child cells? Emitted ALL-INTEGER per parent: occupied child count,
+    * point total N, and Σc(c−1) — Simpson's concentration λ =
+    * Σc(c−1)/(N(N−1)) (the landscape-ecology dominance/evenness metric;
+    * the consumer's one division). Two nested keyed rollups (child bin,
+    * then parent — parents are bit-slices). */
+  private val qEvenness = Q(
+    "q_evenness",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("c"))
+        .groupBy(G.cell_parent_at(col("cell"), 4).as("parent"))
+        .agg(count(lit(1)).as("n_children"),
+          sum(col("c")).as("n_pts"),
+          sum(col("c") * (col("c") - 1)).as("simpson_num"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS c
+         |  FROM images GROUP BY 1
+         |)
+         |SELECT ((CAST(4 AS BIGINT) << 58)
+         |    | ((((cell >> 6) & 63) >> 2) << 4)
+         |    | ((cell & 63) >> 2)) AS parent,
+         |  CAST(count(*) AS BIGINT) AS n_children,
+         |  CAST(sum(c) AS BIGINT) AS n_pts,
+         |  CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
+         |FROM g GROUP BY 1""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2459,6 +2623,9 @@ object Queries {
     qTrendSurface,
     qBboxWrap,
     qRasterDiff,
+    qRegionEdges,
+    qBivarMoran,
+    qEvenness,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
