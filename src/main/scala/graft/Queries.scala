@@ -1495,6 +1495,112 @@ object Queries {
          |  CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
          |FROM g GROUP BY 1""".stripMargin))
 
+  /** Literal route polylines for [[qRouteCorridor]] — three fixtures
+    * crossing the uniform-point domain (a long diagonal, an equatorial
+    * east–west run, a short hook near the hotspot). Vertex rows are
+    * inlined into the oracle (the polyJoin literal-vertex discipline). */
+  private val routeFixtures: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "r_diag" -> Seq((-40.0, -120.0), (-10.0, -60.0), (20.0, 0.0),
+      (50.0, 60.0)),
+    "r_equator" -> Seq((0.5, -90.0), (0.5, -30.0), (2.0, 30.0),
+      (0.5, 90.0)),
+    "r_hook" -> Seq((30.0, -130.0), (37.0, -122.0), (45.0, -115.0)))
+
+  /** ROUTE-CORRIDOR JOIN (map-matching-lite) — which images lie along a
+    * route? Each route polyline is rasterized edge-by-edge with the
+    * Bresenham kernel ([[graft.geo.LineCells]]) at res 7, the corridor
+    * is the ring-1 MORPHOLOGICAL DILATION of the line cells (≈ one-cell
+    * tolerance, the [[qPolyBuffer]] operation applied to a line), and
+    * membership is ONE broadcast equi-join of the binned corpus against
+    * the distinct corridor cells. Per route: corridor size, images in
+    * corridor. The 100 TB shape of "find assets near a route": the
+    * route side is driver-small, the corpus joins keyed, nothing
+    * scans geometry per point. The oracle replays vertex floors, the
+    * per-edge recursive Bresenham walk, the wrapped dilation and the
+    * join — the whole corridor construction cross-engine. */
+  private val qRouteCorridor = Q(
+    "q_route_corridor",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      import s.implicits._
+      val verts = routeFixtures.flatMap { case (rid, vs) =>
+        vs.zipWithIndex.map { case ((la, lo), i) => (rid, i, la, lo) }
+      }.toDF("route_id", "vidx", "lat", "lon")
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      val w = Window.partitionBy("route_id").orderBy("vidx")
+      val lineCells = verts.withColumn("prev", lag(col("cell"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("route_id"),
+          explode(G.line_cells(col("prev"), col("cell"))).as("cell"))
+      val corridor = lineCells
+        .select(col("route_id"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .distinct()
+      val img = Images.images(s, dir)
+        .select(G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
+      img.join(broadcast(corridor), Seq("cell"))
+        .groupBy("route_id").agg(count(lit(1)).as("n_images"))
+        .join(corridor.groupBy("route_id")
+          .agg(count(lit(1)).as("n_cells")), Seq("route_id"))
+        .select("route_id", "n_cells", "n_images")
+    },
+    Some {
+      val vrows = routeFixtures.flatMap { case (rid, vs) =>
+        vs.zipWithIndex.map { case ((la, lo), i) =>
+          s"('$rid', $i, ${la}::DOUBLE, ${lo}::DOUBLE)"
+        }
+      }.mkString(",\n    ")
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |rv(route_id, vidx, lat, lon) AS (VALUES
+         |    $vrows
+         |), vc AS (
+         |  SELECT route_id, vidx, ${cellSql(7)} AS cell FROM rv
+         |), seg AS (
+         |  SELECT route_id, cell,
+         |    lag(cell) OVER (PARTITION BY route_id ORDER BY vidx) AS prev
+         |  FROM vc
+         |), segs AS (
+         |  SELECT route_id, row_number() OVER () AS seg_id,
+         |    prev & 127 AS x, (prev >> 7) & 127 AS y,
+         |    cell & 127 AS x1, (cell >> 7) & 127 AS y1
+         |  FROM seg WHERE prev IS NOT NULL
+         |), walk AS (
+         |  SELECT route_id, seg_id, x, y, x1, y1,
+         |    abs(x1 - x) AS dx, -abs(y1 - y) AS dy,
+         |    CASE WHEN x < x1 THEN 1 ELSE -1 END AS sx,
+         |    CASE WHEN y < y1 THEN 1 ELSE -1 END AS sy,
+         |    abs(x1 - x) - abs(y1 - y) AS err
+         |  FROM segs
+         |  UNION ALL
+         |  SELECT route_id, seg_id,
+         |    CASE WHEN 2 * err >= dy THEN x + sx ELSE x END,
+         |    CASE WHEN 2 * err <= dx THEN y + sy ELSE y END,
+         |    x1, y1, dx, dy, sx, sy,
+         |    err + CASE WHEN 2 * err >= dy THEN dy ELSE 0 END
+         |        + CASE WHEN 2 * err <= dx THEN dx ELSE 0 END
+         |  FROM walk
+         |  WHERE NOT (x = x1 AND y = y1)
+         |), corridor AS (
+         |  SELECT DISTINCT route_id,
+         |    ((CAST(7 AS BIGINT) << 58)
+         |     | (CAST(y + dy.r AS BIGINT) << 7)
+         |     | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS cell
+         |  FROM walk, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |), nc AS (
+         |  SELECT route_id, CAST(count(*) AS BIGINT) AS n_cells
+         |  FROM corridor GROUP BY 1
+         |), ic AS (
+         |  SELECT ${cellSql(7)} AS cell FROM images
+         |), ni AS (
+         |  SELECT route_id, CAST(count(*) AS BIGINT) AS n_images
+         |  FROM corridor JOIN ic ON ic.cell = corridor.cell
+         |  GROUP BY 1
+         |)
+         |SELECT nc.route_id, n_cells, n_images
+         |FROM nc JOIN ni ON ni.route_id = nc.route_id""".stripMargin
+    })
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2626,6 +2732,7 @@ object Queries {
     qRegionEdges,
     qBivarMoran,
     qEvenness,
+    qRouteCorridor,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
