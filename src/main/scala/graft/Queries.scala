@@ -1601,6 +1601,102 @@ object Queries {
          |FROM nc JOIN ni ON ni.route_id = nc.route_id""".stripMargin
     })
 
+  /** USER MOVEMENT PROFILES — the per-entity feature table a downstream
+    * model trains on, composed from the trajectory family in ONE pass
+    * shape: per user the event count, distinct res-5 cells visited,
+    * stay count (same-cell run count — the [[qStayPoints]] run algebra),
+    * and total res-7 grid path length in cells (Σ Chebyshev segment
+    * lengths + 1 per segment ≡ Σ Bresenham cell counts — closed form, no
+    * explode needed for the LENGTH). One keyed window + one keyed
+    * aggregation; every column integer. */
+  private val qUserProfiles = Q(
+    "q_user_profiles",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 7)
+        .withColumn("c5", graft.geo.functions.cell_parent_at(col("cell"), 5))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev", lag(col("cell"), 1).over(w))
+        .withColumn("p5", lag(col("c5"), 1).over(w))
+        .withColumn("brk5",
+          when(col("p5").isNull || col("p5") =!= col("c5"), 1L).otherwise(0L))
+        .withColumn("path",
+          when(col("prev").isNull, 0L).otherwise(greatest(
+            abs(col("cell").bitwiseAND(lit(127L)) -
+              col("prev").bitwiseAND(lit(127L))),
+            abs(shiftrightunsigned(col("cell"), 7).bitwiseAND(lit(127L)) -
+              shiftrightunsigned(col("prev"), 7).bitwiseAND(lit(127L))))
+            + 1))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("c5")).as("n_cells5"),
+          sum(col("brk5")).as("n_stays5"),
+          sum(col("path")).as("path_cells"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(7)}, e AS (
+         |  SELECT user_id, ts, event_id, cell,
+         |    ((CAST(5 AS BIGINT) << 58)
+         |     | ((((cell >> 7) & 127) >> 2) << 5)
+         |     | ((cell & 127) >> 2)) AS c5
+         |  FROM pc
+         |), lagd AS (
+         |  SELECT user_id, cell, c5,
+         |    lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev,
+         |    lag(c5) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS p5
+         |  FROM e
+         |)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT c5) AS BIGINT) AS n_cells5,
+         |  CAST(sum(CASE WHEN p5 IS NULL OR p5 != c5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_stays5,
+         |  CAST(sum(CASE WHEN prev IS NULL THEN 0 ELSE
+         |    GREATEST(abs((cell & 127) - (prev & 127)),
+         |      abs(((cell >> 7) & 127) - ((prev >> 7) & 127))) + 1 END)
+         |    AS BIGINT) AS path_cells
+         |FROM lagd GROUP BY 1""".stripMargin))
+
+  /** SPATIAL CONCENTRATION (Gini) — how unequally are points spread over
+    * occupied cells? The Gini mean-difference numerator ΣᵢΣⱼ|cᵢ−cⱼ| is
+    * O(cells²) pairwise — computed instead over the VALUE HISTOGRAM
+    * (count v -> n_v cells): Σ_{v>w} 2(v−w)·n_v·n_w, a self-join on the
+    * tiny distinct-value table (dozens of rows at any scale — heavy-tail
+    * counts collapse; the theta join is on the HISTOGRAM, never the
+    * grid). Emitted: n_cells, n_pts, gini_num (Gini = num/(2·n²·mean) =
+    * the consumer's division). Exact BIGINT throughout. */
+  private val qGini = Q(
+    "q_gini",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("c"))
+      val h = g.groupBy("c").agg(count(lit(1)).as("nv"))
+      val hv = h.select(col("c").as("v"), col("nv").as("n_v"))
+      val hw = h.select(col("c").as("w"), col("nv").as("n_w"))
+      val cross = hv.join(broadcast(hw), col("v") > col("w"))
+        .agg(coalesce(sum(lit(2L) * (col("v") - col("w")) *
+          col("n_v") * col("n_w")), lit(0L)).as("gini_num"))
+      val tot = g.agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n_pts"))
+      tot.crossJoin(cross)
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS c
+         |  FROM images GROUP BY 1
+         |), h AS (
+         |  SELECT c, count(*) AS nv FROM g GROUP BY 1
+         |), x AS (
+         |  SELECT CAST(coalesce(sum(2 * (a.c - b.c) * a.nv * b.nv), 0)
+         |    AS BIGINT) AS gini_num
+         |  FROM h a JOIN h b ON a.c > b.c
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(c) AS BIGINT) AS n_pts,
+         |  (SELECT gini_num FROM x) AS gini_num
+         |FROM g""".stripMargin))
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2733,6 +2829,8 @@ object Queries {
     qBivarMoran,
     qEvenness,
     qRouteCorridor,
+    qUserProfiles,
+    qGini,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
