@@ -23,6 +23,10 @@ case class LastPos(t: Long, eventId: Long, cell: Long)
 /** One trajectory-raster fact: segment of `user_id` crossed `cell`. */
 case class TrajCell(user_id: Long, cell: Long)
 
+/** One origin–destination fact: a segment of `user_id` moved between the
+  * coarse cells (self-flows included — the OD matrix diagonal). */
+case class OdFact(user_id: Long, from_cell: Long, to_cell: Long)
+
 /** Incremental (streaming) variants of the core rollups. The reference is
   * strictly batch (SURVEY.md §2.9) — these exist for the pipeline role the
   * engine plays at 100 TB: tiles and event windows maintained continuously
@@ -378,6 +382,45 @@ object StreamingTiles {
             if (last != null)
               graft.geo.GridCell.lineCells(last.cell, cell)
                 .foreach(c => out += TrajCell(uid, c))
+            last = LastPos(t, eid, cell)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
+  /** STREAMING OD-FLOW FACTS — the incremental form of `q_od_flows`:
+    * the same per-user last-position state as [[trajRasterStream]], but
+    * each arriving event emits ONE (from, to) coarse-cell fact (res-4
+    * parents are bit slices of the stored res-7 cell). The OD matrix is
+    * the consumer's streaming/batch rollup of associative facts. Same
+    * ordering contract as [[sessionStream]]. */
+  def odFlowStream(spark: SparkSession, dir: String): Dataset[OdFact] = {
+    import spark.implicits._
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
+      .withColumn("h2", (col("h1") * A + C) % M)
+      .withColumn("lat",
+        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
+      .withColumn("lon",
+        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[LastPos]) =>
+          val evs = rows.toArray.sortBy(e => (e._3, e._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[OdFact]
+          var last = state.getOption.orNull
+          evs.foreach { case (_, eid, t, cell) =>
+            if (last != null)
+              out += OdFact(uid,
+                graft.geo.GridCell.parentAt(last.cell, 4),
+                graft.geo.GridCell.parentAt(cell, 4))
             last = LastPos(t, eid, cell)
           }
           if (last != null) state.update(last)

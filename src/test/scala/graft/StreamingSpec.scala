@@ -644,4 +644,43 @@ class StreamingSpec extends SparkFunSuite {
     }
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming OD-flow facts match the batch OD matrix across a " +
+      "time-split resume") {
+    val inDir = Files.createTempDirectory("graft-stream-od").toString
+    val ckpt = Files.createTempDirectory("graft-stream-odck").toString
+    val outDir = Files.createTempDirectory("graft-stream-odout").toString
+    val ts = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("t"))
+      .orderBy(col("t")).collect().map(_.getLong(0))
+    val mid = ts(ts.length / 2)
+    def dump(pred: org.apache.spark.sql.Column): Unit =
+      spark.read.parquet(s"${SparkSpec.Sf}/events.parquet").where(pred)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val q = StreamingTiles.odFlowStream(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    dump(unix_micros(col("ts").cast("timestamp")) < mid)
+    run()
+    dump(unix_micros(col("ts").cast("timestamp")) >= mid)
+    run()
+    val got = spark.read.parquet(outDir)
+      .groupBy("from_cell", "to_cell")
+      .agg(count(lit(1)).as("n_segs"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch truth: the registered q_od_flows over the same event rows
+    // (SparkSpec.Sf holds the identical events.parquet the stream read)
+    val want = Queries.queryMap("q_od_flows")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want && got.nonEmpty)
+  }
 }
