@@ -1697,6 +1697,71 @@ object Queries {
          |  (SELECT gini_num FROM x) AS gini_num
          |FROM g""".stripMargin))
 
+  private val SdRoots = new ScratchRoots("graft-sd")
+
+  /** SNAPSHOT DIFF — the time-travel companion: a SEMANTIC diff of two
+    * committed versions of the tile store (the lakehouse
+    * "what changed between v1 and v2" operator; Iceberg's changelog
+    * view). v1/v2 are the md5-parity halves of the corpus written as two
+    * versioned snapshots (the [[qTimeTravel]] convention — spatially
+    * uncorrelated, so every class occurs); the diff is one full-outer
+    * keyed join of the two pinned reads, classifying each cell
+    * added / removed / changed / same with both counts carried. The
+    * oracle recomputes both versions straight from the raw corpus and
+    * diffs them — a hash match proves the whole
+    * write→manifest→pinned-read→diff chain is lossless. */
+  private val qSnapshotDiff = Q(
+    "q_snapshot_diff", {
+      val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
+      (s, dir) => {
+        val root = SdRoots.fresh()
+        val partials = TilePyramid.withCell(Images.images(s, dir), 7)
+          .withColumn("half", expr(h))
+          .groupBy(col("cell"), col("half"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("res", lit(7))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Snapshot.writeVersioned(partials.filter(col("half") === 0)
+          .drop("half"), root, snapshotId = "v1", buildTs = 1L)
+        Snapshot.writeVersioned(partials.filter(col("half") === 1)
+          .drop("half"), root, snapshotId = "v2", buildTs = 2L)
+        partials.unpersist(blocking = false)
+        val a = Snapshot.readAsOf(s, root, "v1")
+          .select(col("cell"), col("cnt").as("cnt_v1"))
+        val b = Snapshot.readAsOf(s, root, "v2")
+          .select(col("cell"), col("cnt").as("cnt_v2"))
+        a.join(b, Seq("cell"), "full_outer")
+          .select(col("cell"),
+            coalesce(col("cnt_v1"), lit(0L)).as("cnt_v1"),
+            coalesce(col("cnt_v2"), lit(0L)).as("cnt_v2"))
+          .withColumn("cls",
+            when(col("cnt_v1") === 0, "added")
+              .when(col("cnt_v2") === 0, "removed")
+              .when(col("cnt_v1") =!= col("cnt_v2"), "changed")
+              .otherwise("same"))
+      }
+    },
+    Some {
+      val h = "(('0x' || substr(md5(image_id), 1, 8))::BIGINT) % 2"
+      s"""$cte, a AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM images WHERE $h = 0 GROUP BY 1
+         |), b AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM images WHERE $h = 1 GROUP BY 1
+         |), d AS (
+         |  SELECT coalesce(a.cell, b.cell) AS cell,
+         |    coalesce(a.cnt, 0) AS cnt_v1, coalesce(b.cnt, 0) AS cnt_v2
+         |  FROM a FULL OUTER JOIN b ON a.cell = b.cell
+         |)
+         |SELECT cell, cnt_v1, cnt_v2,
+         |  CASE WHEN cnt_v1 = 0 THEN 'added'
+         |    WHEN cnt_v2 = 0 THEN 'removed'
+         |    WHEN cnt_v1 != cnt_v2 THEN 'changed'
+         |    ELSE 'same' END AS cls
+         |FROM d""".stripMargin
+    })
+
   private val FpRoots = new ScratchRoots("graft-fp")
   /** Cell-range scanned by [[qFilesPrune]]: res-8 lat band [0°, 45°)
     * (lat indices 128..191, every lon) — it contains the hot SF cluster,
@@ -2831,6 +2896,7 @@ object Queries {
     qRouteCorridor,
     qUserProfiles,
     qGini,
+    qSnapshotDiff,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
