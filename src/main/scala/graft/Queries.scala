@@ -1697,6 +1697,57 @@ object Queries {
          |  (SELECT gini_num FROM x) AS gini_num
          |FROM g""".stripMargin))
 
+  /** ZONAL MEDIAN — the scale-safe percentile pattern ([[q_token_dist]]'s
+    * keyed histogram + cumulative) applied SPATIALLY: per res-4 region,
+    * the median of its res-6 child-cell densities. Child counts collapse
+    * to a per-region VALUE histogram (c -> n_c); the cumulative walk is
+    * a window KEYED by the region (thousands of independent partitions,
+    * never a global sort); the median is the lower-median value — the
+    * first value whose cumulative count reaches ceil(n/2) — exact
+    * integer selection on both engines. */
+  private val qZonalMedian = Q(
+    "q_zonal_median",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("c"))
+        .withColumn("parent", G.cell_parent_at(col("cell"), 4))
+      val h = g.groupBy(col("parent"), col("c"))
+        .agg(count(lit(1)).as("nc"))
+      val w = Window.partitionBy("parent").orderBy("c")
+      val cum = h
+        .withColumn("cumc", sum(col("nc")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("nc")).over(
+          Window.partitionBy("parent")))
+      cum.where(col("cumc") * 2 >= col("n"))
+        .groupBy(col("parent"))
+        .agg(min(col("c")).as("median_c"), max(col("n")).as("n_children"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS c
+         |  FROM images GROUP BY 1
+         |), gp AS (
+         |  SELECT ((CAST(4 AS BIGINT) << 58)
+         |    | ((((cell >> 6) & 63) >> 2) << 4)
+         |    | ((cell & 63) >> 2)) AS parent, c
+         |  FROM g
+         |), h AS (
+         |  SELECT parent, c, count(*) AS nc FROM gp GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT parent, c, nc,
+         |    sum(nc) OVER (PARTITION BY parent ORDER BY c
+         |      ROWS UNBOUNDED PRECEDING) AS cumc,
+         |    sum(nc) OVER (PARTITION BY parent) AS n
+         |  FROM h
+         |)
+         |SELECT parent, CAST(min(c) AS BIGINT) AS median_c,
+         |  CAST(max(n) AS BIGINT) AS n_children
+         |FROM cum WHERE cumc * 2 >= n
+         |GROUP BY 1""".stripMargin))
+
   private val SdRoots = new ScratchRoots("graft-sd")
 
   /** SNAPSHOT DIFF — the time-travel companion: a SEMANTIC diff of two
@@ -2897,6 +2948,7 @@ object Queries {
     qUserProfiles,
     qGini,
     qSnapshotDiff,
+    qZonalMedian,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
