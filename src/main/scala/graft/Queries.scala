@@ -1748,6 +1748,60 @@ object Queries {
          |FROM cum WHERE cumc * 2 >= n
          |GROUP BY 1""".stripMargin))
 
+  /** AUTOMATIC RESOLUTION SELECTION — the grid-side analog of the BIC
+    * model-selection sweep ([[qBicK]] picks k; this picks the binning
+    * RESOLUTION): per candidate res 4..9, the occupied-cell count and
+    * the hottest cell's load from ONE multi-res batched encode
+    * (`cell_encode_multi` — parents are bit slices, one scan for all
+    * six levels), then the deterministic integer rule marks best = the
+    * res whose occupied-cell count is closest to a target partition
+    * count (10,000 — the "enough tiles to parallelize, few enough to
+    * broadcast" sweet spot; a max-load rule is degenerate here because
+    * the planted hotspot never splits below its ~2.3k points — that
+    * long-tail is exactly what [[qAdaptiveSplit]] handles per-tile).
+    * All integers; the sweep is one explode + one composite-key groupBy
+    * + a 6-row rollup. */
+  private val qAutoRes = Q(
+    "q_auto_res",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val per = Images.images(s, dir)
+        .select(explode(G.cell_encode_multi(col("lat"), col("lon"), 4, 9))
+          .as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        .groupBy(shiftrightunsigned(col("cell"), 58).as("res"))
+        .agg(count(lit(1)).as("n_cells"), max(col("cnt")).as("max_cnt"))
+      val withDiff = per.withColumn("diff",
+        abs(col("n_cells") - lit(10000L)))
+      val best = withDiff.agg(min(col("diff")).as("min_diff"))
+      withDiff.crossJoin(best)
+        .select(col("res"), col("n_cells"), col("max_cnt"),
+          (col("diff") === col("min_diff")).cast("int").as("best"))
+    },
+    Some {
+      val levels = (4 to 9).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS res, cell, count(*) AS cnt
+           |FROM (SELECT ${cellSql(r)} AS cell FROM images) t$r
+           |GROUP BY cell""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$cte, per_cell AS (
+         |$levels
+         |), per AS (
+         |  SELECT res, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(max(cnt) AS BIGINT) AS max_cnt
+         |  FROM per_cell GROUP BY 1
+         |), d AS (
+         |  SELECT res, n_cells, max_cnt, abs(n_cells - 10000) AS diff
+         |  FROM per
+         |), best AS (
+         |  SELECT min(diff) AS min_diff FROM d
+         |)
+         |SELECT res, n_cells, max_cnt,
+         |  CAST(CASE WHEN diff = min_diff THEN 1 ELSE 0 END AS INTEGER)
+         |    AS best
+         |FROM d CROSS JOIN best""".stripMargin
+    })
+
   private val SdRoots = new ScratchRoots("graft-sd")
 
   /** SNAPSHOT DIFF — the time-travel companion: a SEMANTIC diff of two
@@ -2949,6 +3003,7 @@ object Queries {
     qGini,
     qSnapshotDiff,
     qZonalMedian,
+    qAutoRes,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++

@@ -93,6 +93,26 @@ class ZOrderSpec extends SparkFunSuite {
     }
   }
 
+  test("hilbert prefix-range property: a leaf's index lies in exactly " +
+      "its parent's contiguous block (range planning works on h too)") {
+    // the res-R walk's first L bit-planes match the res-L walk (the
+    // reflection (2^R-1)-x restricts to (2^L-1)-xH on the high bits), so
+    // parent D at res L covers exactly leaf indices [D*4^d, (D+1)*4^d)
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { _ =>
+      val lat = -89.9 + rnd.nextDouble() * 179.8
+      val lon = -179.9 + rnd.nextDouble() * 359.8
+      val leaf = GridCell.encode(lat, lon, 12)
+      val p = GridCell.parentAt(leaf, 7)
+      val h = GridCell.hilbertD(leaf)
+      val hlo = GridCell.hilbertD(p) << 10
+      assert(h >= hlo && h < hlo + 1024)
+      val other = GridCell.pack(7, (GridCell.xOf(p) + 1) % 128, GridCell.yOf(p))
+      val olo = GridCell.hilbertD(other) << 10
+      assert(h < olo || h >= olo + 1024)
+    }
+  }
+
   test("hilbertD: exact 4x4 reference walk") {
     // The order-2 Hilbert curve, origin lower-left, first step +x:
     // d -> (x, y) for all 16 positions.
