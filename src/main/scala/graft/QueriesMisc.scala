@@ -810,9 +810,36 @@ object QueriesMisc {
          |  FROM images i CROSS JOIN queries q
          |) WHERE rnk <= $K GROUP BY qid""".stripMargin))
 
+  /** PER-TILE PERCEPTUAL DIVERSITY — the geo × image cross: for every
+    * res-5 tile, image count and DISTINCT perceptual hashes (the full
+    * pixel-derived dHash, not the synthetic phash column) — the spatial
+    * dedup-pressure map that tells a curation pipeline WHERE near-dup
+    * mining will pay (tiles with n_images >> n_distinct). Decode + hash
+    * stay map-side in the scan projection; one composite rollup (the
+    * distinct aggregate is two-phase keyed). The oracle joins the full
+    * pixel-replay dhash CTE back to the binning — the kernel AND the
+    * grid proven together. */
+  private val qTileDiversity = Q(
+    "q_tile_diversity",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .select(graft.geo.functions
+          .cell_encode(col("lat"), col("lon"), 5).as("cell"),
+        M.dhash56(M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h")).as("dhash"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_images"),
+        countDistinct(col("dhash")).as("n_distinct")),
+    Some(s"""${dhashOracleCtes(dupSide = false)}
+            |SELECT c.cell, CAST(count(*) AS BIGINT) AS n_images,
+            |  CAST(count(DISTINCT dh.dhash) AS BIGINT) AS n_distinct
+            |FROM dh JOIN (SELECT image_id,
+            |    ${Images.oracleCellSql("lat", "lon", 5)} AS cell
+            |  FROM images) c ON c.image_id = dh.image_id
+            |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
-    qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup,
+    qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)
