@@ -248,6 +248,24 @@ object PlanDump {
           " an integer-scaled deviation factor (sign-exact, no" +
           " transcendental ever hashed)",
         graft.Queries.queryMap("q_lisa_quadrants")(spark, dir)),
+      ("Quadtree compaction levels (round 4)",
+        "each merge level is ONE groupBy(parent) counting to 4 plus one" +
+          " anti-join keeping partial quads (broadcast — the full-quad" +
+          " side shrinks 4x per level); no driver state, log-bounded" +
+          " rounds, the corpus is scanned once by the initial binning",
+        graft.Queries.queryMap("q_compact")(spark, dir)),
+      ("Histogram-pair Gini (round 4)",
+        "the O(cells^2) mean-difference collapses onto the VALUE" +
+          " histogram: the only non-keyed join in the plan is the" +
+          " broadcast nested loop over the tiny distinct-value table" +
+          " (dozens of rows at any scale) — the grid itself never joins",
+        graft.Queries.queryMap("q_gini")(spark, dir)),
+      ("Zonal median (round 4)",
+        "the scale-safe percentile shape per REGION: value histogram" +
+          " keyed by (region, value), cumulative walk in a window KEYED" +
+          " by the region — thousands of independent partitions, no" +
+          " global sort, no partitionless window anywhere",
+        graft.Queries.queryMap("q_zonal_median")(spark, dir)),
       ("Manifest file pruning (round 4)",
         "the scan is PLANNED from the FILES manifest on the driver: only" +
           " data files whose recorded cell [min,max] overlaps the range" +
