@@ -27,6 +27,13 @@ case class TrajCell(user_id: Long, cell: Long)
   * coarse cells (self-flows included — the OD matrix diagonal). */
 case class OdFact(user_id: Long, from_cell: Long, to_cell: Long)
 
+/** State of [[StreamingTiles.stayStream]]: one user's open stay (current
+  * res-5 cell and how many consecutive events have sat in it). */
+case class OpenStay(t: Long, eventId: Long, cell: Long, n: Long)
+
+/** A finalized (cell-changed) stay row. */
+case class ClosedStay(user_id: Long, cell: Long, n_events: Long)
+
 /** Incremental (streaming) variants of the core rollups. The reference is
   * strictly batch (SURVEY.md §2.9) — these exist for the pipeline role the
   * engine plays at 100 TB: tiles and event windows maintained continuously
@@ -424,6 +431,49 @@ object StreamingTiles {
             last = LastPos(t, eid, cell)
           }
           if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
+  /** STREAMING STAY-POINT DETECTION — the incremental form of
+    * `q_stay_points`' run detection: the SPATIAL sessionizer. Per-user
+    * state carries the open stay (current res-5 cell + run length); an
+    * event in a NEW cell closes and EMITS the previous stay (the
+    * gap-close pattern of [[sessionStream]] with "cell changed" as the
+    * break predicate). Emitted stays equal the batch run table minus
+    * each user's final (still-open) run — pinned by StreamingSpec across
+    * a time-split resume. State: one record per active user. */
+  def stayStream(spark: SparkSession, dir: String): Dataset[ClosedStay] = {
+    import spark.implicits._
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
+      .withColumn("h2", (col("h1") * A + C) % M)
+      .withColumn("lat",
+        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
+      .withColumn("lon",
+        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        G.cell_encode(col("lat"), col("lon"), 5).as("cell"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[OpenStay]) =>
+          val evs = rows.toArray.sortBy(e => (e._3, e._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedStay]
+          var cur = state.getOption.orNull
+          evs.foreach { case (_, eid, t, cell) =>
+            cur match {
+              case null => cur = OpenStay(t, eid, cell, 1L)
+              case st if st.cell != cell =>
+                out += ClosedStay(uid, st.cell, st.n)
+                cur = OpenStay(t, eid, cell, 1L)
+              case st => cur = st.copy(t = t, eventId = eid, n = st.n + 1)
+            }
+          }
+          if (cur != null) state.update(cur)
           out.iterator
       }
   }

@@ -683,4 +683,59 @@ class StreamingSpec extends SparkFunSuite {
       .toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming stay-points == batch runs minus each user's open run " +
+      "across a time-split resume") {
+    val inDir = Files.createTempDirectory("graft-stream-stay").toString
+    val ckpt = Files.createTempDirectory("graft-stream-stayck").toString
+    val outDir = Files.createTempDirectory("graft-stream-stayout").toString
+    val ts = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("t"))
+      .orderBy(col("t")).collect().map(_.getLong(0))
+    val mid = ts(ts.length / 2)
+    def dump(pred: org.apache.spark.sql.Column): Unit =
+      spark.read.parquet(s"${SparkSpec.Sf}/events.parquet").where(pred)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val q = StreamingTiles.stayStream(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    dump(unix_micros(col("ts").cast("timestamp")) < mid)
+    run()
+    dump(unix_micros(col("ts").cast("timestamp")) >= mid)
+    run()
+    // multiset of closed stays
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("n_events")))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    // driver truth: per-user (t, event_id)-ordered run walk, final open
+    // run of each user NOT emitted
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    def cellOf(eid: Long): Long = {
+      val h1 = ((eid % M) * A + C) % M
+      val h2 = (h1 * A + C) % M
+      graft.geo.GridCell.encode(
+        -60.0 + (120.0 * h1.toDouble) / 2147483648.0,
+        -180.0 + (360.0 * h2.toDouble) / 2147483648.0, 5)
+    }
+    val evs = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val cells = rows.sortBy(e => (e._3, e._2)).map(e => cellOf(e._2))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cur = -1L; var n = 0L
+      cells.foreach { c =>
+        if (c == cur) n += 1
+        else { if (n > 0) runs += ((uid, cur, n)); cur = c; n = 1 }
+      }
+      runs // open run intentionally dropped
+    }.groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(got == want && got.nonEmpty)
+  }
 }
