@@ -1748,6 +1748,77 @@ object Queries {
          |FROM cum WHERE cumc * 2 >= n
          |GROUP BY 1""".stripMargin))
 
+  /** BBOX -> HILBERT-RANGE SCAN — the [[qZrangeScan]] twin on the
+    * Hilbert key, closing the loop on [[qHilbert]]: the same coarse
+    * res-7 cover becomes contiguous H-ranges `[h7 << 10, +4^5)` — exact
+    * by the HIERARCHICAL prefix property (the res-R walk's first L
+    * bit-planes equal the res-L walk; ZOrderSpec pins it) — probed
+    * against the map-side res-12 Hilbert projection. Because consecutive
+    * Hilbert indices are always neighbors, a bbox usually compiles to
+    * FEWER, LONGER merged runs than Morton — the practical payoff of
+    * the h layout. The oracle replays BOTH walks (7-step chain for the
+    * cover, 12-step for the leaves) plus the cover floors and refine. */
+  private val qHrangeScan = Q(
+    "q_hrange_scan",
+    (s, dir) => {
+      import graft.geo.GridCell
+      val ranges = GridCell.cover(10.0, 14.0, 20.0, 28.0, 7)
+        .map(c => (GridCell.hilbertD(c) << 10,
+          (GridCell.hilbertD(c) << 10) + 1023L))
+      val rdf = s.createDataFrame(ranges.toSeq).toDF("h_lo", "h_hi")
+      val img = Images.images(s, dir)
+        .withColumn("hd", graft.geo.functions.cell_hvalue(
+          graft.geo.functions.cell_encode(col("lat"), col("lon"), 12)))
+      img.join(broadcast(rdf), col("hd").between(col("h_lo"), col("h_hi")))
+        .groupBy("h_lo", "h_hi")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("lat").between(10.0, 14.0) &&
+            col("lon").between(20.0, 28.0), 1L).otherwise(0L)).as("n_exact"))
+    },
+    Some {
+      def hchain(pfx: String, src: String, res: Int, carry: Seq[String]) = {
+        val keep = carry.map(c => s"$c, ").mkString
+        val m = (1 << res) - 1
+        (0 until res).map { i =>
+          val s2 = (1 << (res - 1)) >> i
+          s"""$pfx${i + 1} AS (SELECT $keep
+             |  CASE WHEN (y & $s2) = 0 THEN
+             |    (CASE WHEN (x & $s2) > 0 THEN $m - y ELSE y END)
+             |  ELSE x END AS x,
+             |  CASE WHEN (y & $s2) = 0 THEN
+             |    (CASE WHEN (x & $s2) > 0 THEN $m - x ELSE x END)
+             |  ELSE y END AS y,
+             |  d + ${s2.toLong * s2} * (CASE WHEN (x & $s2) > 0
+             |    THEN 3 - (CASE WHEN (y & $s2) > 0 THEN 1 ELSE 0 END)
+             |    ELSE (CASE WHEN (y & $s2) > 0 THEN 1 ELSE 0 END) END) AS d
+             |  FROM ${if (i == 0) src else s"$pfx$i"})""".stripMargin
+        }.mkString(",\n")
+      }
+      s"""$cte,
+         |xr AS (SELECT
+         |  CAST(floor((('20.0'::DOUBLE) + 180.0) / 360.0 * 128) AS BIGINT) AS x0,
+         |  CAST(floor((('28.0'::DOUBLE) + 180.0) / 360.0 * 128) AS BIGINT) AS x1,
+         |  CAST(floor((('10.0'::DOUBLE) + 90.0) / 180.0 * 128) AS BIGINT) AS y0,
+         |  CAST(floor((('14.0'::DOUBLE) + 90.0) / 180.0 * 128) AS BIGINT) AS y1),
+         |cov0 AS (SELECT rx.r AS x, ry.r AS y, CAST(0 AS BIGINT) AS d
+         |  FROM xr, range(0,128) rx(r), range(0,128) ry(r)
+         |  WHERE rx.r BETWEEN x0 AND x1 AND ry.r BETWEEN y0 AND y1),
+         |${hchain("cov", "cov0", 7, Seq.empty)},
+         |ranges AS (SELECT (d << 10) AS h_lo, (d << 10) + 1023 AS h_hi
+         |  FROM cov7),
+         |img0 AS (SELECT lat, lon,
+         |  (${cellSql(12)} & 4095) AS x,
+         |  ((${cellSql(12)} >> 12) & 4095) AS y,
+         |  CAST(0 AS BIGINT) AS d FROM images),
+         |${hchain("img", "img0", 12, Seq("lat", "lon"))}
+         |SELECT r.h_lo, r.h_hi, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CASE WHEN lat BETWEEN 10.0 AND 14.0
+         |    AND lon BETWEEN 20.0 AND 28.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact
+         |FROM img12 JOIN ranges r ON img12.d BETWEEN r.h_lo AND r.h_hi
+         |GROUP BY 1, 2""".stripMargin
+    })
+
   /** AUTOMATIC RESOLUTION SELECTION — the grid-side analog of the BIC
     * model-selection sweep ([[qBicK]] picks k; this picks the binning
     * RESOLUTION): per candidate res 4..9, the occupied-cell count and
@@ -3004,6 +3075,7 @@ object Queries {
     qSnapshotDiff,
     qZonalMedian,
     qAutoRes,
+    qHrangeScan,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
