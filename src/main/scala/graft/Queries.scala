@@ -1819,6 +1819,49 @@ object Queries {
          |GROUP BY 1, 2""".stripMargin
     })
 
+  /** GEOFENCED EVENT ANALYTICS — the pip machinery composed with the
+    * EVENT stream: events (deterministic positions) against the fixture
+    * geofences via the same broadcast covering-cell index + codegen
+    * ray-cast refine as the image pip join, rolled up per (geofence,
+    * day) with integer milli-value credit — the "activity inside my
+    * fences, day by day" operational query. Map-only until the final
+    * keyed rollup; the polygon layer rides broadcast. */
+  private val qEventGeofence = Q(
+    "q_event_geofence",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val res = SpatialJoin.CoverRes
+      val ev = eventPositions(s, dir, res)
+        .withColumn("day",
+          floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long"))
+      val idx = SpatialJoin.coverIndex(s, Fixtures.polys, res,
+        graft.geo.QuadkeyTiling)
+      ev.join(broadcast(idx), Seq("cell"))
+        .filter(G.point_in_poly(col("lat"), col("lon"),
+          col("lats"), col("lons")))
+        .groupBy(col("poly_id"), col("day"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(expr("cast(floor(value * 1000) as bigint)")).as("value_milli"))
+    },
+    Some {
+      val parts = Fixtures.polys.map { p =>
+        s"""SELECT '${p.polyId}' AS poly_id, day, value
+           |FROM pd WHERE ${Fixtures.polySql(p)}""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${eventCellCtes(6)}, pd AS (
+         |  SELECT lat, lon, value,
+         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+         |  FROM (SELECT pos.*, e.value FROM pos
+         |        JOIN events e ON e.event_id = pos.event_id) t
+         |)
+         |SELECT poly_id, day, CAST(count(*) AS BIGINT) AS n_ev,
+         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         |    AS value_milli
+         |FROM ($parts) u
+         |GROUP BY 1, 2""".stripMargin
+    })
+
   /** AUTOMATIC RESOLUTION SELECTION — the grid-side analog of the BIC
     * model-selection sweep ([[qBicK]] picks k; this picks the binning
     * RESOLUTION): per candidate res 4..9, the occupied-cell count and
@@ -3076,6 +3119,7 @@ object Queries {
     qZonalMedian,
     qAutoRes,
     qHrangeScan,
+    qEventGeofence,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
