@@ -837,9 +837,53 @@ object QueriesMisc {
             |  FROM images) c ON c.image_id = dh.image_id
             |GROUP BY 1""".stripMargin))
 
+  /** ZONAL LUMA DISTRIBUTION — per res-4 tile the 4-bin luminance
+    * histogram of its images' decoded 4x4 thumbs ([[RasterHist4]] —
+    * bins sum associatively, so the tile histogram is ONE keyed
+    * aggregation over map-side decode+hist; the radiometric profile
+    * layer of a map service). The oracle bins the same clamped pixel
+    * values from the recursive splitmix64 pixel chain — decode, resize
+    * sampling, clamping and binning all proven cross-engine. */
+  private val qTileLuma = Q(
+    "q_tile_luma",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .withColumn("hist", M.raster_hist4(M.raster_resize(
+        M.raster_decode(col("bytes"), col("fmt")),
+        col("w"), col("h"), lit(4), lit(4))))
+      .groupBy(graft.geo.functions
+        .cell_encode(col("lat"), col("lon"), 4).as("cell"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(element_at(col("hist"), 1)).as("b0"),
+        sum(element_at(col("hist"), 2)).as("b1"),
+        sum(element_at(col("hist"), 3)).as("b2"),
+        sum(element_at(col("hist"), 4)).as("b3")),
+    Some(
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}, pxv AS (
+         |  SELECT image_id, CASE WHEN fmt = 'raw' THEN truth
+         |    ELSE least(255, greatest(0, truth + delta)) END AS v
+         |  FROM px
+         |), hb AS (
+         |  SELECT image_id,
+         |    sum(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS b0,
+         |    sum(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS b1,
+         |    sum(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS b2,
+         |    sum(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS b3
+         |  FROM pxv GROUP BY 1
+         |), ic AS (
+         |  SELECT image_id,
+         |    ${Images.oracleCellSql("lat", "lon", 4)} AS cell
+         |  FROM images
+         |)
+         |SELECT ic.cell, CAST(count(*) AS BIGINT) AS n_images,
+         |  CAST(sum(b0) AS BIGINT) AS b0, CAST(sum(b1) AS BIGINT) AS b1,
+         |  CAST(sum(b2) AS BIGINT) AS b2, CAST(sum(b3) AS BIGINT) AS b3
+         |FROM hb JOIN ic ON ic.image_id = hb.image_id
+         |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
+    qTileLuma,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells)

@@ -50,6 +50,27 @@ case class RasterStats(child: Expression) extends UnaryExpression with CodegenFa
   override def prettyName: String = "raster_stats"
 }
 
+/** `RASTER_HIST4(bytes) -> array<bigint>[4]` 4-bin luminance histogram of
+  * the pixel bytes (bins [0,64) [64,128) [128,192) [192,256)) — the
+  * per-image piece of the zonal luma-distribution rollup: the bins sum
+  * associatively, so tile histograms are one keyed aggregation away. */
+case class RasterHist4(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val bins = new Array[Long](4)
+    var i = 0
+    while (i < bytes.length) {
+      bins((bytes(i) & 0xFF) >> 6) += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "raster_hist4"
+}
+
 /** `PSNR_DB(a, b) -> double` per-row fidelity (north-rule invariant:
   * >= 40 dB for lossy, 99 for byte-identical). */
 case class PsnrDb(left: Expression, right: Expression)
@@ -277,6 +298,7 @@ object functions {
   def synthetic_raster(k: Column, w: Column, h: Column, fmt: Column): Column =
     col(SyntheticRaster(expr(k), expr(w), expr(h), expr(fmt)))
   def raster_stats(bytes: Column): Column = col(RasterStats(expr(bytes)))
+  def raster_hist4(bytes: Column): Column = col(RasterHist4(expr(bytes)))
   def psnr_db(a: Column, b: Column): Column = col(PsnrDb(expr(a), expr(b)))
   def raster_decode(bytes: Column, fmt: Column): Column =
     col(RasterDecode(expr(bytes), expr(fmt)))

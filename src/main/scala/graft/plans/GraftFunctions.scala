@@ -152,6 +152,10 @@ object GraftFunctions {
       "psnr_db(bytes_a, bytes_b) - peak signal-to-noise ratio in dB " +
         "between two equal-length binary rasters (Infinity if identical).") {
       case Seq(a, b) => PsnrDb(a, b) },
+    fn("raster_hist4", 1,
+      "raster_hist4(bytes) - 4-bin luminance histogram (64-wide bins) of " +
+        "the pixel bytes; bins sum associatively for zonal rollups.") {
+      case Seq(b) => RasterHist4(b) },
     fn("raster_stats", 1,
       "raster_stats(bytes) - struct(n_bytes, mean_px, min_px, max_px) of a " +
         "decoded raster byte stream.") {

@@ -136,4 +136,17 @@ class RasterSpec extends AnyFunSuite {
     // determinism
     assert(Raster.videoBytes(42L, 8, 6, 8).toSeq == v.toSeq)
   }
+
+  test("raster_hist4 kernel: hand bins, conservation, unsigned bytes") {
+    val expr = graft.multimodal.RasterHist4(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        Array[Byte](0, 63, 64, 127, -128, -1, -64, 10),
+        org.apache.spark.sql.types.BinaryType))
+    val bins = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    // -1 = 255 -> bin 3; -64 = 192 -> bin 3 (sign-safe & 0xFF)
+    assert(bins.toSeq == Seq(3L, 2L, 1L, 2L))
+    assert(bins.sum == 8L)
+  }
 }
