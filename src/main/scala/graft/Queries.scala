@@ -1862,6 +1862,55 @@ object Queries {
          |GROUP BY 1, 2""".stripMargin
     })
 
+  /** TEMPORAL CHANGE DETECTION — the time-axis companion of
+    * [[qRasterDiff]]'s cross-dataset band math: the event-density raster
+    * of the stream's FIRST nine days vs everything after (fixed epoch-day
+    * literal 19732 = 2024-01-10 — deterministic, not a data-dependent
+    * median), full-outer joined per res-5 cell with integer delta and a
+    * grew/shrank/same class. The before/after monitoring query of a geo
+    * event stream; both periods partial-aggregate before one keyed
+    * join. */
+  private val qTemporalDiff = Q(
+    "q_temporal_diff",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 5)
+        .withColumn("day",
+          floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long"))
+      val a = ev.where(col("day") < 19732)
+        .groupBy("cell").agg(count(lit(1)).as("n_before"))
+      val b = ev.where(col("day") >= 19732)
+        .groupBy("cell").agg(count(lit(1)).as("n_after"))
+      a.join(b, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .withColumn("delta", col("n_after") - col("n_before"))
+        .withColumn("chg",
+          when(col("delta") > 0, 1).when(col("delta") < 0, -1).otherwise(0))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, pd AS (
+         |  SELECT cell,
+         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+         |  FROM pc
+         |), a AS (
+         |  SELECT cell, count(*) AS n_before FROM pd
+         |  WHERE day < 19732 GROUP BY 1
+         |), b AS (
+         |  SELECT cell, count(*) AS n_after FROM pd
+         |  WHERE day >= 19732 GROUP BY 1
+         |)
+         |SELECT coalesce(a.cell, b.cell) AS cell,
+         |  CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+         |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+         |  CAST(coalesce(n_after, 0) - coalesce(n_before, 0) AS BIGINT)
+         |    AS delta,
+         |  CAST(CASE WHEN coalesce(n_after, 0) > coalesce(n_before, 0)
+         |    THEN 1 WHEN coalesce(n_after, 0) < coalesce(n_before, 0)
+         |    THEN -1 ELSE 0 END AS INTEGER) AS chg
+         |FROM a FULL OUTER JOIN b ON a.cell = b.cell""".stripMargin))
+
   /** AUTOMATIC RESOLUTION SELECTION — the grid-side analog of the BIC
     * model-selection sweep ([[qBicK]] picks k; this picks the binning
     * RESOLUTION): per candidate res 4..9, the occupied-cell count and
@@ -3120,6 +3169,7 @@ object Queries {
     qAutoRes,
     qHrangeScan,
     qEventGeofence,
+    qTemporalDiff,
     qFilesPrune,
     qDeltaMerge,
     qAdaptiveSplit) ++ text.QueriesText.all ++ text.QueriesSearch.all ++
