@@ -131,6 +131,11 @@ case class LineCells(a: Expression, b: Expression) extends BinaryExpression {
   override def right: Expression = b
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (a.dataType == LongType && b.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"line_cells expects two bigint cell ids, got (${a.dataType}, ${b.dataType})")
   override protected def nullSafeEval(x: Any, y: Any): Any =
     CellOps.lineCellsData(x.asInstanceOf[Long], y.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -351,6 +351,28 @@ object StreamingTiles {
 
   val SessionGapUs = 1800000000L // 30 min, matches q_events_sessions
 
+  /** Shared streaming source of the three trajectory-family streams:
+    * events with the deterministic LCG geo-position (the `images`
+    * derivation family seeded by event_id — kept in lockstep with
+    * `Queries.eventPositions`) projected to
+    * (user_id, event_id, t_micros, res-cell). */
+  private def eventCells(spark: SparkSession, dir: String,
+                         res: Int): Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
+      .withColumn("h2", (col("h1") * A + C) % M)
+      .withColumn("lat",
+        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
+      .withColumn("lon",
+        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        G.cell_encode(col("lat"), col("lon"), res).as("cell"))
+      .as[(Long, Long, Long, Long)]
+  }
+
   /** STREAMING TRAJECTORY RASTERIZATION — the incremental form of
     * `q_traj_raster`: per-user LAST POSITION carried across micro-batches
     * (`flatMapGroupsWithState`), each arriving event extends the user's
@@ -366,18 +388,7 @@ object StreamingTiles {
     * at-ingest tradeoff; StreamingSpec pins time-split parity). */
   def trajRasterStream(spark: SparkSession, dir: String): Dataset[TrajCell] = {
     import spark.implicits._
-    val M = 2147483648L; val A = 1103515245L; val C = 12345L
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
-      .withColumn("h2", (col("h1") * A + C) % M)
-      .withColumn("lat",
-        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
-      .withColumn("lon",
-        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("t"),
-        G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
-      .as[(Long, Long, Long, Long)]
+    eventCells(spark, dir, 7)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
@@ -404,18 +415,7 @@ object StreamingTiles {
     * ordering contract as [[sessionStream]]. */
   def odFlowStream(spark: SparkSession, dir: String): Dataset[OdFact] = {
     import spark.implicits._
-    val M = 2147483648L; val A = 1103515245L; val C = 12345L
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
-      .withColumn("h2", (col("h1") * A + C) % M)
-      .withColumn("lat",
-        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
-      .withColumn("lon",
-        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("t"),
-        G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
-      .as[(Long, Long, Long, Long)]
+    eventCells(spark, dir, 7)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
@@ -445,18 +445,7 @@ object StreamingTiles {
     * a time-split resume. State: one record per active user. */
   def stayStream(spark: SparkSession, dir: String): Dataset[ClosedStay] = {
     import spark.implicits._
-    val M = 2147483648L; val A = 1103515245L; val C = 12345L
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
-      .withColumn("h2", (col("h1") * A + C) % M)
-      .withColumn("lat",
-        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
-      .withColumn("lon",
-        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("t"),
-        G.cell_encode(col("lat"), col("lon"), 5).as("cell"))
-      .as[(Long, Long, Long, Long)]
+    eventCells(spark, dir, 5)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, Long, Long)],

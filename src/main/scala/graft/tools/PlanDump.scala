@@ -248,12 +248,6 @@ object PlanDump {
           " an integer-scaled deviation factor (sign-exact, no" +
           " transcendental ever hashed)",
         graft.Queries.queryMap("q_lisa_quadrants")(spark, dir)),
-      ("Quadtree compaction levels (round 4)",
-        "each merge level is ONE groupBy(parent) counting to 4 plus one" +
-          " anti-join keeping partial quads (broadcast — the full-quad" +
-          " side shrinks 4x per level); no driver state, log-bounded" +
-          " rounds, the corpus is scanned once by the initial binning",
-        graft.Queries.queryMap("q_compact")(spark, dir)),
       ("Histogram-pair Gini (round 4)",
         "the O(cells^2) mean-difference collapses onto the VALUE" +
           " histogram: the only non-keyed join in the plan is the" +
