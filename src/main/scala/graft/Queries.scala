@@ -2176,7 +2176,9 @@ object Queries {
       s"""$cte,
          |$pairMergeOracleCtes,
          |pts AS MATERIALIZED (SELECT CAST(cell AS VARCHAR) AS image_id,
-         |                     lat_c AS lat, lon_c AS lon FROM l1),
+         |                     CAST(floor(lat_c * 1000000) AS BIGINT) AS qlat,
+         |                     CAST(floor(lon_c * 1000000) AS BIGINT) AS qlon
+         |                     FROM l1),
          |${kmeansChainSql("m_", 8, iters)},
          |${kmeansAssignCteSql("af", s"m_c$iters")}
          |SELECT a.cid,
@@ -2939,24 +2941,37 @@ object Queries {
     * the shared distance fragment of every Lloyd-replay oracle. */
   // def, not val: referenced by Q vals declared ABOVE this point — a val
   // would still be null during their object initialization.
-  private def kmeansDistSql = "(p.lat - c.clat) * (p.lat - c.clat)" +
-    " + (p.lon - c.clon) * (p.lon - c.clon)"
+  // Pure BIGINT lattice distance — no double op anywhere in the replay
+  // (round-5 fix for the q_bic_k driver-gate divergence: a different
+  // libm/FMA could flip the old floor-of-double SSE terms by ±1).
+  private def kmeansDistSql = "(p.qlat - c.clat) * (p.qlat - c.clat)" +
+    " + (p.qlon - c.clon) * (p.qlon - c.clon)"
+
+  /** Exact floorDiv of BIGINT `a` by positive BIGINT `b` — mirrors Java's
+    * `Math.floorDiv` (the engine's driver-side centroid update): the pmod
+    * correction makes the numerator exactly divisible, so DuckDB's `//`
+    * truncation convention cannot matter. */
+  private def floorDivSql(a: String, b: String): String =
+    s"(($a - ((($a % $b) + $b) % $b)) // $b)"
 
   /** CTE assigning each `pts` row to its nearest centroid in `cents`
     * (ties to the smaller cid — same tie-break as the engine's argmin). */
   private def kmeansAssignCteSql(name: String, cents: String): String =
     s"""$name AS (
-       |  SELECT image_id, lat, lon, cid FROM (
-       |    SELECT p.image_id, p.lat, p.lon, c.cid,
+       |  SELECT image_id, qlat, qlon, cid FROM (
+       |    SELECT p.image_id, p.qlat, p.qlon, c.cid,
        |      row_number() OVER (PARTITION BY p.image_id
        |        ORDER BY $kmeansDistSql, c.cid) AS rn
        |    FROM pts p CROSS JOIN $cents c
        |  ) WHERE rn = 1)""".stripMargin
 
   /** CTE chain replaying `iters` exact Lloyd iterations over a `pts`
-    * (image_id, lat, lon) CTE: emits `{p}c0` (seed: first k anchors in
+    * (image_id, qlat, qlon) CTE — qlat/qlon are the engine's integer
+    * micro-degree lattice coordinates (`CAST(floor(coord·1e6) AS BIGINT)`,
+    * the one quantization step): emits `{p}c0` (seed: first k anchors in
     * md5 order) through `{p}c{iters}` (final centroids), with the same
-    * integer-quantized means and empty-cluster carry as [[KmeansAssign]].
+    * floorDiv lattice means and empty-cluster carry as [[KmeansAssign]] —
+    * every arithmetic step integer, so the replay is build-independent.
     * `p` prefixes every CTE name so chains for different k can coexist;
     * the point SOURCE is always the caller's `pts` CTE, so the same chain
     * replays k-means over raw anchors (q_kmeans_assign, q_bic_k) or over
@@ -2965,28 +2980,35 @@ object Queries {
     val seed =
       s"""${p}c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY md5(image_id), image_id) AS INT) AS cid,
-         |         lat AS clat, lon AS clon
-         |  FROM (SELECT image_id, lat, lon FROM pts
+         |         qlat AS clat, qlon AS clon
+         |  FROM (SELECT image_id, qlat, qlon FROM pts
          |        ORDER BY md5(image_id), image_id LIMIT $k))""".stripMargin
     val steps = (1 to iters).map { i =>
       s"""${kmeansAssignCteSql(s"${p}a$i", s"${p}c${i - 1}")},
          |${p}u$i AS (
          |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS BIGINT) AS slat,
-         |    CAST(sum(CAST(floor(lon * 1000000) AS BIGINT)) AS BIGINT) AS slon
+         |    CAST(sum(qlat) AS BIGINT) AS slat,
+         |    CAST(sum(qlon) AS BIGINT) AS slon
          |  FROM ${p}a$i GROUP BY cid),
          |${p}c$i AS (
          |  SELECT c.cid,
          |    CASE WHEN u.n IS NULL THEN c.clat
-         |         ELSE CAST(u.slat AS DOUBLE) / (CAST(u.n AS DOUBLE) * 1000000.0)
+         |         ELSE ${floorDivSql("u.slat", "u.n")}
          |    END AS clat,
          |    CASE WHEN u.n IS NULL THEN c.clon
-         |         ELSE CAST(u.slon AS DOUBLE) / (CAST(u.n AS DOUBLE) * 1000000.0)
+         |         ELSE ${floorDivSql("u.slon", "u.n")}
          |    END AS clon
          |  FROM ${p}c${i - 1} c LEFT JOIN ${p}u$i u ON u.cid = c.cid)""".stripMargin
     }
     (seed +: steps).mkString(",\n")
   }
+
+  /** The standard lattice-points CTE over the images table — the oracle's
+    * single quantization step, mirroring [[KmeansAssign]]'s `points`. */
+  private def kmeansPtsSql =
+    """pts AS (SELECT image_id,
+      |  CAST(floor(lat * 1000000) AS BIGINT) AS qlat,
+      |  CAST(floor(lon * 1000000) AS BIGINT) AS qlon FROM images)""".stripMargin
 
   private val qKmeansAssign = Q(
     "q_kmeans_assign",
@@ -2995,7 +3017,7 @@ object Queries {
       val k = KmeansAssign.DefaultK
       val iters = KmeansAssign.DefaultIters
       s"""$cte,
-         |pts AS (SELECT image_id, lat, lon FROM images),
+         |$kmeansPtsSql,
          |${kmeansChainSql("", k, iters)},
          |${kmeansAssignCteSql("af", s"c$iters")}
          |SELECT image_id, cid FROM af""".stripMargin
@@ -3024,22 +3046,25 @@ object Queries {
   private def bicScoredCtesSql(iters: Int): String = {
     val chains = KmeansAssign.BicKs
       .map(k => kmeansChainSql(s"k${k}_", k, iters)).mkString(",\n")
+    // sse_q = Σ of exact integer lattice min-distances: BIGINT terms sum
+    // in HUGEINT on DuckDB, cast to the same DECIMAL(38,0) Spark emits —
+    // zero floating-point ops anywhere in the hashed columns.
     val sses = KmeansAssign.BicKs.map { k =>
       s"""k${k}_sse AS (
-         |  SELECT CAST(coalesce(sum(CAST(floor(mind * 1000000.0) AS BIGINT)), 0) AS DECIMAL(38,0)) AS sse_q
+         |  SELECT CAST(coalesce(sum(mind), 0) AS DECIMAL(38,0)) AS sse_q
          |  FROM (SELECT min($kmeansDistSql) AS mind
          |        FROM pts p CROSS JOIN k${k}_c$iters c GROUP BY p.image_id))""".stripMargin
     }.mkString(",\n")
     val union = KmeansAssign.BicKs
       .map(k => s"SELECT $k AS k, sse_q FROM k${k}_sse")
       .mkString("\nUNION ALL ")
-    s"""pts AS (SELECT image_id, lat, lon FROM images),
+    s"""$kmeansPtsSql,
        |$chains,
        |$sses,
        |allk AS ($union),
        |scored AS (
        |  SELECT k, n, sse_q,
-       |    CAST(n AS DOUBLE) * ln(CAST(sse_q AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) + 1e-12)
+       |    CAST(n AS DOUBLE) * ln(CAST(sse_q AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) + 1e-12)
        |      + CAST(k AS DOUBLE) * 2.0 * ln(CAST(n AS DOUBLE)) AS bic
        |  FROM allk CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM pts) n0)""".stripMargin
   }
@@ -3098,13 +3123,14 @@ object Queries {
       val iters = KmeansAssign.DefaultIters
       val rho = KmeansAssign.SoftRho
       s"""$cte,
-         |pts AS (SELECT image_id, lat, lon FROM images),
+         |$kmeansPtsSql,
          |${kmeansChainSql("s_", k, iters)},
          |sd AS (SELECT p.image_id, c.cid, $kmeansDistSql AS d
          |       FROM pts p CROSS JOIN s_c$iters c),
          |sm AS (SELECT image_id, cid, d,
          |         min(d) OVER (PARTITION BY image_id) AS dmin FROM sd)
-         |SELECT image_id, cid, (dmin + 1e-12) / (d + 1e-12) AS w
+         |SELECT image_id, cid,
+         |  (CAST(dmin AS DOUBLE) + 1e-12) / (CAST(d AS DOUBLE) + 1e-12) AS w
          |FROM sm WHERE d <= dmin * $rho""".stripMargin
     })
 

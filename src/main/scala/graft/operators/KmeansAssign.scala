@@ -8,15 +8,32 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §2.10's pluggable-index story, next to quadkey and S2):
   * raptor/kmeans_tree_builder.py:92-105 runs faiss spherical k-means
   * (seed=42, fixed niter) then a 1-NN assignment join; here the same
-  * shape runs as Spark jobs with EXACT cross-engine determinism:
+  * shape runs as Spark jobs with EXACT cross-engine determinism.
   *
+  * INTEGER LATTICE END-TO-END (round-5 hardening): rounds 3 and 4 both
+  * failed the driver's DuckDB gate on q_bic_k with a hash mismatch that
+  * did NOT reproduce on the local DuckDB build — the SSE term
+  * `floor(min_sq_dist · 1e6)` floored a CHAIN of double ops (subtract,
+  * square, add against divided centroid means), and a different libm /
+  * FMA / vectorized fold order can flip such a floor boundary by ±1.
+  * The fix is structural, not a re-tune: NO floating-point operation
+  * exists between input and hashed output on either engine.
+  *
+  *  - ingest: each anchor is quantized ONCE to integer micro-degrees,
+  *    `q = floor(coord · 1e6)` as BIGINT — a single IEEE multiply+floor
+  *    of the same parquet double, bit-identical everywhere (the same
+  *    device every green grid-cell expression already relies on);
   *  - seeding: the first k anchors in md5(image_id) order (the engine's
   *    standard seeded-sample device, O5 — no rand());
-  *  - update: integer-quantized means — members contribute
-  *    floor(coord * 1e6) as BIGINT, the centroid is sum/(n*1e6) in one
-  *    fixed op order, so the result is identical under ANY aggregation
-  *    order (the Ann codebook technique) and replayable in ANSI SQL;
-  *  - assignment: argmin of squared planar distance over the k centroid
+  *  - update: centroids ARE lattice points — members contribute their
+  *    exact (qlat, qlon); the new centroid is `floorDiv(Σq, n)`
+  *    (Java `Math.floorDiv` on the driver; the oracle mirrors it with
+  *    the pmod identity `(s - ((s % n) + n) % n) // n`, exact because
+  *    the corrected numerator divides evenly);
+  *  - distance: squared L2 on the lattice, pure BIGINT —
+  *    |q| ≤ 3.6e8 so a per-row distance is ≤ 2.6e17, comfortably in
+  *    Long (overflow would RAISE under Spark 4 ANSI, never wrap);
+  *  - assignment: argmin of the integer distances over the k centroid
   *    literals, ties to the smaller cid (array_position of the min —
   *    first occurrence).
   *
@@ -31,33 +48,16 @@ object KmeansAssign {
   val DefaultK = 8
   val DefaultIters = 3
 
-  case class Centroid(cid: Int, clat: Double, clon: Double)
+  /** A centroid ON the micro-degree lattice: clat/clon are integer
+    * micro-degrees (floorDiv of the member sum), never a divided double. */
+  case class Centroid(cid: Int, clat: Long, clon: Long)
 
-  /** Quantized-mean helper: (sum of floor(c*1e6), n) -> centroid coord.
-    *
-    * The sums accumulate as LONG, which bounds a single cluster at
-    * ~2.5e10 members (|floor(coord·1e6)| ≤ 3.6e8 per row;
-    * Long.MaxValue ≈ 9.2e18) — past that the centroid-update aggregate
-    * RAISES under Spark 4's default ANSI mode rather than wrapping, so
-    * the bound fails loud, never silently corrupts a centroid. The SSE
-    * path carries DECIMAL(38,0) instead ([[BicScale]]) because its terms
-    * are ~450× larger and every row contributes to ONE total; here the
-    * hot path is the per-iteration update — 3·Σk ≈ 63 conditional sums in
-    * one whole-stage-codegen aggregate — and switching those to
-    * DECIMAL(38,0) was measured to blow q_bic_k up from ~5 s to 99 s
-    * in-suite (big-decimal aggregation buffers + generated-code bloat;
-    * even discounting the ~2.6× host contention of that run it is ≥8×),
-    * a bad trade for headroom beyond a 25-billion-row single cluster. A
-    * corpus that hot should raise the candidate k or pre-split, not
-    * widen the accumulator. */
-  private def mean(sq: Long, n: Long): Double =
-    sq.toDouble / (n.toDouble * 1000000.0)
-
-  /** Squared planar distance to each centroid, in ascending-cid order. */
+  /** Squared lattice distance to each centroid, in ascending-cid order —
+    * pure BIGINT arithmetic (see the object scaladoc for the bound). */
   private def distCols(cents: Seq[Centroid]): Seq[Column] =
     cents.sortBy(_.cid).map { c =>
-      (col("lat") - lit(c.clat)) * (col("lat") - lit(c.clat)) +
-        (col("lon") - lit(c.clon)) * (col("lon") - lit(c.clon))
+      (col("qlat") - lit(c.clat)) * (col("qlat") - lit(c.clat)) +
+        (col("qlon") - lit(c.clon)) * (col("qlon") - lit(c.clon))
     }
 
   /** Argmin-of-k distance expression: 1-based cid of the nearest centroid,
@@ -68,36 +68,59 @@ object KmeansAssign {
     array_position(array(dists: _*), array_min(array(dists: _*))).cast("int")
   }
 
+  /** The one quantization step: micro-degree lattice coordinates. The sums
+    * of these accumulate as LONG in the per-iteration update, which bounds
+    * a single cluster at ~5.1e10 members (|q| ≤ 3.6e8;
+    * Long.MaxValue ≈ 9.2e18) — past that the update aggregate RAISES under
+    * Spark 4's default ANSI mode rather than wrapping, so the bound fails
+    * loud, never silently corrupts a centroid. The SSE path carries
+    * DECIMAL(38,0) instead ([[BicScale]]) because its terms are ~1e9×
+    * larger and every row contributes to ONE total; here the hot path is
+    * the per-iteration update — 3·Σk ≈ 63 conditional sums in one
+    * whole-stage-codegen aggregate — and switching those to DECIMAL(38,0)
+    * was measured (round 3) to blow q_bic_k up from ~5 s to 99 s in-suite
+    * (big-decimal aggregation buffers + generated-code bloat), a bad trade
+    * for headroom beyond a 51-billion-row single cluster. A corpus that
+    * hot should raise the candidate k or pre-split, not widen the
+    * accumulator. */
   private def points(images: DataFrame): DataFrame =
-    images.select(col("image_id"), col("lat"), col("lon"))
+    images.select(col("image_id"),
+      floor(col("lat") * 1000000).cast("long").as("qlat"),
+      floor(col("lon") * 1000000).cast("long").as("qlon"))
 
   /** Seeded initial centroids: the first k anchors in md5(image_id)
-    * order, cid = 1..k in that order. */
+    * order, cid = 1..k in that order. Seeds are lattice points already —
+    * the anchor's own quantized coordinates. */
   def seedCentroids(images: DataFrame, k: Int): Seq[Centroid] =
-    points(images)
+    seedPts(points(images), k)
+
+  /** Seed over an already-quantized (image_id, qlat, qlon) frame. */
+  private def seedPts(pts: DataFrame, k: Int): Seq[Centroid] =
+    pts.select(col("image_id"), col("qlat"), col("qlon"))
       .orderBy(md5(col("image_id")), col("image_id")).limit(k)
       .collect().zipWithIndex
-      .map { case (r, i) => Centroid(i + 1, r.getDouble(1), r.getDouble(2)) }
+      .map { case (r, i) => Centroid(i + 1, r.getLong(1), r.getLong(2)) }
 
-  /** Lloyd loop over a PREPARED (id, lat, lon) frame — callers persist it
+  /** Lloyd loop over a PREPARED (id, qlat, qlon) frame — callers persist it
     * (seed + every iteration scans it; unpersisted, a derived input would
     * re-run its projection once per job). */
   private def fitPts(pts: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
-    var cents = seedCentroids(pts, k)
+    var cents = seedPts(pts, k)
     var it = 0
     while (it < iters) {
       val upd = pts.withColumn("cid", nearestCid(cents))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
-          sum(floor(col("lat") * 1000000).cast("long")).as("slat"),
-          sum(floor(col("lon") * 1000000).cast("long")).as("slon"))
+          sum(col("qlat")).as("slat"),
+          sum(col("qlon")).as("slon"))
         .collect()
         .map(r => r.getInt(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       cents = cents.map { c =>
         upd.get(c.cid) match {
-          case Some((n, slat, slon)) => Centroid(c.cid, mean(slat, n), mean(slon, n))
-          case None                  => c // empty cluster keeps its centroid
+          case Some((n, slat, slon)) =>
+            Centroid(c.cid, Math.floorDiv(slat, n), Math.floorDiv(slon, n))
+          case None => c // empty cluster keeps its centroid
         }
       }
       it += 1
@@ -122,31 +145,34 @@ object KmeansAssign {
     * passes, so the candidate set is a configuration, not data-derived. */
   val BicKs: Seq[Int] = 1 to 6
 
-  /** SSE quantizer: each point contributes the exact integer
-    * floor(min-sq-dist · 1e6). The SUM is carried as DECIMAL(38,0)
-    * (Spark's exact 128-bit decimal aggregation), not Long: a point can
-    * contribute up to floor((180²+360²)·1e6) ≈ 1.62e11, so a Long total
-    * would overflow near 5.7e7 rows — decimal keeps the sum exact to
-    * ~6e26 rows, far past the 10^12-row design point. DuckDB mirrors this
-    * for free (BIGINT sums accumulate in HUGEINT; the oracle casts to the
-    * same DECIMAL(38,0)). */
-  val BicScale: Double = 1000000.0
+  /** Lattice-to-degrees² scale: a squared micro-degree distance is
+    * `1e12 ×` the squared degree distance, so the BIC's per-point variance
+    * term divides the exact integer SSE by 1e12. The SSE SUM is carried as
+    * DECIMAL(38,0) (Spark's exact 128-bit decimal aggregation), not Long:
+    * a point can contribute up to (2·3.6e8)² ≈ 5.2e17, so a Long total
+    * would overflow near 17 rows of worst-case spread — decimal keeps the
+    * sum exact to ~2e20 worst-case rows, past the 10^12-row design point.
+    * DuckDB mirrors this for free (BIGINT sums accumulate in HUGEINT; the
+    * oracle casts to the same DECIMAL(38,0)). */
+  val BicScale: Double = 1.0e12
 
-  /** A6 — BIC model selection over candidate k (≙ cluster_utils.py:50-61
+  /** A6 — BIC model selection (≙ cluster_utils.py:50-61
     * `get_optimal_clusters`: fit per k, score with BIC, argmin). The
     * reference fits a GaussianMixture per k; re-expressed Spark-first and
     * DETERMINISTIC: per candidate k, run the same seeded exact-Lloyd fit as
-    * [[fit]], take SSE = Σ floor(min-sq-dist · 1e6) as an exact integer,
-    * and score with the X-means-style spherical BIC
-    * `n·ln(sse/n + ε) + k·d·ln(n)` (d = 2 planar dims, ε = 1e-12 guards
-    * sse = 0). `best = 1` marks the argmin-BIC row, ties to the smaller k.
+    * [[fit]], take SSE = Σ (integer lattice min-sq-dist) as an exact
+    * integer, and score with the X-means-style spherical BIC
+    * `n·ln(sse/1e12/n + ε) + k·d·ln(n)` (d = 2 planar dims, ε = 1e-12
+    * guards sse = 0). `best = 1` marks the argmin-BIC row, ties to the
+    * smaller k.
     *
     * Scale shape: the anchor projection is persisted ONCE across the whole
     * sweep; each candidate then costs `iters` assignment+update passes plus
     * one map-only SSE pass, all keyed or scan-shaped — no driver data beyond
     * the k-row centroid sets and the per-k (n, sse) scalars. The output is
-    * |ks| rows. Every arithmetic step is integer or a fixed-order double
-    * expression, so a SQL oracle can replay the sweep exactly. */
+    * |ks| rows. Every step between input and hashed output is integer
+    * arithmetic, so a SQL oracle replays the sweep digit-exactly on any
+    * build. */
   private[graft] case class Scored(k: Int, cents: Seq[Centroid], sseQ: BigInt,
                                    bic: Double)
 
@@ -183,10 +209,10 @@ object KmeansAssign {
 
   /** The sweep core over a PERSISTED pts frame, BATCHED across candidates:
     * all k's iterate in lockstep, so iteration t is ONE scan computing the
-    * conditional (count, Σfloor(lat·1e6), Σfloor(lon·1e6)) triple for every
-    * (candidate k, cid) pair — Σk·3 ≈ 63 simple conditional sums for the
-    * default grid, comfortably inside one whole-stage-codegen aggregate —
-    * and the final SSEs are one more scan with |ks| sums. Job count is
+    * conditional (count, Σqlat, Σqlon) triple for every (candidate k, cid)
+    * pair — Σk·3 ≈ 63 simple conditional Long sums for the default grid,
+    * comfortably inside one whole-stage-codegen aggregate — and the final
+    * SSEs are one more scan with |ks| decimal sums. Job count is
     * seed + iters + 1 instead of |ks|·(iters + 2) (7.8 s → ~2 s in the
     * suite at sf0.1). The conditional sums aggregate exactly the same Long
     * terms as the per-k groupBy (`when` is null on non-members, so a
@@ -197,7 +223,7 @@ object KmeansAssign {
   private def sweepScores(pts: DataFrame, ks: Seq[Int], iters: Int,
                           n: Long): Seq[Scored] = {
     val nD = n.toDouble
-    val seedMax = seedCentroids(pts, ks.max)
+    val seedMax = seedPts(pts, ks.max)
     var cents: Map[Int, Seq[Centroid]] =
       ks.map(k => k -> seedMax.take(k)).toMap
     var it = 0
@@ -207,10 +233,8 @@ object KmeansAssign {
         (1 to cents(k).size).flatMap { c =>
           val m = cid === lit(c)
           Seq(sum(when(m, lit(1L))).as(s"n_${k}_$c"),
-            sum(when(m, floor(col("lat") * 1000000).cast("long")))
-              .as(s"slat_${k}_$c"),
-            sum(when(m, floor(col("lon") * 1000000).cast("long")))
-              .as(s"slon_${k}_$c"))
+            sum(when(m, col("qlat"))).as(s"slat_${k}_$c"),
+            sum(when(m, col("qlon"))).as(s"slon_${k}_$c"))
         }
       }
       val row = pts.select(aggs: _*).head()
@@ -223,8 +247,8 @@ object KmeansAssign {
           grab(s"n_${k}_${c.cid}") match {
             case Some(cn) if cn > 0 =>
               Centroid(c.cid,
-                mean(grab(s"slat_${k}_${c.cid}").get, cn),
-                mean(grab(s"slon_${k}_${c.cid}").get, cn))
+                Math.floorDiv(grab(s"slat_${k}_${c.cid}").get, cn),
+                Math.floorDiv(grab(s"slon_${k}_${c.cid}").get, cn))
             case _ => c // empty cluster keeps its centroid
           }
         }
@@ -234,15 +258,16 @@ object KmeansAssign {
     val dec0 = lit(0).cast("decimal(38,0)")
     val sseAggs = ks.map { k =>
       val mind = array_min(array(distCols(cents(k)): _*))
-      coalesce(sum(floor(mind * lit(BicScale)).cast("decimal(38,0)")), dec0)
-        .as(s"sse_$k")
+      coalesce(sum(mind.cast("decimal(38,0)")), dec0).as(s"sse_$k")
     }
     val sseRow = pts.select(sseAggs: _*).head()
     ks.map { k =>
       val sseQ = BigInt(
         sseRow.getDecimal(sseRow.fieldIndex(s"sse_$k")).toBigInteger)
-      // BigInt -> Double is correctly rounded (exact below 2^53), matching
-      // DuckDB's DECIMAL -> DOUBLE cast in the oracle's bic expression.
+      // BigInt -> Double is correctly rounded, matching DuckDB's
+      // DECIMAL -> DOUBLE cast in the oracle's bic expression; candidate
+      // BICs are separated by ~10%, so ulp-level rounding in this one
+      // INTERNAL double cannot flip the argmin.
       val bic = nD * math.log(sseQ.toDouble / BicScale / nD + 1.0e-12) +
         k * 2.0 * math.log(nD)
       Scored(k, cents(k), sseQ, bic)
@@ -302,25 +327,29 @@ object KmeansAssign {
 
   // ------------------------------------------------------ soft membership
 
-  /** Default soft-membership ratio (squared-distance): a point joins every
-    * cluster within 2× the radius of its nearest centroid (4× in squared
-    * distance). The reference's GMM labels are `prob > 0.1`
-    * (cluster_utils.py:64-70, 169-175) — probabilistic and seed-dependent;
-    * re-expressed as a deterministic distance-ratio band so the SAME
-    * multi-membership shape (a node can join SEVERAL clusters, making the
-    * tree a DAG) falls out of the seeded Lloyd fit and replays exactly in
-    * ANSI SQL. */
-  val SoftRho: Double = 4.0
+  /** Default soft-membership ratio (squared-distance, an exact integer
+    * multiplier on the lattice): a point joins every cluster within 2× the
+    * radius of its nearest centroid (4× in squared distance). The
+    * reference's GMM labels are `prob > 0.1` (cluster_utils.py:64-70,
+    * 169-175) — probabilistic and seed-dependent; re-expressed as a
+    * deterministic distance-ratio band so the SAME multi-membership shape
+    * (a node can join SEVERAL clusters, making the tree a DAG) falls out
+    * of the seeded Lloyd fit and replays exactly in ANSI SQL. */
+  val SoftRho: Long = 4L
   private val SoftEps: Double = 1.0e-12
 
   /** Soft multi-membership assignment (≙ the reference's `prob > 0.1`
     * GMM labeling, cluster_utils.py:64-70 — the one clustering semantic
     * with no hard-argmin analog): emits an `(image_id, cid, w)` edge for
-    * EVERY centroid whose squared distance is within `rho ×` the point's
-    * minimum. `w = (dmin + ε) / (d + ε) ∈ (0, 1]` — exactly 1 for the
-    * nearest centroid, decaying with the distance ratio; every double op
-    * is in fixed mirror-able order, so the whole edge set is
-    * SQL-replayable (q_soft_assign hashes it cross-engine).
+    * EVERY centroid whose squared lattice distance is within `rho ×` the
+    * point's minimum — an exact BIGINT comparison (`d ≤ dmin·rho`;
+    * dmin·4 ≤ 1.04e18, still in Long). The weight
+    * `w = (dmin + ε) / (d + ε) ∈ (0, 1]` is exactly 1 for the nearest
+    * centroid, decaying with the distance ratio; it is the ONE double in
+    * the output, and it is built from two int64→double casts (correctly
+    * rounded by IEEE, identical on every engine), one add, one divide —
+    * single primitive ops with no libm, so it hash-matches cross-engine
+    * (q_soft_assign pins it).
     *
     * Scale shape: identical to [[assign]] — the k centroids are driver
     * literals, the membership test is a map-only codegen filter over one
@@ -328,33 +357,35 @@ object KmeansAssign {
     * must DEDUP children reached through several parents
     * (tree_retriever.py:264-268) — [[Retrieval.descendSoft]] does. */
   def assignSoft(images: DataFrame, k: Int = DefaultK,
-                 iters: Int = DefaultIters, rho: Double = SoftRho): DataFrame = {
+                 iters: Int = DefaultIters, rho: Long = SoftRho): DataFrame = {
     val cents = fit(images, k, iters)
-    softMembers(points(images), cents, rho)
+    softMembers(images.select(col("image_id"), col("lat"), col("lon")),
+      cents, rho)
   }
 
-  /** (image_id, cid, w) membership edges of `pts` under centroid literals —
-    * the edge-table builder behind [[assignSoft]], reusable against any
-    * fitted or hand-built centroid set (RetrievalSpec builds its DAG
-    * fixture through it). */
+  /** (image_id, cid, w) membership edges of `pts` (image_id, lat, lon)
+    * under centroid literals — the edge-table builder behind
+    * [[assignSoft]], reusable against any fitted or hand-built centroid
+    * set (RetrievalSpec builds its DAG fixture through it). */
   private[graft] def softMembers(pts: DataFrame, cents: Seq[Centroid],
-                                 rho: Double = SoftRho): DataFrame = {
+                                 rho: Long = SoftRho): DataFrame = {
     val sorted = cents.sortBy(_.cid)
+    val qpts = points(pts)
     val dists = distCols(sorted)
     // (cid, d) pairs + the running min; the d expressions appear in both
-    // the pair array and the min — 3 flops per centroid per row, cheap
-    // enough that letting codegen evaluate them twice beats materializing
-    // an intermediate array column
+    // the pair array and the min — 3 integer ops per centroid per row,
+    // cheap enough that letting codegen evaluate them twice beats
+    // materializing an intermediate array column
     val pairs = array(sorted.zip(dists).map { case (c, d) =>
       struct(lit(c.cid).as("cid"), d.as("d"))
     }: _*)
-    pts
+    qpts
       .withColumn("dmin", array_min(array(dists: _*)))
       .withColumn("m", explode(
         filter(pairs, s => s.getField("d") <= col("dmin") * lit(rho))))
       .select(col("image_id"), col("m").getField("cid").as("cid"),
-        ((col("dmin") + lit(SoftEps)) /
-          (col("m").getField("d") + lit(SoftEps))).as("w"))
+        ((col("dmin").cast("double") + lit(SoftEps)) /
+          (col("m").getField("d").cast("double") + lit(SoftEps))).as("w"))
   }
 
   /** Final 1-NN assignment join (J4): every image row labeled with the

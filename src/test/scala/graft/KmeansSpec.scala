@@ -22,33 +22,36 @@ class KmeansSpec extends SparkFunSuite {
       .sortBy(r => (r._4, r._1))
       .map(r => (r._1, r._2, r._3))
 
-  /** Driver-side Lloyd with the operator's exact arithmetic. */
+  /** Driver-side Lloyd with the operator's exact integer-lattice
+    * arithmetic: quantize once to micro-degrees, floorDiv centroid means,
+    * pure-Long squared distances. */
+  private def q(x: Double): Long = math.floor(x * 1000000).toLong
+
   private def lloyd(pts: Array[(String, Double, Double)], k: Int = K,
                     iters: Int = Iters)
       : (Seq[KmeansAssign.Centroid], Map[String, Int]) = {
-    var cents = pts.take(k).zipWithIndex
+    val qpts = pts.map { case (id, la, lo) => (id, q(la), q(lo)) }
+    var cents = qpts.take(k).zipWithIndex
       .map { case ((_, la, lo), i) => KmeansAssign.Centroid(i + 1, la, lo) }.toSeq
-    def nearest(la: Double, lo: Double): Int = {
+    def nearest(qla: Long, qlo: Long): Int = {
       val ds = cents.sortBy(_.cid).map(c =>
-        (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon))
+        (qla - c.clat) * (qla - c.clat) + (qlo - c.clon) * (qlo - c.clon))
       ds.indexOf(ds.min) + 1 // first occurrence = smallest cid on ties
     }
     (1 to iters).foreach { _ =>
-      val groups = pts.groupBy { case (_, la, lo) => nearest(la, lo) }
+      val groups = qpts.groupBy { case (_, la, lo) => nearest(la, lo) }
       cents = cents.map { c =>
         groups.get(c.cid) match {
           case Some(ms) =>
             val n = ms.length.toLong
-            val sla = ms.map(m => math.floor(m._2 * 1000000).toLong).sum
-            val slo = ms.map(m => math.floor(m._3 * 1000000).toLong).sum
             KmeansAssign.Centroid(c.cid,
-              sla.toDouble / (n.toDouble * 1000000.0),
-              slo.toDouble / (n.toDouble * 1000000.0))
+              Math.floorDiv(ms.map(_._2).sum, n),
+              Math.floorDiv(ms.map(_._3).sum, n))
           case None => c
         }
       }
     }
-    (cents, pts.map { case (id, la, lo) => id -> nearest(la, lo) }.toMap)
+    (cents, qpts.map { case (id, la, lo) => id -> nearest(la, lo) }.toMap)
   }
 
   test("distributed Lloyd == driver-side recomputation (centroids + assignment)") {
@@ -85,13 +88,13 @@ class KmeansSpec extends SparkFunSuite {
     ks.zip(rows).foreach { case (k, (_, _, gotSse, _)) =>
       val (cents, _) = lloyd(pts, k)
       val wantSse = pts.map { case (_, la, lo) =>
-        val mind = cents.map(c =>
-          (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon)).min
-        BigInt(math.floor(mind * 1000000.0).toLong)
+        val (qla, qlo) = (q(la), q(lo))
+        BigInt(cents.map(c =>
+          (qla - c.clat) * (qla - c.clat) + (qlo - c.clon) * (qlo - c.clon)).min)
       }.sum
       assert(gotSse == wantSse, s"SSE mismatch at k=$k")
       val nD = n.toDouble
-      val wantBic = nD * math.log(wantSse.toDouble / 1000000.0 / nD + 1.0e-12) +
+      val wantBic = nD * math.log(wantSse.toDouble / 1.0e12 / nD + 1.0e-12) +
         k * 2.0 * math.log(nD)
       assert(bicByK(k) == wantBic, s"BIC mismatch at k=$k")
     }
@@ -123,7 +126,7 @@ class KmeansSpec extends SparkFunSuite {
       .join(imgs.select(col("image_id"), col("lat"), col("lon")), "image_id")
       .collect()
     rows.foreach { r =>
-      val (la, lo) = (r.getDouble(2), r.getDouble(3))
+      val (la, lo) = (q(r.getDouble(2)), q(r.getDouble(3)))
       val best = cents.map(c =>
         (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon)).min
       val own = cents.find(_.cid == r.getInt(1)).get

@@ -226,8 +226,10 @@ class RetrievalSpec extends SparkFunSuite {
       ("p1", 0.0, 0.45), ("p2", 0.0, 0.05), ("p3", 0.0, 0.95),
       ("p4", 5.0, 5.0))
       .toDF("image_id", "lat", "lon")
+    // centroids are integer micro-degree lattice points
     val cents = Seq(
-      Centroid(1, 0.0, 0.0), Centroid(2, 0.0, 1.0), Centroid(3, 5.0, 5.0))
+      Centroid(1, 0L, 0L), Centroid(2, 0L, 1000000L),
+      Centroid(3, 5000000L, 5000000L))
     val edges = KmeansAssign.softMembers(pts, cents)
     val byPoint = edges.collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
@@ -241,7 +243,7 @@ class RetrievalSpec extends SparkFunSuite {
 
     // descend: both of p1's parents are selected -> without the U2 dedup
     // p1 would be ranked twice
-    val clusters = cents.map(c => (c.cid, c.clat, c.clon))
+    val clusters = cents.map(c => (c.cid, c.clat / 1e6, c.clon / 1e6))
       .toDF("cid", "clat", "clon")
     val queries = Seq((1, 0.0, 0.4)).toDF("qid", "qlat", "qlon")
     val got = Retrieval.descendSoft(pts, edges, clusters, queries,
