@@ -109,9 +109,41 @@ case class HyperplaneBands(child: Expression, signs: Array[Int],
   override def prettyName: String = "hyperplane_bands"
 }
 
+/** Identity wrapper marked NON-DETERMINISTIC: a pure planning barrier.
+  * Catalyst only pushes deterministic predicates through joins
+  * (PushPredicateThroughJoin), so `filter(opaque(p))` stays ABOVE its
+  * join. The streaming near-dup self-join needs this: with the cosine /
+  * emit-once refine folded into the stream-stream join condition,
+  * StreamingJoinHelper's state-watermark extraction trips over the
+  * non-time conjuncts (`Cannot evaluate expression: ai` INTERNAL_ERROR
+  * warnings, VERDICT r4 #2) while analyzing eviction constraints — the
+  * time bounds still extract, but the join condition should carry ONLY
+  * equi-keys and time bounds so the analysis is clean and provable.
+  * Evaluation is a bit-exact identity (interpreted and codegen delegate
+  * to the child) — "non-determinism" is a planner annotation here, never
+  * a semantic one; StreamingSpec pins that results are unchanged. */
+case class OpaqueBarrier(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override lazy val deterministic: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "opaque"
+}
+
 object functions {
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Planner barrier: see [[OpaqueBarrier]]. */
+  def opaque(c: Column): Column =
+    GraftBridge.column(OpaqueBarrier(GraftBridge.expression(c)))
 
   def hyperplane_bands(v: Column, signs: Array[Int], dim: Int, bits: Int): Column =
     GraftBridge.column(HyperplaneBands(GraftBridge.expression(v), signs, dim, bits))

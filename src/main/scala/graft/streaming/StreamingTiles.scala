@@ -206,14 +206,27 @@ object StreamingTiles {
     val b = bands.select(col("vec_id").as("bi"), col("v").as("bv"),
       col("nrm").as("bn"), col("ts").as("bts"), col("sigs").as("bsigs"),
       col("band").as("bband"), col("sig").as("bsig"))
+    // join condition = equi-keys + TIME BOUNDS ONLY — exactly the
+    // canonical interval-join shape, so StreamingJoinHelper's
+    // state-watermark extraction succeeds cleanly on every conjunct (its
+    // analyzer WARN-floods on ANY non-time inequality in the condition,
+    // even a plain `ai < bi`). Everything else — id order, emit-once band,
+    // cosine threshold — runs in a post-join filter behind a planner
+    // barrier (V.opaque) that PushPredicateThroughJoin cannot move into
+    // the condition. State is unaffected: retention is per-side rows
+    // bounded by the watermarks; the unordered matches the condition no
+    // longer rejects are transient join output, filtered one operator up.
+    // StreamingSpec asserts both: state plateaus at
+    // O(rate x (horizon+delay)) and results equal batch.
     a.join(b,
         col("aband") === col("bband") && col("asig") === col("bsig") &&
-          col("ai") < col("bi") &&
           col("bts") >= col("ats") - expr(s"INTERVAL $horizonSec SECONDS") &&
           col("bts") <= col("ats") + expr(s"INTERVAL $horizonSec SECONDS"))
-      .filter(Ann.firstSharedBand(col("asigs"), col("bsigs"), col("aband")))
       .withColumn("cos", Ann.cosCol("av", "bv", "an", "bn"))
-      .filter(col("cos") >= t)
+      .filter(V.opaque(
+        col("ai") < col("bi") &&
+          Ann.firstSharedBand(col("asigs"), col("bsigs"), col("aband")) &&
+          col("cos") >= t))
       .select(col("ai"), col("bi"), col("cos"))
   }
 

@@ -488,6 +488,90 @@ class StreamingSpec extends SparkFunSuite {
       s"fixture should split: narrow=${narrow.size} all=${batch.size}")
   }
 
+  test("near-dup horizon edge: a row arriving AFTER the watermark passed " +
+    "its event time is dropped, and exactly its pairs go missing") {
+    // The exactness contract at the cutoff: a pair emits iff the later row
+    // arrives while the earlier row is still within watermark+horizon.
+    // Late-arrival semantics are a DROP (watermark filter before the join
+    // state), not a silent partial match — so the missing-pair set is
+    // exactly {pairs involving the late row}, every other in-horizon pair
+    // still fires. (VERDICT r4 task 6: assert the EXACT missing set.)
+    val horizon = 60L
+    val emb = spark.read.parquet(s"${SparkSpec.Sf}/embeddings.parquet")
+    val batch = graft.similarity.Ann.lshCosNearDupPairs(spark, SparkSpec.Sf, 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("ai"), r.getAs[Long]("bi")) -> r.getAs[Double]("cos"))
+      .toMap
+    val inHorizon = batch.filter { case ((a, b), _) => b - a <= horizon }
+    // a row with an in-horizon partner, early enough that batch 1's
+    // watermark (249 - 60s delay = 189) has passed it
+    val lateId = inHorizon.keys.flatMap(p => Seq(p._1, p._2))
+      .filter(_ < 120).minOption
+      .getOrElse(fail("fixture has no in-horizon pair member < 120"))
+    val inDir = Files.createTempDirectory("graft-ndl-in").toString
+    val ckpt = Files.createTempDirectory("graft-ndl-ck").toString
+    val outDir = Files.createTempDirectory("graft-ndl-out").toString
+    def go(): Long = {
+      val q = StreamingTiles.nearDupStream(spark, inDir, 0.4, horizon)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    }
+    emb.filter(col("vec_id") < 250 && col("vec_id") =!= lateId)
+      .write.mode("append").parquet(inDir)
+    go()
+    // the straggler arrives AFTER rows up to ts=249 were processed
+    emb.filter(col("vec_id") === lateId || col("vec_id") >= 250)
+      .write.mode("append").parquet(inDir)
+    val dropped = go()
+    assert(dropped > 0, "late row was not dropped by the watermark")
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("ai"), r.getAs[Long]("bi")) -> r.getAs[Double]("cos"))
+      .toMap
+    val want = inHorizon.filter { case ((a, b), _) =>
+      a != lateId && b != lateId }
+    assert(got == want, "missing-pair set is not exactly the late row's pairs")
+    assert(want.size < inHorizon.size, "fixture: lateId must have a pair")
+  }
+
+  test("near-dup join state is EVICTED at the horizon: bounded by " +
+    "O(rate x (horizon+delay)), not stream history") {
+    // VERDICT r4 finding: if Catalyst pushes the post-join cosine/band
+    // refine INTO the join condition, StreamingJoinHelper fails to extract
+    // the state-value watermark and symmetric-hash-join state grows without
+    // bound. This asserts eviction EMPIRICALLY: feed 4 event-time-advancing
+    // increments; join state must (a) actually remove rows and (b) plateau.
+    val emb = spark.read.parquet(s"${SparkSpec.Sf}/embeddings.parquet")
+    val inDir = Files.createTempDirectory("graft-nde-in").toString
+    val ckpt = Files.createTempDirectory("graft-nde-ck").toString
+    val outDir = Files.createTempDirectory("graft-nde-out").toString
+    def go(): (Long, Long) = {
+      val q = StreamingTiles.nearDupStream(spark, inDir, 0.4, 30L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sts = q.recentProgress.flatMap(_.stateOperators)
+      (sts.map(_.numRowsTotal).maxOption.getOrElse(0L),
+        sts.map(_.numRowsRemoved).sum)
+    }
+    val states = (0 until 4).map { i =>
+      emb.filter(col("vec_id") >= i * 125 && col("vec_id") < (i + 1) * 125)
+        .write.mode("append").parquet(inDir)
+      go()
+    }
+    // rows are genuinely removed from join state across the run
+    assert(states.map(_._2).sum > 0, s"no state eviction observed: $states")
+    // and the retained total PLATEAUS: the 4th increment holds no more
+    // state than the 2nd (both retain ~(horizon+delay) seconds of
+    // arrivals); unbounded growth would double it
+    assert(states.last._1 <= states(1)._1 * 13L / 10L,
+      s"join state grows with history, not horizon: $states")
+  }
+
   test("streaming postings == batch inverted index, across a resume") {
     val inDir = Files.createTempDirectory("graft-post-in").toString
     val ckpt = Files.createTempDirectory("graft-post-ck").toString
