@@ -21,37 +21,33 @@ object Queries {
   private val cte = Images.oracleCte
   private def cellSql(res: Int) = Images.oracleCellSql("lat", "lon", res)
 
-  /** Events with a deterministic geo-position (the images table's LCG
-    * derivation family seeded by event_id) and their `res`-cell — the
-    * shared input of the trajectory/co-location queries. */
+  /** Events with a deterministic geo-position
+    * ([[graft.sources.Events.withPosition]] — the ONE definition shared
+    * with the streaming source and the spec replays) and their
+    * `res`-cell — the shared input of the trajectory/co-location
+    * queries. */
   private def eventPositions(s: SparkSession, dir: String, res: Int): DataFrame = {
     import graft.geo.{functions => G}
-    val M = 2147483648L; val A = 1103515245L; val C = 12345L
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
-      .withColumn("h2", (col("h1") * A + C) % M)
-      .withColumn("lat",
-        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
-      .withColumn("lon",
-        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+    graft.sources.Events.withPosition(s.read.parquet(s"$dir/events.parquet"))
       .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
   }
 
   /** Oracle twin of [[eventPositions]]: CTE chain ending in
-    * `pc(event_id, user_id, event_type, ts, cell)`. */
+    * `pc(event_id, user_id, event_type, ts, cell)`. The LCG/position
+    * fragments interpolate from [[graft.sources.Events]], never copies. */
   private def eventCellCtes(res: Int): String =
     s"""eh1 AS (
        |  SELECT event_id, user_id, event_type, ts,
-       |    ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h1
+       |    ${graft.sources.Events.oracleH1Sql} AS h1
        |  FROM events
        |), eh2 AS (
        |  SELECT event_id, user_id, event_type, ts,
-       |    h1, (h1 * 1103515245 + 12345) % 2147483648 AS h2
+       |    h1, ${graft.sources.Events.oracleH2Sql} AS h2
        |  FROM eh1
        |), pos AS (
        |  SELECT event_id, user_id, event_type, ts,
-       |    -60.0 + (120.0 * CAST(h1 AS DOUBLE)) / 2147483648.0 AS lat,
-       |    -180.0 + (360.0 * CAST(h2 AS DOUBLE)) / 2147483648.0 AS lon
+       |    ${graft.sources.Events.oracleLatSql} AS lat,
+       |    ${graft.sources.Events.oracleLonSql} AS lon
        |  FROM eh2
        |), pc AS (
        |  SELECT event_id, user_id, event_type, ts,
@@ -532,6 +528,38 @@ object Queries {
          |SELECT b.cell, b.cnt, b.bytes_sum, coalesce(a.c, 0) AS hot_cnt
          |FROM b LEFT JOIN a ON a.cell = b.cell""".stripMargin
     })
+
+  /** Schema migration on read ([[Snapshot.readMigrated]] ≙
+    * `migrate_tree_schema`, reference merge_distance&tree_exam.py:769-810 —
+    * load an old-schema snapshot, add missing columns with defaults,
+    * leave present columns untouched): write a res-7 snapshot that
+    * PREDATES the `hot_cnt` column, read it back with BOTH a
+    * missing-column default (hot_cnt -> 0) and a present-column default
+    * (cnt -> -999, which must NOT apply). The oracle is the direct
+    * aggregate with a literal hot_cnt, so a hash match proves the
+    * defaulted projection is exact and non-destructive — the last S4/S5
+    * semantic without a driver gate (VERDICT r4 task 4). */
+  private val qReadMigrated = Q(
+    "q_read_migrated",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mig").toString
+      val tiles = TilePyramid.withCell(Images.images(s, dir), 7)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"),
+          sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
+        .withColumn("res", lit(7))
+      Snapshot.write(tiles, tmp, snapshotId = "v1", buildTs = 1L)
+      Snapshot.readMigrated(s, tmp, Seq(
+          "hot_cnt" -> lit(0L),    // missing -> defaulted
+          "cnt" -> lit(-999L)))    // present -> untouched
+        .select(col("cell"), col("cnt"), col("bytes_sum"), col("hot_cnt"))
+    },
+    Some(
+      s"""$cte
+         |SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum,
+         |  CAST(0 AS BIGINT) AS hot_cnt
+         |FROM images GROUP BY 1""".stripMargin))
 
   /** Incremental delta-merge ([[Snapshot.mergeDelta]]): snapshot a pyramid
     * of the md5-parity-0 half, fold the parity-1 half in as a DELTA —
@@ -1083,7 +1111,22 @@ object Queries {
     * (same cell). dx is the WRAPPED shortest x-displacement (a hop
     * across the antimeridian heads the short way). One keyed window +
     * one 9-bucket aggregation — movement-pattern analytics at scan
-    * speed. */
+    * speed.
+    *
+    * SEAM CONVENTION (ADVICE r4): this query is the one trajectory fact
+    * that treats the antimeridian as a WRAP — a seam-crossing segment's
+    * heading points the short way round. The rasterizing/length facts
+    * (q_traj_raster, q_route_corridor, q_user_profiles path length) are
+    * PLANAR by the documented lineCells contract: the same segment walks
+    * the long way across the grid. Both conventions are deterministic
+    * and oracle-mirrored, so no hash is at risk; the divergence is a
+    * semantic choice — headings answer "which compass direction did the
+    * user move", rasters answer "which cells does the drawn polyline
+    * cover on the [-180,180] plane". Unifying them would mean splitting
+    * seam-crossing segments at ±180 before rasterization, which changes
+    * every downstream corridor/coverage oracle for the ~0 fixture
+    * segments that cross; documented instead as the cheaper honest
+    * contract. */
   private val qTrajHeadings = Q(
     "q_traj_headings",
     (s, dir) => {
@@ -2697,7 +2740,13 @@ object Queries {
     * <= Chebyshev-length cells, no join), and the final rollup
     * partial-aggregates before its shuffle. The oracle replays the exact
     * integer Bresenham state machine (x, y, err) as a recursive CTE, so a
-    * hash match proves every step of every segment cross-engine. */
+    * hash match proves every step of every segment cross-engine.
+    *
+    * Seam convention: PLANAR — a segment crossing the antimeridian is
+    * drawn the long way across the [-180,180] grid (the lineCells
+    * contract), unlike q_traj_headings' wrapped shortest-direction
+    * heading; see that query's scaladoc for the full divergence note
+    * (ADVICE r4). */
   private val qTrajRaster = Q(
     "q_traj_raster",
     (s, dir) => {
@@ -3170,6 +3219,7 @@ object Queries {
     qResumeRes6,
     qTimeTravel,
     qStatsTransfer,
+    qReadMigrated,
     qBucketJoin,
     qZcurve,
     qHilbert,

@@ -365,21 +365,15 @@ object StreamingTiles {
   val SessionGapUs = 1800000000L // 30 min, matches q_events_sessions
 
   /** Shared streaming source of the three trajectory-family streams:
-    * events with the deterministic LCG geo-position (the `images`
-    * derivation family seeded by event_id — kept in lockstep with
-    * `Queries.eventPositions`) projected to
-    * (user_id, event_id, t_micros, res-cell). */
+    * events with the deterministic LCG geo-position
+    * ([[graft.sources.Events.withPosition]] — the SAME column builder the
+    * batch queries use, so batch/stream parity is by construction)
+    * projected to (user_id, event_id, t_micros, res-cell). */
   private def eventCells(spark: SparkSession, dir: String,
                          res: Int): Dataset[(Long, Long, Long, Long)] = {
     import spark.implicits._
-    val M = 2147483648L; val A = 1103515245L; val C = 12345L
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("h1", ((col("event_id") % M) * A + C) % M)
-      .withColumn("h2", (col("h1") * A + C) % M)
-      .withColumn("lat",
-        lit(-60.0) + (lit(120.0) * col("h1").cast("double")) / 2147483648.0)
-      .withColumn("lon",
-        lit(-180.0) + (lit(360.0) * col("h2").cast("double")) / 2147483648.0)
+    graft.sources.Events.withPosition(
+        spark.readStream.schema(eventSchema).parquet(dir))
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("t"),
         G.cell_encode(col("lat"), col("lon"), res).as("cell"))

@@ -702,8 +702,7 @@ class StreamingSpec extends SparkFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     // independent driver-side truth: per-user (t, event_id)-ordered walk
-    // through the SAME position derivation + Bresenham kernel
-    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    // through the SHARED position derivation + Bresenham kernel
     val evs = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("t"))
@@ -712,11 +711,8 @@ class StreamingSpec extends SparkFunSuite {
       rows.sortBy(e => (e._3, e._2)).sliding(2).flatMap {
         case Array(a, b) =>
           def cellOf(eid: Long): Long = {
-            val h1 = ((eid % M) * A + C) % M
-            val h2 = (h1 * A + C) % M
-            graft.geo.GridCell.encode(
-              -60.0 + (120.0 * h1.toDouble) / 2147483648.0,
-              -180.0 + (360.0 * h2.toDouble) / 2147483648.0, 7)
+            val (la, lo) = graft.sources.Events.positionOf(eid)
+            graft.geo.GridCell.encode(la, lo, 7)
           }
           graft.geo.GridCell.lineCells(cellOf(a._2), cellOf(b._2))
             .map(c => (uid, c))
@@ -797,14 +793,10 @@ class StreamingSpec extends SparkFunSuite {
         r.getAs[Long]("n_events")))
       .groupBy(identity).map { case (k, v) => k -> v.length }
     // driver truth: per-user (t, event_id)-ordered run walk, final open
-    // run of each user NOT emitted
-    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    // run of each user NOT emitted — positions from the SHARED derivation
     def cellOf(eid: Long): Long = {
-      val h1 = ((eid % M) * A + C) % M
-      val h2 = (h1 * A + C) % M
-      graft.geo.GridCell.encode(
-        -60.0 + (120.0 * h1.toDouble) / 2147483648.0,
-        -180.0 + (360.0 * h2.toDouble) / 2147483648.0, 5)
+      val (la, lo) = graft.sources.Events.positionOf(eid)
+      graft.geo.GridCell.encode(la, lo, 5)
     }
     val evs = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
       .select(col("user_id"), col("event_id"),
