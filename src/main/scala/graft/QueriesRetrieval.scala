@@ -104,7 +104,11 @@ object QueriesRetrieval {
   private def descendOracle: String =
     descendOracleChain(DescendEnd, s"rnk <= $DescendK")
 
-  private def collapseOracle: String = {
+  /** One oracle builder for BOTH collapse budget modes — the only
+    * difference is the running-total predicate (stop-before vs the
+    * FaissRetriever include-overflow quirk), so the ranking/level wiring
+    * can never diverge between the two. */
+  private def collapseOracleWith(cut: String): String = {
     val lvs = (CollapseMin to CollapseMax)
       .map(r => lvCte(r, withParent = false)).mkString(",\n")
     val union = (CollapseMin to CollapseMax)
@@ -126,8 +130,11 @@ object QueriesRetrieval {
        |SELECT qid, res, cell, cnt, dist_sq, rnk FROM (
        |  SELECT *, sum(cnt) OVER (PARTITION BY qid ORDER BY rnk
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM ranked) WHERE cum <= $CollapseBudget""".stripMargin
+       |  FROM ranked) WHERE $cut""".stripMargin
   }
+
+  private def collapseOracle: String =
+    collapseOracleWith(s"cum <= $CollapseBudget")
 
   /** Hierarchical descent (tree_retriever.py:215-273): per-level top-k,
     * children-of-selected only, selections accumulated across levels. */
@@ -170,5 +177,18 @@ object QueriesRetrieval {
       Fixtures.knnQueries(s), CollapseK, CollapseBudget),
     Some(collapseOracle))
 
-  val all: Seq[Q] = Seq(qDescendTopK, qDescendThreshold, qCollapseTopK)
+  /** Collapse retrieval x the FaissRetriever include-overflow budget
+    * (raptor/FaissRetriever.py:166-201: append, THEN check — the first
+    * overflowing tile ships). The reference's actual retrieve composition;
+    * the two quirks were previously pinned only in separate families
+    * (q_collapse_topk stop-before, q_knn_budget_incl include-overflow). */
+  private val qCollapseBudgetIncl = Q(
+    "q_collapse_budget_incl",
+    (s, dir) => Retrieval.collapseTopKIncl(
+      sharedPyramid(s, dir).filter(col("res") <= CollapseMax),
+      Fixtures.knnQueries(s), CollapseK, CollapseBudget),
+    Some(collapseOracleWith(s"cum - cnt < $CollapseBudget")))
+
+  val all: Seq[Q] = Seq(qDescendTopK, qDescendThreshold, qCollapseTopK,
+    qCollapseBudgetIncl)
 }

@@ -17,6 +17,12 @@ object Verify {
       // warm mergeDelta 10.7 s -> 5.5 s at sf0.1/64 partitions).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // bucketed STORES are a deliberate design choice (BucketStore): keep
+      // bucketed scans (and with them bucket PRUNING on the bucket key)
+      // even when no downstream operator needs the distribution — the
+      // planner's DisableUnnecessaryBucketedScan would otherwise silently
+      // re-scan all buckets for a single-term posting lookup.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

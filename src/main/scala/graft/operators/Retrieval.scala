@@ -212,7 +212,28 @@ object Retrieval {
     * keep the top-k whose RUNNING image-count total stays within `budget`
     * (stop before the first overflow — tree_retriever.py:197-209). */
   def collapseTopK(pyramid: DataFrame, queries: DataFrame,
-                   k: Int, budget: Long): DataFrame = {
+                   k: Int, budget: Long): DataFrame =
+    collapseRanked(pyramid, queries, k)
+      .filter(col("cum") <= budget)
+      .drop("cum")
+
+  /** Collapse-tree retrieval under the FaissRetriever budget quirk: the
+    * first OVERFLOWING tile is INCLUDED (append before check —
+    * raptor/FaissRetriever.py:166-201 `retrieve`). Both budget quirks
+    * exist separately in the kNN family (Knn.budgetStopBefore /
+    * budgetIncludeOverflow); this is the reference's actual COMPOSITION —
+    * collapse ranking feeding the include-overflow cut (VERDICT r4 task
+    * 9). Same scale shape as [[collapseTopK]]: the running total is a
+    * per-query window over k rows, never over the tile table. */
+  def collapseTopKIncl(pyramid: DataFrame, queries: DataFrame,
+                       k: Int, budget: Long): DataFrame =
+    collapseRanked(pyramid, queries, k)
+      .filter(col("cum") - col("cnt") < budget)
+      .drop("cum")
+
+  /** Shared ranked+running-total derivation of the two collapse modes. */
+  private def collapseRanked(pyramid: DataFrame, queries: DataFrame,
+                             k: Int): DataFrame = {
     // single scan of the tile table, but a derived pyramid's union chain
     // re-evaluates shared rollup prefixes per branch -> materialize once
     val tiles = tileCols(pyramid).persist(StorageLevel.MEMORY_AND_DISK)
@@ -221,7 +242,5 @@ object Retrieval {
     val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked.withColumn("cum", sum(col("cnt")).over(w))
-      .filter(col("cum") <= budget)
-      .drop("cum")
   }
 }

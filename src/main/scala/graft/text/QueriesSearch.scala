@@ -186,6 +186,37 @@ object QueriesSearch {
          |FROM t1 JOIN t2 USING (doc_id, pos)
          |GROUP BY doc_id""".stripMargin))
 
+  /** Phrase search over the BUCKETED positional-postings STORE: the same
+    * adjacency join as [[qPhraseSearch]], but the (token, doc_id, pos)
+    * relation is first persisted as a catalog table bucketed by `token`
+    * ([[graft.operators.BucketStore]], the SCALE.md store layout for the
+    * lexical index — VERDICT r4 task 9b). Each term's posting list then
+    * comes from a BUCKET-PRUNED scan: `token = t` reads 1 of the 8 bucket
+    * files (SelectedBucketsCount — SearchSpec pins the plan), which at
+    * 100 TB is the difference between reading one term's shard and
+    * re-scanning the whole positional index per query. The oracle is
+    * identical to q_phrase_search's, so a hash match proves the
+    * write → catalog → pruned-scan → join chain is lossless. */
+  private val qPhraseBucketed = Q(
+    "q_phrase_bucketed",
+    (s, dir) => {
+      import graft.operators.BucketStore
+      val pos = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr(SparkD.splitToks("text"))).as(Seq("pos", "token")))
+      BucketStore.write(pos, "graft_bkt_postings", nBuckets = 8,
+        key = "token")
+      val store = BucketStore.table(s, "graft_bkt_postings")
+      val first = store.filter(col("token") === Phrase._1)
+        .select(col("doc_id"), col("pos"))
+      val second = store.filter(col("token") === Phrase._2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      first.join(second, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    qPhraseSearch.oracle)
+
   val all: Seq[Q] = Seq(qIndexPostings, qTokenSearch, qSearchRanked,
-    qPhraseSearch)
+    qPhraseSearch, qPhraseBucketed)
 }

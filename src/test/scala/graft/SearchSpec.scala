@@ -84,4 +84,25 @@ class SearchSpec extends SparkFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("bucketed positional phrase search == plain phrase search, " +
+    "each term's posting scan pruned to one bucket") {
+    val plain = graft.SparkEntry.queries("q_phrase_search")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = graft.SparkEntry
+      .queries("q_phrase_bucketed")(spark, SparkSpec.Sf)
+    val got = bucketed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == plain && got.nonEmpty)
+    // each term's scan reads ONE of the 8 bucket files
+    val term = BucketStore.table(spark, "graft_bkt_postings")
+      .filter(col("token") === "key")
+    val formatted = term.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val Sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.unanchored
+    formatted match {
+      case Sel(k, n) => assert(k.toInt == 1 && n.toInt == 8,
+        s"expected 1 of 8 buckets, got $k of $n")
+      case _ => fail(s"no bucket pruning in plan:\n$formatted")
+    }
+  }
 }

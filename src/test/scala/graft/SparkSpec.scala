@@ -11,6 +11,12 @@ object SparkSpec {
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
+      // bucketed STORES are a deliberate design choice (BucketStore): keep
+      // bucketed scans (and with them bucket PRUNING on the bucket key)
+      // even when no downstream operator needs the distribution — the
+      // planner's DisableUnnecessaryBucketedScan would otherwise silently
+      // re-scan all buckets for a single-term posting lookup.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
