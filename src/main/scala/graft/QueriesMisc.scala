@@ -880,11 +880,60 @@ object QueriesMisc {
          |FROM hb JOIN ic ON ic.image_id = hb.image_id
          |GROUP BY 1""".stripMargin))
 
+  // ------------------------------------------------------ schema inspection
+
+  /** S3 — SCHEMA-INSPECTION SCAN (≙ analyse_dataset_tokens.py:34-62: load
+    * the dataset, enumerate its fields before any processing): the engine
+    * reports (table, position, column, type) for the three RAW corpus
+    * tables from the parquet FOOTERS alone — `spark.read.parquet(...)
+    * .schema` plans no jobs and reads no data pages, exactly the metadata
+    * scan a 100 TB catalog browse must be. The oracle is DuckDB's own
+    * DESCRIBE of the same files, with the documented engine-name mapping
+    * (varchar→string, integer→int, blob→binary, float[]→array<float>,
+    * timestamp→timestamp_ntz) applied on the SQL side — a hash match
+    * proves both engines derive the identical logical schema from the
+    * same footers. The previously one untested §2 row (S3, VERDICT r4). */
+  private val SchemaTables = Seq("documents", "embeddings", "events")
+
+  private val qSchemaInspect = Q(
+    "q_schema_inspect",
+    (s, dir) => {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val rows = SchemaTables.flatMap { t =>
+        s.read.parquet(s"$dir/$t.parquet").schema.fields.zipWithIndex.map {
+          case (f, i) => Row(t, i + 1, f.name, f.dataType.simpleString)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("tbl", StringType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("col_name", StringType, nullable = false),
+        StructField("dtype", StringType, nullable = false)))
+      s.createDataFrame(rows.asJava, schema)
+    },
+    Some {
+      val per = SchemaTables.map { t =>
+        s"""SELECT '$t' AS tbl, CAST(row_number() OVER () AS INT) AS pos,
+           |  column_name AS col_name,
+           |  CASE lower(column_type)
+           |    WHEN 'varchar' THEN 'string'
+           |    WHEN 'integer' THEN 'int'
+           |    WHEN 'blob' THEN 'binary'
+           |    WHEN 'float[]' THEN 'array<float>'
+           |    WHEN 'timestamp' THEN 'timestamp_ntz'
+           |    ELSE lower(column_type) END AS dtype
+           |FROM (DESCRIBE SELECT * FROM $t)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      per
+    })
+
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
     qTileLuma,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
-    qGroupingSets, qOrphanCells)
+    qGroupingSets, qOrphanCells, qSchemaInspect)
 }
