@@ -267,7 +267,30 @@ object PlanDump {
           " holds just the kept files) — pruning before any task is" +
           " scheduled; the exact BETWEEN predicate applies on top, so the" +
           " layout can never change the answer",
-        graft.Queries.queryMap("q_files_prune")(spark, dir)))
+        graft.Queries.queryMap("q_files_prune")(spark, dir)),
+      ("Bucketed positional phrase search (round 5)",
+        "the positional postings store is bucketed by token, so each" +
+          " term's posting list comes from a BUCKET-PRUNED scan" +
+          " (SelectedBucketsCount: 1 of 8 below) — at 100 TB one term's" +
+          " shard, never a re-scan of the whole index; adjacency is then" +
+          " an equi-join of the two posting lists on (doc_id, pos±1)," +
+          " candidates are postings, never documents",
+        graft.Queries.queryMap("q_phrase_bucketed")(spark, dir)),
+      ("Collapse retrieval, include-overflow budget (round 5)",
+        "both budget modes share ONE ranked+cumulative derivation: the" +
+          " rank and the running image budget are windows KEYED by qid" +
+          " (per-query partitions, no global sort), and the FaissRetriever" +
+          " append-before-check quirk lands as a pure filter over the" +
+          " cumulative column — same exchanges as stop-before, zero extra" +
+          " shuffles for the reference's actual retrieve composition",
+        graft.Queries.queryMap("q_collapse_budget_incl")(spark, dir)),
+      ("Schema-migrated snapshot read (round 5)",
+        "reading a v1 snapshot that predates hot_cnt: the missing column" +
+          " materializes as a LITERAL projection over the pruned scan —" +
+          " migration is read-time metadata, no rewrite of committed" +
+          " files (at 100 TB: an O(1) catalog change, not an O(data)" +
+          " backfill); present columns pass through untouched",
+        graft.Queries.queryMap("q_read_migrated")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
