@@ -929,11 +929,84 @@ object QueriesMisc {
       per
     })
 
+  // ------------------------------------------------ round-5 breadth additions
+
+  /** PROPORTIONAL stratified sampling: stratum = (res-5 tile, fmt), each
+    * stratum keeps ceil(n/10) rows — the fixed-RATE companion of the
+    * fixed-k samplers (q_sample_topn global, q_weighted_sample per-tile
+    * priority): allocation follows stratum mass, so the sample preserves
+    * the corpus's spatial x format distribution (what a training-data
+    * curriculum samples by). Row choice inside a stratum is the md5
+    * content-hash order (O5 determinism device — no rand()).
+    *
+    * Plan: ONE keyed window pair (count + row_number over the same
+    * stratum key — one shuffle, no partitionless window), ceil-div in
+    * integers (`(n + 9) div 10`, exact cross-engine). At 100 TB the
+    * stratum key bounds every partition; no global sort exists. */
+  private val qStratSample = Q(
+    "q_strat_sample",
+    (s, dir) => {
+      val strat = Window.partitionBy(col("cell"), col("fmt"))
+      val ord = strat.orderBy(md5(col("image_id")), col("image_id"))
+      Images.images(s, dir)
+        .withColumn("cell",
+          graft.geo.functions.cell_encode(col("lat"), col("lon"), 5))
+        .withColumn("n_strat", count(lit(1)).over(strat))
+        .withColumn("rnk", row_number().over(ord).cast("long"))
+        .filter(col("rnk") <= (col("n_strat") + lit(9L)) / lit(10L))
+        .select(col("cell"), col("fmt"), col("image_id"), col("rnk"),
+          col("n_strat"))
+    },
+    Some(
+      s"""$cte
+         |SELECT cell, fmt, image_id, rnk, n_strat FROM (
+         |  SELECT cell, fmt, image_id,
+         |    CAST(row_number() OVER (PARTITION BY cell, fmt
+         |      ORDER BY md5(image_id), image_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY cell, fmt) AS BIGINT)
+         |      AS n_strat
+         |  FROM (SELECT ${cellSql(5)} AS cell, fmt, image_id FROM images)
+         |) WHERE rnk <= (n_strat + 9) // 10""".stripMargin))
+
+  private val HopUs = 1800000000L // 30 min hop, 1h windows => overlap 2
+
+  /** HOPPING (sliding) event-time windows: size 1h, hop 30min — every
+    * event belongs to exactly two windows (win = hop index of each
+    * covering window start). The tumbling q_events_window is the
+    * degenerate hop == size case; the hopping form is what rate/trend
+    * dashboards aggregate by. Plan: a 2-element array explode BEFORE the
+    * keyed agg (map-side fanout, partial aggregation compacts it), so
+    * shuffled bytes stay proportional to (type x window) groups — never
+    * events x 2. Value sums floor-quantized to integer milli-units (the
+    * cross-engine float-sum device of q_events_window). */
+  private val qHoppingWindow = Q(
+    "q_hopping_window",
+    (s, dir) => s.read.parquet(s"$dir/events.parquet")
+      .withColumn("hi",
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(HopUs)).cast("long"))
+      .withColumn("win", explode(array(col("hi") - 1, col("hi"))))
+      .groupBy(col("event_type"), col("win"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(floor(value * 1000) as bigint)")).as("value_milli")),
+    Some(
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch_us(ts) / $HopUs) AS BIGINT) AS hi,
+         |    CAST(floor(value * 1000) AS BIGINT) AS vm
+         |  FROM events
+         |), w AS (
+         |  SELECT event_type, unnest([hi - 1, hi]) AS win, vm FROM h
+         |)
+         |SELECT event_type, win, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(vm) AS BIGINT) AS value_milli
+         |FROM w GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
     qTileLuma,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
-    qGroupingSets, qOrphanCells, qSchemaInspect)
+    qGroupingSets, qOrphanCells, qSchemaInspect,
+    qStratSample, qHoppingWindow)
 }
