@@ -217,6 +217,169 @@ object QueriesSearch {
     },
     qPhraseSearch.oracle)
 
+  /** BM25-class ranked search (round 5): the reciprocal-df weighting of
+    * [[qSearchRanked]] extended with BM25's tf saturation + pivoted
+    * document-length normalization (Robertson-Sparck Jones; k1 = 1.2,
+    * b = 0.75) — long documents stop winning on raw tf. EVERY step is
+    * integer arithmetic with explicit `div` (scaled by 1000/1e6), so
+    * both engines floor at identical points and the hashed scores carry
+    * no float op at all (the q_bic_k lesson applied up front; idf's ln
+    * is replaced by the monotone reciprocal-df surrogate as in
+    * q_search_ranked).
+    *
+    * Per (doc, term):  tf_part = (tf·2200·1000) div (tf·1000 + k1norm)
+    * where norm1000 = 250 + (750000·dlen) div avgdl1000 and
+    * k1norm = (1200·norm1000) div 1000; score = Σ w_t · tf_part with
+    * w_t = (1e6·N) div df.
+    *
+    * Plan shape: query-term postings only ever shuffle (filter before
+    * the keyed tf agg); per-term df and the 1-row corpus stats frame are
+    * broadcast; doc length joins the small tf side broadcast; top-k is
+    * sort-LIMIT (TakeOrderedAndProject). */
+  private val qBm25 = Q(
+    "q_bm25", {
+      val in = OrTerms
+      (s, dir) => {
+        val d = docs(s, dir)
+        val dlens = d.select(col("doc_id"),
+          size(expr(SparkD.splitToks("text"))).cast("long").as("dlen"))
+        val stats = dlens.agg(count(lit(1)).as("n_docs"),
+          sum(col("dlen")).as("sum_dl"))
+        val tf = d.select(col("doc_id"),
+            explode(expr(SparkD.splitToks("text"))).as("token"))
+          .filter(col("token").isin(in: _*))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfPerTerm = tf.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        dlens.join(broadcast(tf.join(broadcast(dfPerTerm), "token")), "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("norm1000",
+            expr("250 + (750000 * dlen) div ((1000 * sum_dl) div n_docs)"))
+          .withColumn("tf_part",
+            expr("(tf * 2200000) div (tf * 1000 + (1200 * norm1000) div 1000)"))
+          .withColumn("w", expr("(1000000 * n_docs) div df"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("dlen")).as("dlen"),
+            sum(col("w") * col("tf_part")).as("score_q"))
+          .orderBy(col("score_q").desc, col("doc_id"))
+          .limit(TopK)
+      }
+    },
+    Some(bm25Sql(s"LIMIT $TopK")))
+
+  /** DuckDB replay of the full BM25 chain; `tail` appends ORDER-independent
+    * clauses (the fusion oracle reuses the chain without the LIMIT). */
+  private def bm25Sql(tail: String): String = {
+    val in = OrTerms.map(t => s"'$t'").mkString(", ")
+    s"""$postingsCte, dl AS (
+       |  SELECT doc_id, CAST(${DuckD.size("toks")} AS BIGINT) AS dlen FROM d
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dlen) AS BIGINT) AS sum_dl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM p WHERE token IN ($in) GROUP BY doc_id, token
+       |), dfx AS (
+       |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tf GROUP BY token
+       |), sc AS (
+       |  SELECT tf.doc_id, dl.dlen,
+       |    ((1000000 * n_docs) // df) *
+       |      ((tf * 2200000) // (tf * 1000 +
+       |        (1200 * (250 + (750000 * dlen) //
+       |          ((1000 * sum_dl) // n_docs))) // 1000)) AS s
+       |  FROM tf JOIN dfx USING (token) JOIN dl ON tf.doc_id = dl.doc_id, st
+       |)
+       |SELECT doc_id, CAST(max(dlen) AS BIGINT) AS dlen,
+       |  CAST(sum(s) AS BIGINT) AS score_q
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_q DESC, doc_id
+       |$tail""".stripMargin
+  }
+
+  /** Reciprocal-rank fusion of two retrievers (round 5): the reference
+    * compares retrievers side-by-side (test_k_mean_datasets.py:708-775
+    * freetest multi-retriever sweep); production engines go one further
+    * and FUSE rankings — RRF (Cormack et al.): rrf(d) = Σ_lists
+    * 1/(60 + rank_d), integer-scaled as `1000000 div (60 + rank)`, a doc
+    * absent from a list contributes 0. Lists fused here: the
+    * reciprocal-df top-10 ([[qSearchRanked]]) and the BM25 top-10
+    * ([[qBm25]]) for the same terms — the reorderings disagree exactly
+    * where length normalization bites, so the fusion is non-trivial.
+    *
+    * Ranks are derived WITHOUT a partitionless window (suite-wide
+    * PlanSpec pin): each top-10 frame is bounded by k, so rank =
+    * 1 + |better rows| via a broadcast k x k self-join — the bounded
+    * theta join, same class as the existing tiny crossJoins. */
+  private val qRankFusion = Q(
+    "q_rank_fusion",
+    (s, dir) => {
+      def withRank(top: DataFrame): DataFrame = {
+        val a = top.select(col("doc_id"), col("score_q"))
+        val b = a.select(col("doc_id").as("b_id"), col("score_q").as("b_s"))
+        a.join(broadcast(b),
+            col("b_s") > col("score_q") ||
+              (col("b_s") === col("score_q") && col("b_id") < col("doc_id")),
+            "left")
+          .groupBy(col("doc_id"))
+          .agg((count(col("b_id")) + 1).as("rnk"))
+      }
+      val recip = qSearchRanked.fn(s, dir).select("doc_id", "score_q")
+      val bm = qBm25.fn(s, dir).select("doc_id", "score_q")
+      val ra = withRank(recip).withColumnRenamed("rnk", "rank_a")
+      val rb = withRank(bm).withColumnRenamed("rnk", "rank_b")
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_q",
+          coalesce(expr("1000000 div (60 + rank_a)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rank_b)"), lit(0L)))
+        .select(col("doc_id"), coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+          coalesce(col("rank_b"), lit(0L)).as("rank_b"), col("rrf_q"))
+    },
+    Some {
+      val in = OrTerms.map(t => s"'$t'").mkString(", ")
+      s"""$postingsCte, dl AS (
+         |  SELECT doc_id, CAST(${DuckD.size("toks")} AS BIGINT) AS dlen FROM d
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dlen) AS BIGINT) AS sum_dl FROM dl
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM p WHERE token IN ($in) GROUP BY doc_id, token
+         |), dfx AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY token
+         |), rsc AS (
+         |  SELECT doc_id,
+         |    CAST(sum(tf * ((1000000 * n_docs) // df)) AS BIGINT) AS score_q
+         |  FROM tf JOIN dfx USING (token), st
+         |  GROUP BY doc_id
+         |), ratop AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score_q DESC, doc_id) AS rank_a
+         |  FROM rsc ORDER BY score_q DESC, doc_id LIMIT $TopK
+         |), bsc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(sum(((1000000 * n_docs) // df) *
+         |      ((tf * 2200000) // (tf * 1000 +
+         |        (1200 * (250 + (750000 * dlen) //
+         |          ((1000 * sum_dl) // n_docs))) // 1000))) AS BIGINT)
+         |      AS score_q
+         |  FROM tf JOIN dfx USING (token) JOIN dl ON tf.doc_id = dl.doc_id, st
+         |  GROUP BY tf.doc_id
+         |), rbtop AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score_q DESC, doc_id) AS rank_b
+         |  FROM bsc ORDER BY score_q DESC, doc_id LIMIT $TopK
+         |)
+         |SELECT doc_id,
+         |  CAST(COALESCE(rank_a, 0) AS BIGINT) AS rank_a,
+         |  CAST(COALESCE(rank_b, 0) AS BIGINT) AS rank_b,
+         |  CAST(COALESCE(1000000 // (60 + rank_a), 0)
+         |    + COALESCE(1000000 // (60 + rank_b), 0) AS BIGINT) AS rrf_q
+         |FROM ratop FULL OUTER JOIN rbtop USING (doc_id)""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(qIndexPostings, qTokenSearch, qSearchRanked,
-    qPhraseSearch, qPhraseBucketed)
+    qPhraseSearch, qPhraseBucketed, qBm25, qRankFusion)
 }

@@ -54,6 +54,63 @@ class SearchSpec extends SparkFunSuite {
       s"expected a top-k operator, got:\n$plan")
   }
 
+  test("bm25: integer chain matches a direct recomputation; " +
+    "length normalization reorders vs raw reciprocal-df") {
+    val terms = Seq("dup", "vector", "spark")
+    val got = graft.SparkEntry.queries("q_bm25")(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val corpus = docs.select(col("doc_id"), expr(Toks).as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = corpus.length.toLong
+    val dlen = corpus.map { case (id, t) => id -> t.length.toLong }.toMap
+    val avgdl1000 = (1000L * dlen.values.sum) / n
+    val tf = corpus.flatMap { case (id, toks) =>
+      toks.filter(terms.contains).map(t => (id, t))
+    }.groupBy(identity).map { case ((id, t), xs) => (id, t, xs.length.toLong) }
+    val dfx = tf.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._1).toSet.size.toLong }
+    val scores = tf.groupBy(_._1).map { case (id, xs) =>
+      val norm1000 = 250L + (750000L * dlen(id)) / avgdl1000
+      id -> xs.map { case (_, t, c) =>
+        val tfPart = (c * 2200000L) / (c * 1000L + (1200L * norm1000) / 1000L)
+        ((1000000L * n) / dfx(t)) * tfPart
+      }.sum
+    }
+    val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) => (id, dlen(id), s) }
+    assert(got.toSeq == want)
+    // the normalization must actually bite: BM25's top-10 differs from the
+    // raw reciprocal-df top-10 (otherwise the operator adds nothing)
+    val recip = graft.SparkEntry.queries("q_search_ranked")(spark, SparkSpec.Sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet != recip)
+  }
+
+  test("rank fusion: rrf recomputed from the two collected rankings; " +
+    "ranks are 1..k permutations, absent lists contribute zero") {
+    def ranks(q: String): Map[Long, Long] =
+      graft.SparkEntry.queries(q)(spark, SparkSpec.Sf)
+        .collect().map(_.getLong(0)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+    val ra = ranks("q_search_ranked")
+    val rb = ranks("q_bm25")
+    val want = (ra.keySet ++ rb.keySet).map { id =>
+      val a = ra.getOrElse(id, 0L)
+      val b = rb.getOrElse(id, 0L)
+      val rrf = (if (a > 0) 1000000L / (60L + a) else 0L) +
+        (if (b > 0) 1000000L / (60L + b) else 0L)
+      (id, a, b, rrf)
+    }
+    val got = graft.SparkEntry.queries("q_rank_fusion")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(ra.values.toSeq.sorted == (1L to 10L) &&
+      rb.values.toSeq.sorted == (1L to 10L))
+  }
+
   test("token-bucketed postings store: IN-filter scan is bucket-pruned") {
     val postings = docs
       .select(col("doc_id"), explode(expr(Toks)).as("token"))
