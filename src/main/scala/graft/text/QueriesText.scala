@@ -690,11 +690,123 @@ object QueriesText {
          |SELECT id AS doc_id, min(r) AS rep_id FROM cc GROUP BY id"""
         .stripMargin))
 
+  // ------------------------------------------------- round-5 sketch operators
+
+  /** Count-Min frequency sketch over the token stream
+    * ([[graft.agg.Sketches.Cms]], d=4 x w=256): estimated vs exact counts
+    * for the 20 heaviest tokens — the fixed-size approximate sibling of
+    * the A3 hotness histogram (the reference counts hotness exactly,
+    * merge_tree_builder.py:236-311; at 100 TB a first ingest pass keeps
+    * d·w counters instead of a distinct-key table). CMS never
+    * underestimates (est >= exact — SketchSpec pins it); the oracle
+    * replays salt-hash -> counters -> min exactly, so the estimate is
+    * bit-reproducible, unlike a native HLL/CountMinSketch whose state is
+    * implementation-defined. Plan: ONE keyed groupBy for the sketch
+    * (map-side combinable), sort-LIMIT probes, broadcast sketch join. */
+  private val qCmsHeavy = Q(
+    "q_cms_heavy", {
+      val (d, w, topN) = (4, 256L, 20)
+      (s, dir) => {
+        import graft.agg.Sketches
+        val toks = docs(s, dir)
+          .select(explode(expr(SparkD.splitToks("text"))).as("token"))
+        val sk = Sketches.Cms.sketch(toks, "token", d, w)
+        val probes = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("token"))
+          .limit(topN)
+        Sketches.Cms.estimate(sk, probes, "token", d, w)
+      }
+    },
+    Some {
+      import graft.agg.Sketches.saltedBucketSql
+      s"""WITH d AS (
+         |  SELECT ${DuckD.splitToks("text")} AS toks FROM documents
+         |), p AS (
+         |  SELECT unnest(toks) AS token FROM d
+         |), rr AS (
+         |  SELECT unnest([0, 1, 2, 3]) AS r
+         |), cms AS (
+         |  SELECT r, ${saltedBucketSql("r", "token", 256L)} AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM p, rr GROUP BY 1, 2
+         |), ex AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM p GROUP BY token
+         |), probes AS (
+         |  SELECT token, exact_cnt FROM ex
+         |  ORDER BY exact_cnt DESC, token LIMIT 20
+         |), pb AS (
+         |  SELECT token, exact_cnt, r,
+         |    ${saltedBucketSql("r", "token", 256L)} AS b
+         |  FROM probes, rr
+         |)
+         |SELECT token, exact_cnt, CAST(min(c) AS BIGINT) AS cms_est
+         |FROM pb JOIN cms USING (r, b)
+         |GROUP BY token, exact_cnt""".stripMargin
+    })
+
+  /** Bloom-filter ingest-dedup prefilter ([[graft.agg.Sketches.Bloom]],
+    * k=4 hashes into m=1024 bits): "yesterday's" corpus half (even
+    * doc_id) is sketched by content hash; every document probes it. A
+    * probe that misses is DEFINITELY new (no false negatives — SketchSpec
+    * pins bloom_hit >= exact_hit row-wise), so at 100 TB the broadcast
+    * filter short-circuits the shuffling exact anti-join for most new
+    * rows; hits fall through to the exact check (false positives are
+    * measured here: the 2x2 (bloom_hit, exact_hit) confusion is the
+    * operator's calibration output). m is sized to the fixture to make
+    * false positives observable; at scale m grows with n (bits-per-key
+    * constant), which changes no semantics. */
+  private val qBloomDedup = Q(
+    "q_bloom_dedup", {
+      val (k, m) = (4, 1024L)
+      (s, dir) => {
+        import graft.agg.Sketches
+        val base = docs(s, dir).select(col("doc_id"), md5(col("text")).as("x"))
+        val build = base.filter(col("doc_id") % 2 === 0)
+        val pos = Sketches.Bloom.positions(build, "x", k, m)
+        Sketches.Bloom.probe(base, "x", k, m, pos)
+          .join(broadcast(build.select(col("x")).distinct()
+            .withColumn("e", lit(1L))), Seq("x"), "left")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("e"), lit(0L)).as("exact_hit"))
+      }
+    },
+    Some {
+      import graft.agg.Sketches.saltedBucketSql
+      s"""WITH b AS (
+         |  SELECT DISTINCT md5(text) AS x FROM documents WHERE doc_id % 2 = 0
+         |), ii AS (
+         |  SELECT unnest([0, 1, 2, 3]) AS i
+         |), pos AS (
+         |  SELECT DISTINCT ${saltedBucketSql("i", "x", 1024L)} AS p
+         |  FROM b, ii
+         |), pr AS (
+         |  SELECT doc_id, md5(text) AS x FROM documents
+         |), pp AS (
+         |  SELECT doc_id, x, ${saltedBucketSql("i", "x", 1024L)} AS p
+         |  FROM pr, ii
+         |), bh AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN count(pos.p) = 4 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS bloom_hit
+         |  FROM pp LEFT JOIN pos ON pp.p = pos.p GROUP BY doc_id
+         |), eh AS (
+         |  SELECT pr.doc_id,
+         |    CAST(CASE WHEN b.x IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |      AS exact_hit
+         |  FROM pr LEFT JOIN b ON pr.x = b.x
+         |)
+         |SELECT doc_id, bloom_hit, exact_hit
+         |FROM bh JOIN eh USING (doc_id)""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
     qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
     qTokenDist,
     qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qLshNearDup,
-    qSimhash, qSimhashPairs, qDedupGroups)
+    qSimhash, qSimhashPairs, qDedupGroups,
+    qCmsHeavy, qBloomDedup)
 }
