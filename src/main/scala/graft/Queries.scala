@@ -2423,6 +2423,94 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS n_nbrs
          |FROM contrib GROUP BY 1""".stripMargin))
 
+  /** SLOPE / ASPECT over the binned density surface — Horn's method (the
+    * gdaldem / terrain-analysis operator, completing the raster family:
+    * local = q_density_raster, focal = q_focal_stats, interpolation =
+    * q_idw_surface, differential = here). The 3x3 Horn kernel is two
+    * Sobel convolutions; in scatter form each occupied res-7 pixel
+    * contributes cnt x weight to each ring-1 neighbor, where the weight
+    * is ±(2 − |other-axis offset|) — 2 cardinal, 1 diagonal, signed by
+    * the axis offset (ox = wrapped src_x − out_x, so east-of-output mass
+    * pushes gx positive). gx/gy/slope² stay BIGINT; the aspect is the
+    * same integer 8-sector compass device as q_traj_headings (sign +
+    * dominance tests — no atan2 is ever hashed, the q_bic_k lesson).
+    * Same cost shape as q_focal_stats: one grid-bounded 9x fanout + one
+    * keyed shuffle, never a point-sized join; halo pixels get the
+    * one-sided gradient a convolution implies. The oracle rebuilds the
+    * weights from the per-contribution ring offsets (−dx.r) and the cell
+    * bit layout independently. */
+  private val qSlopeAspect = Q(
+    "q_slope_aspect",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val n = 128L
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+      def yOf(c: org.apache.spark.sql.Column) =
+        shiftright(c, 7).bitwiseAND(lit(n - 1))
+      val rawOx = xOf(col("src")) - xOf(col("cell"))
+      val ox = when(rawOx > 64, rawOx - 128)
+        .when(rawOx < -64, rawOx + 128).otherwise(rawOx)
+      val oy = yOf(col("src")) - yOf(col("cell"))
+      g.select(col("cell").as("src"), col("cnt"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .withColumn("ox", ox).withColumn("oy", oy)
+        .withColumn("gxw", col("ox") * (lit(2L) - abs(col("oy"))))
+        .withColumn("gyw", col("oy") * (lit(2L) - abs(col("ox"))))
+        .groupBy("cell")
+        .agg(sum(col("gxw") * col("cnt")).as("gx"),
+          sum(col("gyw") * col("cnt")).as("gy"))
+        .withColumn("slope2", col("gx") * col("gx") + col("gy") * col("gy"))
+        .withColumn("aspect",
+          when(col("gx") === 0 && col("gy") === 0, 8)
+            .when(abs(col("gx")) > abs(col("gy")) && col("gx") > 0, 0)
+            .when(abs(col("gx")) > abs(col("gy")), 4)
+            .when(abs(col("gy")) > abs(col("gx")) && col("gy") > 0, 2)
+            .when(abs(col("gy")) > abs(col("gx")), 6)
+            .when(col("gx") > 0 && col("gy") > 0, 1)
+            .when(col("gx") > 0, 7)
+            .when(col("gy") > 0, 3)
+            .otherwise(5))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt,
+         |    cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), contrib AS (
+         |  SELECT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell,
+         |    cnt,
+         |    (-dx.r) * (2 - abs(dy.r)) AS gxw,
+         |    (-dy.r) * (2 - abs(dx.r)) AS gyw
+         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |), a AS (
+         |  SELECT ocell AS cell,
+         |    CAST(sum(gxw * cnt) AS BIGINT) AS gx,
+         |    CAST(sum(gyw * cnt) AS BIGINT) AS gy
+         |  FROM contrib GROUP BY 1
+         |)
+         |SELECT cell, gx, gy,
+         |  CAST(gx * gx + gy * gy AS BIGINT) AS slope2,
+         |  CAST(CASE
+         |    WHEN gx = 0 AND gy = 0 THEN 8
+         |    WHEN abs(gx) > abs(gy) AND gx > 0 THEN 0
+         |    WHEN abs(gx) > abs(gy) THEN 4
+         |    WHEN abs(gy) > abs(gx) AND gy > 0 THEN 2
+         |    WHEN abs(gy) > abs(gx) THEN 6
+         |    WHEN gx > 0 AND gy > 0 THEN 1
+         |    WHEN gx > 0 THEN 7
+         |    WHEN gy > 0 THEN 3
+         |    ELSE 5 END AS INTEGER) AS aspect
+         |FROM a""".stripMargin))
+
   /** Global MORAN'S I — spatial autocorrelation over the binned grid (the
     * ESDA statistic behind "is the density clustered, dispersed, or
     * random?"), with queen (3x3 Chebyshev) binary weights over OCCUPIED
@@ -3222,6 +3310,7 @@ object Queries {
     qDensityRaster,
     qFocalStats,
     qIdwSurface,
+    qSlopeAspect,
     qMoransI,
     qVariogram,
     qLisaQuadrants,

@@ -49,6 +49,63 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(num.toDouble / den == 0.5)
   }
 
+  test("Horn slope/aspect: single-peak fixture — signed Sobel weights, " +
+    "flat center, gradients point toward the mass on all 8 neighbors") {
+    import spark.implicits._
+    // one occupied res-7 pixel with cnt=3; replicate the q_slope_aspect
+    // scatter kernel inline and check all 9 outputs by hand
+    val g = Seq.fill(3)((0.1, 0.1)).toDF("lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val n = 128L
+    def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+    def yOf(c: org.apache.spark.sql.Column) =
+      shiftright(c, 7).bitwiseAND(lit(n - 1))
+    val rawOx = xOf(col("src")) - xOf(col("cell"))
+    val ox = when(rawOx > 64, rawOx - 128)
+      .when(rawOx < -64, rawOx + 128).otherwise(rawOx)
+    val oy = yOf(col("src")) - yOf(col("cell"))
+    val out = g.select(col("cell").as("src"), col("cnt"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .withColumn("ox", ox).withColumn("oy", oy)
+      .withColumn("gxw", col("ox") * (lit(2L) - abs(col("oy"))))
+      .withColumn("gyw", col("oy") * (lit(2L) - abs(col("ox"))))
+      .groupBy("cell")
+      .agg(sum(col("gxw") * col("cnt")).as("gx"),
+        sum(col("gyw") * col("cnt")).as("gy"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src = g.select("cell").collect().head.getLong(0)
+    val (sx, sy) = (src & 127L, (src >> 7) & 127L)
+    def cellAt(dx: Long, dy: Long): Long =
+      (7L << 58) | ((sy + dy) << 7) | (((sx + dx) % 128 + 128) % 128)
+    // expected (gx, gy) per output offset: ox = -dx, weight 2 cardinal /
+    // 1 diagonal, times cnt = 3
+    val want = Map(
+      (0L, 0L) -> (0L, 0L),
+      (1L, 0L) -> (-6L, 0L), (-1L, 0L) -> (6L, 0L),
+      (0L, 1L) -> (0L, -6L), (0L, -1L) -> (0L, 6L),
+      (1L, 1L) -> (-3L, -3L), (-1L, 1L) -> (3L, -3L),
+      (1L, -1L) -> (-3L, 3L), (-1L, -1L) -> (3L, 3L))
+    assert(out.size == 9)
+    want.foreach { case ((dx, dy), exp) =>
+      assert(out(cellAt(dx, dy)) == exp, s"offset ($dx,$dy)")
+    }
+    // aspect sectors via the full query on the same scale: flat center
+    // (8), cardinal neighbors point back at the mass (E neighbor -> 4)
+    def sector(gx: Long, gy: Long): Int =
+      if (gx == 0 && gy == 0) 8
+      else if (math.abs(gx) > math.abs(gy)) { if (gx > 0) 0 else 4 }
+      else if (math.abs(gy) > math.abs(gx)) { if (gy > 0) 2 else 6 }
+      else if (gx > 0 && gy > 0) 1
+      else if (gx > 0) 7
+      else if (gy > 0) 3
+      else 5
+    assert(sector(out(cellAt(0, 0))._1, out(cellAt(0, 0))._2) == 8)
+    assert(sector(out(cellAt(1, 0))._1, out(cellAt(1, 0))._2) == 4)
+    assert(sector(out(cellAt(-1, 0))._1, out(cellAt(-1, 0))._2) == 0)
+    assert(sector(out(cellAt(1, 1))._1, out(cellAt(1, 1))._2) == 5)
+  }
+
   test("LISA quadrants: all four classes on a hand fixture") {
     import spark.implicits._
     // Cells a(5), a+1(5), a+2(1) collinear, far(2) isolated; n=4, Σx=13,
