@@ -393,6 +393,47 @@ object Queries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM ranked) WHERE cum - bytes < $BudgetBytes""".stripMargin)))
 
+  /** All-pairs kNN self-join ([[Knn.knnSelfJoin]], k=3 at res 8): the
+    * whole-corpus similarity-graph edge list — candidate-bounded to the
+    * ring-1 cell neighborhood, integer micro-degree distances (the
+    * q_bic_k lattice device), one keyed equi-join + one query-keyed
+    * window. The oracle replays the ring from the cell bit layout (the
+    * q_focal_stats device at res 8) and the quantized distances, so a
+    * hash match proves candidate generation, dedup-free pairing AND
+    * ranking cross-engine. */
+  private val qKnnJoin = Q(
+    "q_knn_join",
+    (s, dir) => Knn.knnSelfJoin(Images.images(s, dir), 3, 8),
+    Some(
+      s"""$cte, b AS (
+         |  SELECT image_id, ${cellSql(8)} AS cell,
+         |    CAST(floor(lat * 1000000) AS BIGINT) AS mlat,
+         |    CAST(floor(lon * 1000000) AS BIGINT) AS mlon
+         |  FROM images
+         |), xy AS (
+         |  SELECT image_id, mlat, mlon,
+         |    cell & 255 AS x, (cell >> 8) & 255 AS y
+         |  FROM b
+         |), pr AS (
+         |  SELECT image_id AS qid, mlat AS qlat, mlon AS qlon,
+         |    ((CAST(8 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 8)
+         |      | CAST(((x + dx.r) % 256 + 256) % 256 AS BIGINT)) AS cell
+         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 255
+         |), cd AS (
+         |  SELECT pr.qid, b.image_id AS nid,
+         |    (qlat - mlat) * (qlat - mlat)
+         |      + (qlon - mlon) * (qlon - mlon) AS d2
+         |  FROM pr JOIN b USING (cell)
+         |  WHERE b.image_id <> pr.qid
+         |), r AS (
+         |  SELECT qid, nid, d2, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk
+         |  FROM cd
+         |)
+         |SELECT qid, rnk, nid, d2 FROM r WHERE rnk <= 3""".stripMargin))
+
   // -------------------------------------------------------- snapshot / resume
 
   /** Checkpoint the leaf level to an Iceberg-style snapshot, then RESUME
@@ -3303,6 +3344,7 @@ object Queries {
     qPolyMetrics,
     qDistPairs,
     qKnn,
+    qKnnJoin,
     qKnnClassify,
     qKnnBudget,
     qKnnBudgetIncl,

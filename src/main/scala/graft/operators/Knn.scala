@@ -151,6 +151,48 @@ object Knn {
         (col("w") * col("h") * 3).cast("long").as("bytes"))
   }
 
+  /** All-pairs kNN SELF-join (AkNN): every image's k nearest OTHER images
+    * among the candidates sharing its ring-1 cell neighborhood at `res` —
+    * the whole-corpus companion of [[knnExact]]'s query-set form (the
+    * similarity-graph builder: near-dup mining, label propagation and CC
+    * dedup all consume exactly this edge list). Semantics are explicitly
+    * CANDIDATE-BOUNDED: a sparse neighborhood yields < k rows (the
+    * operator never invents far neighbors), which is the contract a
+    * bounded-radius similarity graph wants.
+    *
+    * Distances are INTEGER micro-degree planar squares (quantize once,
+    * then pure BIGINT — the q_bic_k integer-lattice device), so ranks and
+    * the hashed d2 are cross-engine exact. Plan: both sides are the same
+    * binned projection; the probe side explodes its ring (9x fanout of
+    * ids+coords only, never payload), then ONE keyed equi-join on the
+    * candidate's cell and ONE per-query window. At 10^12 rows the join is
+    * AQE-skew-splittable and the window partitions are query-keyed; the
+    * dense-city upgrade path is a per-cell pre-top-k before the window
+    * (same interface). A pair is generated once per shared ring cell =
+    * exactly once (the candidate's own cell is unique). */
+  def knnSelfJoin(images: DataFrame, k: Int,
+                  res: Int = DefaultRes): DataFrame = {
+    import graft.geo.{functions => G}
+    val b = images.select(col("image_id"),
+      floor(col("lat") * lit(1000000)).cast("long").as("mlat"),
+      floor(col("lon") * lit(1000000)).cast("long").as("mlon"),
+      G.cell_encode(col("lat"), col("lon"), res).as("cell"))
+    val probes = b.select(col("image_id").as("qid"),
+      col("mlat").as("qlat"), col("mlon").as("qlon"),
+      explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+    val cands = b.select(col("cell"), col("image_id").as("nid"),
+      col("mlat").as("nlat"), col("mlon").as("nlon"))
+    val d2 = (col("qlat") - col("nlat")) * (col("qlat") - col("nlat")) +
+      (col("qlon") - col("nlon")) * (col("qlon") - col("nlon"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    probes.join(cands, Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .withColumn("d2", d2)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("d2"))
+  }
+
   /** Budgeted top-k, reference semantics (SURVEY.md W3): rank ascending by
     * distance, keep rows while the RUNNING byte total stays <= budget and
     * STOP at the first overflow (raptor/tree_retriever.py:197-209). */

@@ -68,6 +68,35 @@ class SpatialParitySpec extends SparkFunSuite {
     assert(fast == brute)
   }
 
+  test("kNN self-join == driver replay (ring candidates, integer " +
+    "micro-distances, (d2, nid) tie-break)") {
+    import org.apache.spark.sql.functions._
+    val k = 3
+    val got = Knn.knnSelfJoin(images, k, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // independent replay: bin via the engine's encode (cell math pinned in
+    // GridCellSpec), then candidates/distances/ranks in plain Scala
+    val rows = images
+      .select(col("image_id"), col("lat"), col("lon"),
+        graft.geo.functions.cell_encode(col("lat"), col("lon"), 8).as("cell"))
+      .collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1000000).toLong,
+        math.floor(r.getDouble(2) * 1000000).toLong, r.getLong(3)))
+    val byCell = rows.groupBy(_._4)
+    val want = rows.flatMap { case (qid, qlat, qlon, c) =>
+      val cands = graft.geo.GridCell.ring(c, 1).flatMap(
+        byCell.getOrElse(_, Array.empty)).filter(_._1 != qid)
+      cands.map { case (nid, nlat, nlon, _) =>
+        val d2 = (qlat - nlat) * (qlat - nlat) + (qlon - nlon) * (qlon - nlon)
+        (qid, nid, d2)
+      }.sortBy { case (_, nid, d2) => (d2, nid) }
+        .take(k).zipWithIndex
+        .map { case ((q, n, d2), i) => (q, i + 1L, n, d2) }
+    }.toSet
+    assert(got == want && got.size > 1000)
+  }
+
   test("pip prefilter+refine == brute force under the S2 strategy") {
     val fast = SpatialJoin.pipJoin(images, spark,
         strategy = graft.geo.S2Tiling, res = graft.geo.S2Tiling.defaultCoverRes)
