@@ -430,6 +430,94 @@ object QueriesMisc {
          |  CAST(count(*) AS BIGINT) AS n_pass
          |FROM images GROUP BY fmt""".stripMargin))
 
+  /** VIDEO SCENE-CUT DETECTION — the shot-boundary step of a video
+    * training pipeline (sample frames, perceptual-hash each, a cut is a
+    * large adjacent-frame hash distance): synthesize the 8-frame video
+    * ([[graft.multimodal.Raster.videoBytes]]), dHash every frame with the
+    * same codegen kernel as q_image_dhash, hamming via the built-in
+    * `bit_count(a ^ b)` over an image-keyed lag window, threshold at 28
+    * (the independent-frame median, so per-video cut counts genuinely
+    * vary). Emitted per video: transitions, cuts, max/total hamming —
+    * all integers. Runs on the deterministic k%100 audit slice: the
+    * kernel chain is map-only + one keyed window at any scale; the slice
+    * keeps the ORACLE tractable, which must replay the full
+    * per-frame pixel stream (frame f's seed is k + 1000003·(f+1) — 8
+    * recursive splitmix64 chains per video) through grid → gray → dhash
+    * → lag → hamming, proving the entire video path cross-engine. */
+  private val qSceneCuts = Q(
+    "q_scene_cuts", {
+      val CutThresh = 28
+      (s, dir) => {
+        val frames = Images.images(s, dir)
+          .filter(col("k") % 100 === 0)
+          .withColumn("video",
+            M.synthetic_video(col("k"), col("w"), col("h"), lit(8)))
+          .select(col("image_id"), col("w"), col("h"),
+            posexplode(M.frame_sample(col("video"),
+              col("w") * col("h") * lit(3), lit(1))).as(Seq("f", "frame")))
+          .withColumn("dhash", M.dhash56(col("frame"), col("w"), col("h")))
+        val wnd = Window.partitionBy(col("image_id")).orderBy(col("f"))
+        frames
+          .withColumn("prev", lag(col("dhash"), 1).over(wnd))
+          .where(col("prev").isNotNull)
+          .withColumn("ham", expr("bit_count(dhash ^ prev)").cast("long"))
+          .groupBy(col("image_id"))
+          .agg(count(lit(1)).as("n_trans"),
+            sum(when(col("ham") > CutThresh, 1L).otherwise(0L)).as("n_cuts"),
+            max(col("ham")).as("max_ham"),
+            sum(col("ham")).as("ham_sum"))
+      }
+    },
+    Some {
+      val mixS = graft.multimodal.Raster.duckMixSql("s")
+      val nb = "CAST(((((7*h)//8)*w + (7*w)//8)*3 + 2) // 8 + 1 AS INTEGER)"
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, fr AS (
+         |  SELECT k, image_id, w, h, f.r AS f,
+         |    CAST(k + 1000003 * (f.r + 1) AS UBIGINT) AS s0, $nb AS nb
+         |  FROM images, range(0,8) f(r)
+         |  WHERE k % 100 = 0
+         |), chain AS (
+         |  SELECT k, f, 0 AS m, s0 AS s, nb FROM fr
+         |  UNION ALL
+         |  SELECT k, f, m + 1, $mixS, nb FROM chain WHERE m <= nb
+         |), pos AS (
+         |  SELECT fr.k, fr.image_id, fr.f, oy.r AS oy, ox.r AS ox,
+         |    ((oy.r * fr.h // 8) * fr.w + (ox.r * fr.w // 8)) * 3 + c.r AS idx
+         |  FROM fr, range(0,8) oy(r), range(0,8) ox(r), range(0,3) c(r)
+         |), gray AS (
+         |  SELECT p.k, p.image_id, p.f, p.oy, p.ox,
+         |    SUM(CAST((c0.s >> CAST((p.idx % 8) * 8 AS INTEGER)) % 256
+         |      AS INTEGER)) AS g
+         |  FROM pos p
+         |  JOIN chain c0 ON c0.k = p.k AND c0.f = p.f AND c0.m = p.idx // 8 + 2
+         |  GROUP BY 1, 2, 3, 4, 5
+         |), bits AS (
+         |  SELECT a.k, a.f, a.oy * 7 + a.ox AS j
+         |  FROM gray a JOIN gray b
+         |    ON b.k = a.k AND b.f = a.f AND b.oy = a.oy AND b.ox = a.ox + 1
+         |  WHERE a.ox < 7 AND a.g > b.g
+         |), dh AS (
+         |  SELECT fr.k, fr.image_id, fr.f,
+         |    CAST(coalesce(SUM(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0)
+         |      AS BIGINT) AS dhash
+         |  FROM fr LEFT JOIN bits b ON b.k = fr.k AND b.f = fr.f
+         |  GROUP BY 1, 2, 3
+         |), tr AS (
+         |  SELECT image_id,
+         |    ${graft.text.TextOps.DuckD.bitCount(
+               graft.text.TextOps.DuckD.xor("dhash",
+                 "lag(dhash) OVER (PARTITION BY k ORDER BY f)"))} AS ham
+         |  FROM dh
+         |  QUALIFY lag(dhash) OVER (PARTITION BY k ORDER BY f) IS NOT NULL
+         |)
+         |SELECT image_id, CAST(count(*) AS BIGINT) AS n_trans,
+         |  CAST(sum(CASE WHEN ham > 28 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cuts,
+         |  CAST(max(ham) AS BIGINT) AS max_ham,
+         |  CAST(sum(ham) AS BIGINT) AS ham_sum
+         |FROM tr GROUP BY image_id""".stripMargin
+    })
+
   /** AS-OF JOIN over the events table ([[graft.operators.AsOfJoin]]):
     * every non-purchase event picks up the user's most recent purchase
     * value at or before its own timestamp. The engine runs the scalable
@@ -1004,7 +1092,7 @@ object QueriesMisc {
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
-    qTileLuma,
+    qTileLuma, qSceneCuts,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells, qSchemaInspect,

@@ -154,6 +154,48 @@ object NearDup {
       .persist(StorageLevel.MEMORY_AND_DISK), t)
   }
 
+  /** MinHash ESTIMATOR AUDIT over the LSH candidate pairs: per pair the
+    * signature-agreement count (of [[TextOps.MinHashM]] permutations —
+    * agree/m IS the MinHash Jaccard estimate) next to the exact Jaccard
+    * pieces (|A∩B|, |A|, |B|). This is the calibration table a pipeline
+    * uses to pick (t, bands, rows): how far the sketch estimate sits
+    * from truth on real candidates — all integers, no ratio hashed.
+    * Same plan shape as [[lshNearDupPairs]]: banded equi-join candidates,
+    * keyed signature + shingle-set fetch joins; the signature frame is
+    * persisted once and feeds both the banding and the agreement. */
+  def minhashEstimatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until LshB).map { b =>
+      struct(lit(b).as("band"),
+        col(s"mh_${b * LshR}").as("v0"), col(s"mh_${b * LshR + 1}").as("v1"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"),
+        col("bv.v0").as("v0"), col("bv.v1").as("v1"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v0") === col("b.v0") &&
+          col("a.v1") === col("b.v1") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    def side(tag: String) = sig.select(
+      col("doc_id").as(s"doc_$tag") +:
+        (0 until MinHashM).map(j => col(s"mh_$j").as(s"${tag}_mh_$j")): _*)
+    val agree = (0 until MinHashM)
+      .map(j => when(col(s"a_mh_$j") === col(s"b_mh_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sh = docShingled(docs).select(col("doc_id"), col("sh"))
+    cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .withColumn("agree", agree)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("agree"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter_cnt"),
+        size(col("sh_a")).cast("long").as("size_a"),
+        size(col("sh_b")).cast("long").as("size_b"))
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** (doc_id, simhash): 32-bit SimHash over token hashes with multiplicity.

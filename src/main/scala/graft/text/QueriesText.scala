@@ -620,6 +620,46 @@ object QueriesText {
          |) WHERE jac >= $JaccardT""".stripMargin
     })
 
+  /** MinHash estimator audit ([[NearDup.minhashEstimatePairs]]): per LSH
+    * candidate pair, signature agreement (of ${MinHashM} permutations)
+    * next to the exact Jaccard pieces — the sketch-calibration table
+    * (estimate = agree/m, truth = inter/(|A|+|B|−inter); both left as
+    * integers, the q_bic_k lesson). The oracle replays shingles →
+    * 16-permutation MinHash → banding → agreement → exact intersection
+    * end-to-end, so the hash match proves the estimator itself, not just
+    * the pair set. */
+  private val qMinhashEst = Q(
+    "q_minhash_est",
+    (s, dir) => NearDup.minhashEstimatePairs(docs(s, dir)),
+    Some {
+      val bandEq = (0 until LshB).map { b =>
+        val j0 = b * LshR; val j1 = j0 + 1
+        s"(a.mh_$j0 = b.mh_$j0 AND a.mh_$j1 = b.mh_$j1)"
+      }.mkString("(", " OR ", ")")
+      val agree = (0 until MinHashM)
+        .map(j => s"CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$oracleBase,
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${mhSelect(DuckD)}
+         |  FROM h),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $bandEq)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST($agree AS BIGINT) AS agree,
+         |  CAST(${DuckD.arrIntersectSize("xa.sh", "xb.sh")} AS BIGINT)
+         |    AS inter_cnt,
+         |  CAST(${DuckD.size("xa.sh")} AS BIGINT) AS size_a,
+         |  CAST(${DuckD.size("xb.sh")} AS BIGINT) AS size_b
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.doc_a
+         |JOIN sig sb ON sb.doc_id = c.doc_b
+         |JOIN s xa ON xa.doc_id = c.doc_a
+         |JOIN s xb ON xb.doc_id = c.doc_b""".stripMargin
+    })
+
   // ----------------------------------------------------------------- SimHash
 
   private def simhashCte(d: Dialect): String = d match {
@@ -806,7 +846,7 @@ object QueriesText {
     qTokenDist,
     qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
-    qJaccardPairs, qMinhashSig, qLshNearDup,
+    qJaccardPairs, qMinhashSig, qMinhashEst, qLshNearDup,
     qSimhash, qSimhashPairs, qDedupGroups,
     qCmsHeavy, qBloomDedup)
 }
