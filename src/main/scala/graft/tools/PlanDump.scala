@@ -290,7 +290,26 @@ object PlanDump {
           " migration is read-time metadata, no rewrite of committed" +
           " files (at 100 TB: an O(1) catalog change, not an O(data)" +
           " backfill); present columns pass through untouched",
-        graft.Queries.queryMap("q_read_migrated")(spark, dir)))
+        graft.Queries.queryMap("q_read_migrated")(spark, dir)),
+      ("All-pairs kNN self-join (round 5)",
+        "the probe side explodes its ring-1 cells (ids + integer coords" +
+          " only, never payload); candidates come from ONE equi-join on" +
+          " the candidate's own cell and ranking is a query-keyed window" +
+          " — no theta join, no corpus broadcast, AQE-splittable on hot" +
+          " cells",
+        graft.Queries.queryMap("q_knn_join")(spark, dir)),
+      ("BM25 ranked search (round 5)",
+        "query-term postings are filtered BEFORE their shuffle; per-term" +
+          " df and the 1-row corpus stats join broadcast; every scoring" +
+          " step is an integer div; top-k plans as TakeOrderedAndProject" +
+          " (per-partition heap, no global sort)",
+        graft.Queries.queryMap("q_bm25")(spark, dir)),
+      ("Count-Min sketch build + probe (round 5)",
+        "the d x w counter table is ONE keyed partial+final aggregation" +
+          " over the 4x-exploded token stream (map-side combine compacts" +
+          " the fanout); probes join the <= d*w-row sketch BROADCAST —" +
+          " fixed-size mergeable state at any corpus scale",
+        graft.Queries.queryMap("q_cms_heavy")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
