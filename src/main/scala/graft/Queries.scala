@@ -401,38 +401,128 @@ object Queries {
     * q_focal_stats device at res 8) and the quantized distances, so a
     * hash match proves candidate generation, dedup-free pairing AND
     * ranking cross-engine. */
+  // NOTE: aknnCtes is interpolated WITHOUT an outer stripMargin — its ring
+  // construction has bit-ors at line starts, which a re-strip would eat.
   private val qKnnJoin = Q(
     "q_knn_join",
     (s, dir) => Knn.knnSelfJoin(Images.images(s, dir), 3, 8),
+    Some(aknnCtes + "\nSELECT qid, rnk, nid, d2 FROM r WHERE rnk <= 3"))
+
+  /** Shared DuckDB replay of [[Knn.knnSelfJoin]] at (k-unbounded) res 8:
+    * CTE chain ending in `r(qid, nid, d2, rnk)` — the edge-list source of
+    * q_knn_join and the graph-analytics oracles (q_pagerank,
+    * q_label_prop). The ring comes from the cell bit layout (the
+    * q_focal_stats device), distances are integer micro-degrees. */
+  private lazy val aknnCtes: String =
+    s"""$cte, b AS (
+       |  SELECT image_id, ${cellSql(8)} AS cell,
+       |    CAST(floor(lat * 1000000) AS BIGINT) AS mlat,
+       |    CAST(floor(lon * 1000000) AS BIGINT) AS mlon
+       |  FROM images
+       |), xy AS (
+       |  SELECT image_id, mlat, mlon,
+       |    cell & 255 AS x, (cell >> 8) & 255 AS y
+       |  FROM b
+       |), pr AS (
+       |  SELECT image_id AS qid, mlat AS qlat, mlon AS qlon,
+       |    ((CAST(8 AS BIGINT) << 58)
+       |      | (CAST(y + dy.r AS BIGINT) << 8)
+       |      | CAST(((x + dx.r) % 256 + 256) % 256 AS BIGINT)) AS cell
+       |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+       |  WHERE y + dy.r BETWEEN 0 AND 255
+       |), cd AS (
+       |  SELECT pr.qid, b.image_id AS nid,
+       |    (qlat - mlat) * (qlat - mlat)
+       |      + (qlon - mlon) * (qlon - mlon) AS d2
+       |  FROM pr JOIN b USING (cell)
+       |  WHERE b.image_id <> pr.qid
+       |), r AS (
+       |  SELECT qid, nid, d2, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk
+       |  FROM cd
+       |)""".stripMargin
+
+  /** AkNN edges as a directed graph relation, shared by the two graph
+    * queries: `(src, dst)` = every image's k=3 ring-1 neighbors. */
+  private def aknnEdges(s: SparkSession, dir: String): DataFrame =
+    Knn.knnSelfJoin(Images.images(s, dir), 3, 8)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+
+  private val aknnEdgesSql: String =
+    "e AS (SELECT qid AS src, nid AS dst FROM r WHERE rnk <= 3)"
+
+  /** Integer PageRank over the AkNN similarity graph
+    * ([[graft.graph.Graph.pageRank]], 3 unrolled rounds, damping 0.85 at
+    * scale 1e6) — node importance over the near-duplicate neighborhood
+    * graph, the curriculum/sampling weight a training-data pipeline
+    * derives from its similarity structure (≙ walking the reference's
+    * retrieval graph, raptor/tree_retriever.py:86-130, taken to
+    * whole-graph analytics). The oracle unrolls the same three rounds as
+    * CTEs over the same replayed edge list; every step is integer `div`,
+    * so the fixpoint is digit-exact cross-engine. */
+  private val qPagerank = Q(
+    "q_pagerank",
+    (s, dir) => graft.graph.Graph.pageRank(
+      Images.images(s, dir).select(col("image_id").as("id")),
+      aknnEdges(s, dir), iters = 3)
+      .select(col("id").as("image_id"), col("pr").as("pr_q"), col("out_deg")),
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS id, sum(r${i - 1}.pr // d.deg) AS c
+           |  FROM e JOIN deg d USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+           |  GROUP BY e.dst
+           |), r$i AS (
+           |  SELECT n.id,
+           |    CAST(150000 + (85 * COALESCE(c$i.c, 0)) // 100 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN c$i USING (id)
+           |)""".stripMargin
+      }.mkString(",\n")
+      // concatenated, not re-stripMargin'd: aknnCtes carries line-start
+      // bit-ors a second strip would corrupt
+      aknnCtes + ", " + aknnEdgesSql + ",\n" +
+        s"""deg AS (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+           |),
+           |n AS (SELECT image_id AS id FROM images),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n),
+           |""".stripMargin +
+        iterCtes + "\n" +
+        s"""SELECT r3.id AS image_id, r3.pr AS pr_q,
+           |  COALESCE(deg.deg, 0) AS out_deg
+           |FROM r3 LEFT JOIN deg ON deg.src = r3.id""".stripMargin
+    })
+
+  /** One-round majority LABEL PROPAGATION over the AkNN graph
+    * ([[graft.graph.Graph.labelPropagate]]): each image adopts the most
+    * frequent `fmt` among its k=3 nearest neighbors (tie → smallest
+    * label; isolated nodes keep their own with 0 votes) — label smoothing
+    * over near-duplicate neighborhoods, the semi-supervised device that
+    * spreads sparse annotations through a 10^12-image corpus. The window
+    * is NODE-keyed (≤ |labels| partitions of ≤ k rows). */
+  private val qLabelProp = Q(
+    "q_label_prop",
+    (s, dir) => graft.graph.Graph.labelPropagate(
+      Images.images(s, dir).select(col("image_id").as("id"), col("fmt").as("lbl")),
+      aknnEdges(s, dir))
+      .select(col("id").as("image_id"), col("lbl"), col("new_lbl"), col("votes")),
     Some(
-      s"""$cte, b AS (
-         |  SELECT image_id, ${cellSql(8)} AS cell,
-         |    CAST(floor(lat * 1000000) AS BIGINT) AS mlat,
-         |    CAST(floor(lon * 1000000) AS BIGINT) AS mlon
-         |  FROM images
-         |), xy AS (
-         |  SELECT image_id, mlat, mlon,
-         |    cell & 255 AS x, (cell >> 8) & 255 AS y
-         |  FROM b
-         |), pr AS (
-         |  SELECT image_id AS qid, mlat AS qlat, mlon AS qlon,
-         |    ((CAST(8 AS BIGINT) << 58)
-         |      | (CAST(y + dy.r AS BIGINT) << 8)
-         |      | CAST(((x + dx.r) % 256 + 256) % 256 AS BIGINT)) AS cell
-         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
-         |  WHERE y + dy.r BETWEEN 0 AND 255
-         |), cd AS (
-         |  SELECT pr.qid, b.image_id AS nid,
-         |    (qlat - mlat) * (qlat - mlat)
-         |      + (qlon - mlon) * (qlon - mlon) AS d2
-         |  FROM pr JOIN b USING (cell)
-         |  WHERE b.image_id <> pr.qid
-         |), r AS (
-         |  SELECT qid, nid, d2, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rnk
-         |  FROM cd
-         |)
-         |SELECT qid, rnk, nid, d2 FROM r WHERE rnk <= 3""".stripMargin))
+      aknnCtes + ", " + aknnEdgesSql + ",\n" +
+        s"""lab AS (SELECT image_id AS id, fmt AS lbl FROM images),
+           |v AS (
+           |  SELECT e.src, lab.lbl AS nlbl, CAST(count(*) AS BIGINT) AS votes
+           |  FROM e JOIN lab ON lab.id = e.dst
+           |  GROUP BY e.src, lab.lbl
+           |), win AS (
+           |  SELECT src AS id, nlbl, votes FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY src ORDER BY votes DESC, nlbl) AS rn FROM v)
+           |  WHERE rn = 1
+           |)
+           |SELECT lab.id AS image_id, lab.lbl,
+           |  COALESCE(win.nlbl, lab.lbl) AS new_lbl,
+           |  COALESCE(win.votes, 0) AS votes
+           |FROM lab LEFT JOIN win USING (id)""".stripMargin))
 
   // -------------------------------------------------------- snapshot / resume
 
@@ -2014,6 +2104,47 @@ object Queries {
          |    THEN -1 ELSE 0 END AS INTEGER) AS chg
          |FROM a FULL OUTER JOIN b ON a.cell = b.cell""".stripMargin))
 
+  /** TIME-DECAYED CELL HOTNESS — the exponential-decay companion of the
+    * A3 hotness count (q_hot_cells counts all-time; a production heat
+    * layer wants recency-weighted mass): per res-5 cell the event value
+    * mass with a 7-day integer half-life, weight = `v >> (age div 7)`
+    * (age in days against the fixture horizon 19752 = 2024-01-30).
+    * Truncating right-shift on non-negative BIGINTs is the decay device
+    * that stays on the integer lattice — `0.5^(age/7)` in doubles would
+    * put a transcendental in the hashed output (the q_bic_k lesson).
+    * Plan: map-side derive + ONE keyed groupBy (map-side combinable) —
+    * the same shape as the density raster, so it holds at 10^12 events;
+    * a streaming twin would fold the same shifted sums per watermarked
+    * window. */
+  private val qDecayHot = Q(
+    "q_decay_hot",
+    (s, dir) => eventPositions(s, dir, 5)
+      .withColumn("day",
+        floor(unix_micros(col("ts").cast("timestamp")) /
+          lit(86400000000L)).cast("long"))
+      .withColumn("v_milli", expr("cast(floor(value * 1000) as bigint)"))
+      .withColumn("decayed",
+        expr("shiftright(v_milli, cast((19752 - day) div 7 as int))"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(col("v_milli")).as("raw_milli"),
+        sum(col("decayed")).as("decayed_milli")),
+    Some(
+      s"""WITH ${eventCellCtes(5)}, ed AS (
+         |  SELECT pc.cell,
+         |    CAST(floor(epoch_us(pc.ts) / 86400000000) AS BIGINT) AS day,
+         |    CAST(floor(e.value * 1000) AS BIGINT) AS v_milli
+         |  FROM pc JOIN events e ON e.event_id = pc.event_id
+         |), dd AS (
+         |  SELECT cell, v_milli,
+         |    v_milli >> CAST((19752 - day) // 7 AS INTEGER) AS decayed
+         |  FROM ed
+         |)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_ev,
+         |  CAST(sum(v_milli) AS BIGINT) AS raw_milli,
+         |  CAST(sum(decayed) AS BIGINT) AS decayed_milli
+         |FROM dd GROUP BY cell""".stripMargin))
+
   /** AUTOMATIC RESOLUTION SELECTION — the grid-side analog of the BIC
     * model-selection sweep ([[qBicK]] picks k; this picks the binning
     * RESOLUTION): per candidate res 4..9, the occupied-cell count and
@@ -3345,6 +3476,9 @@ object Queries {
     qDistPairs,
     qKnn,
     qKnnJoin,
+    qPagerank,
+    qLabelProp,
+    qDecayHot,
     qKnnClassify,
     qKnnBudget,
     qKnnBudgetIncl,

@@ -841,9 +841,71 @@ object QueriesText {
          |FROM bh JOIN eh USING (doc_id)""".stripMargin
     })
 
+  /** BIGRAM COLLOCATION MINING — the corpus-statistics layer above the
+    * per-doc token stats: adjacent-token bigrams scored by integer-scaled
+    * pointwise mutual information, `pmi_q = (N · c_xy · 10000) div
+    * (c_x · c_y)` (N = total tokens; scale 1e4 keeps the worst-case
+    * product well inside BIGINT under ANSI mode at sf0.1), filtered to
+    * support ≥ 3, top 25 by (pmi_q, x, y) — the phrase/stopword-pattern
+    * detector a corpus-quality pipeline runs before tokenizer training.
+    *
+    * Plan shape: bigrams come from ONE map-side transform-over-sequence
+    * explode (no positional self-join — at 10^12 tokens a (doc, pos)
+    * self-join would shuffle the corpus twice); unigram counts and the
+    * 1-row total join back onto the SUPPORT-FILTERED bigram counts
+    * (vocabulary-sized keyed joins, AQE-broadcastable), and top-k plans
+    * as TakeOrderedAndProject. */
+  private val qPmiColloc = Q(
+    "q_pmi_colloc", {
+      (s, dir) =>
+        val toks = docs(s, dir).select(
+          col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+        val uni = toks.select(explode(col("toks")).as("tok"))
+        val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val nt = uni.agg(count(lit(1)).as("n"))
+        val bg = toks.where(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1)," +
+              " i -> struct(element_at(toks, i) AS x," +
+              " element_at(toks, i + 1) AS y))")).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+        bg.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+          .where(col("c_xy") >= 3)
+          .join(uc.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+          .join(uc.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+          .crossJoin(broadcast(nt))
+          .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+            expr("(n * c_xy * 10000L) div (c_x * c_y)").as("pmi_q"))
+          .orderBy(col("pmi_q").desc, col("x"), col("y")).limit(25)
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents
+         |), u AS (
+         |  SELECT unnest(toks) AS tok FROM d
+         |), uc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok
+         |), nt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM u
+         |), bg AS (
+         |  SELECT unnest(toks[1:len(toks) - 1]) AS x,
+         |    unnest(toks[2:len(toks)]) AS y
+         |  FROM d WHERE len(toks) >= 2
+         |), bc AS (
+         |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+         |  FROM bg GROUP BY x, y HAVING count(*) >= 3
+         |)
+         |SELECT bc.x, bc.y, bc.c_xy, cx.c AS c_x, cy.c AS c_y,
+         |  CAST((nt.n * bc.c_xy * 10000) // (cx.c * cy.c) AS BIGINT) AS pmi_q
+         |FROM bc
+         |JOIN uc cx ON cx.tok = bc.x
+         |JOIN uc cy ON cy.tok = bc.y
+         |CROSS JOIN nt
+         |ORDER BY pmi_q DESC, bc.x, bc.y LIMIT 25""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
-    qTokenDist,
+    qTokenDist, qPmiColloc,
     qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qMinhashEst, qLshNearDup,
