@@ -2145,6 +2145,119 @@ object Queries {
          |  CAST(sum(decayed) AS BIGINT) AS decayed_milli
          |FROM dd GROUP BY cell""".stripMargin))
 
+  /** ORDERED FUNNEL CONVERSION — signup → view → purchase, each stage's
+    * timestamp the FIRST occurrence strictly after the previous stage
+    * (the sequential-pattern query every product-analytics engine ships;
+    * ≙ the reference's staged retrieve-then-rerank pipeline semantics,
+    * tree_retriever.py:86-130, applied to event time). No window and no
+    * raw self-join: each stage is filter-pushdown on event_type + ONE
+    * user-keyed min-agg, then stage frames (≤ |users| rows) join keyed —
+    * at 10^12 events only three type-pruned scans shuffle, each
+    * map-side combinable. Timestamps are exact epoch micros (BIGINT);
+    * absent stages emit -1. */
+  private val qFunnel = Q(
+    "q_funnel",
+    (s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("t"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "view")
+        .join(t1, Seq("user_id"))
+        .where(col("t") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .where(col("t") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+      ev.select(col("user_id")).distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("t1"), lit(-1L)).as("t1_us"),
+          coalesce(col("t2"), lit(-1L)).as("t2_us"),
+          coalesce(col("t3"), lit(-1L)).as("t3_us"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0)
+            .cast("int").as("stage"))
+    },
+    Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+         |), u AS (SELECT DISTINCT user_id FROM ev),
+         |s1 AS (
+         |  SELECT user_id, min(t) AS t1 FROM ev
+         |  WHERE event_type = 'signup' GROUP BY 1
+         |), s2 AS (
+         |  SELECT e.user_id, min(e.t) AS t2
+         |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+         |  WHERE e.event_type = 'view' AND e.t > s1.t1 GROUP BY 1
+         |), s3 AS (
+         |  SELECT e.user_id, min(e.t) AS t3
+         |  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1
+         |)
+         |SELECT u.user_id,
+         |  COALESCE(t1, -1) AS t1_us, COALESCE(t2, -1) AS t2_us,
+         |  COALESCE(t3, -1) AS t3_us,
+         |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+         |            WHEN t2 IS NOT NULL THEN 2
+         |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         |    AS stage
+         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |LEFT JOIN s3 USING (user_id)""".stripMargin))
+
+  /** ACTIVITY GAPS-AND-ISLANDS — per user the maximal runs of CONSECUTIVE
+    * active days coalesced into `[start_day, end_day]` intervals (the
+    * streak/retention primitive; interval coalescing is the SCD-style
+    * temporal op the engine lacked). Classic two-window derivation, both
+    * windows USER-keyed (bounded partitions): lag to mark run breaks,
+    * running sum of breaks to number islands, then one keyed rollup. At
+    * 10^12 events the distinct (user, day) projection partial-aggregates
+    * map-side before any window sees it. */
+  private val qActivityIslands = Q(
+    "q_activity_islands",
+    (s, dir) => {
+      val d = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("day") > col("prev") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(wc))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+         |  FROM events
+         |), b AS (
+         |  SELECT user_id, day,
+         |    CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day)
+         |      IS NULL OR day > lag(day) OVER (PARTITION BY user_id
+         |      ORDER BY day) + 1 THEN 1 ELSE 0 END AS brk
+         |  FROM d
+         |), i AS (
+         |  SELECT user_id, day, CAST(sum(brk) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS island
+         |  FROM b
+         |)
+         |SELECT user_id, island, min(day) AS start_day, max(day) AS end_day,
+         |  CAST(count(*) AS BIGINT) AS n_days
+         |FROM i GROUP BY 1, 2""".stripMargin))
+
   /** AUTOMATIC RESOLUTION SELECTION — the grid-side analog of the BIC
     * model-selection sweep ([[qBicK]] picks k; this picks the binning
     * RESOLUTION): per candidate res 4..9, the occupied-cell count and
@@ -3479,6 +3592,8 @@ object Queries {
     qPagerank,
     qLabelProp,
     qDecayHot,
+    qFunnel,
+    qActivityIslands,
     qKnnClassify,
     qKnnBudget,
     qKnnBudgetIncl,

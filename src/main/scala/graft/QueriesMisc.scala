@@ -968,6 +968,50 @@ object QueriesMisc {
          |FROM hb JOIN ic ON ic.image_id = hb.image_id
          |GROUP BY 1""".stripMargin))
 
+  /** GRAY-WORLD WHITE BALANCE — per-image color-cast estimation: channel
+    * byte sums of the decoded 4x4 thumb ([[graft.multimodal.expressions
+    * .RasterChannelSums]] over the same decode→resize chain as
+    * [[qTileLuma]]) and the integer gray-world gains `gain_c =
+    * (total · 10000) div (3 · s_c + 1)` (the +1 makes the all-dark channel
+    * well-defined identically in both engines). The radiometric
+    * normalization pass a 10^12-image ingest runs before augmentation;
+    * map-only — bytes never leave the scan stage, the emitted row is 4
+    * integers. The oracle replays the full splitmix64 pixel chain per
+    * channel, so decode, sampling, clamping AND the gain arithmetic are
+    * hash-proven. */
+  private val qGrayWorld = Q(
+    "q_gray_world",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .withColumn("cs", M.raster_channel_sums(M.raster_resize(
+        M.raster_decode(col("bytes"), col("fmt")),
+        col("w"), col("h"), lit(4), lit(4))))
+      .select(col("image_id"),
+        element_at(col("cs"), 1).as("s_r"),
+        element_at(col("cs"), 2).as("s_g"),
+        element_at(col("cs"), 3).as("s_b"))
+      .withColumn("tot", col("s_r") + col("s_g") + col("s_b"))
+      .select(col("image_id"), col("s_r"), col("s_g"), col("s_b"),
+        expr("(tot * 10000) div (3 * s_r + 1)").as("gain_r"),
+        expr("(tot * 10000) div (3 * s_g + 1)").as("gain_g"),
+        expr("(tot * 10000) div (3 * s_b + 1)").as("gain_b")),
+    Some(
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}, pxv AS (
+         |  SELECT image_id, ch, CASE WHEN fmt = 'raw' THEN truth
+         |    ELSE least(255, greatest(0, truth + delta)) END AS v
+         |  FROM px
+         |), cs AS (
+         |  SELECT image_id,
+         |    CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS s_r,
+         |    CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS s_g,
+         |    CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS s_b
+         |  FROM pxv GROUP BY 1
+         |)
+         |SELECT image_id, s_r, s_g, s_b,
+         |  ((s_r + s_g + s_b) * 10000) // (3 * s_r + 1) AS gain_r,
+         |  ((s_r + s_g + s_b) * 10000) // (3 * s_g + 1) AS gain_g,
+         |  ((s_r + s_g + s_b) * 10000) // (3 * s_b + 1) AS gain_b
+         |FROM cs""".stripMargin))
+
   // ------------------------------------------------------ schema inspection
 
   /** S3 — SCHEMA-INSPECTION SCAN (≙ analyse_dataset_tokens.py:34-62: load
@@ -1092,7 +1136,7 @@ object QueriesMisc {
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
-    qTileLuma, qSceneCuts,
+    qTileLuma, qSceneCuts, qGrayWorld,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells, qSchemaInspect,

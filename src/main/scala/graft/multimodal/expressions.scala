@@ -71,6 +71,29 @@ case class RasterHist4(child: Expression) extends UnaryExpression with CodegenFa
   override def prettyName: String = "raster_hist4"
 }
 
+/** `RASTER_CHANNEL_SUMS(bytes) -> array<bigint>[3]` per-channel (R,G,B)
+  * byte sums of an interleaved 3-channel raster — the per-image piece of
+  * gray-world white-balance estimation (sums are associative, so corpus
+  * or tile color-cast rollups are one keyed aggregation away, exactly the
+  * [[RasterHist4]] shape). */
+case class RasterChannelSums(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val sums = new Array[Long](3)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % 3) += (bytes(i) & 0xFF).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sums)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "raster_channel_sums"
+}
+
 /** `PSNR_DB(a, b) -> double` per-row fidelity (north-rule invariant:
   * >= 40 dB for lossy, 99 for byte-identical). */
 case class PsnrDb(left: Expression, right: Expression)
@@ -299,6 +322,8 @@ object functions {
     col(SyntheticRaster(expr(k), expr(w), expr(h), expr(fmt)))
   def raster_stats(bytes: Column): Column = col(RasterStats(expr(bytes)))
   def raster_hist4(bytes: Column): Column = col(RasterHist4(expr(bytes)))
+  def raster_channel_sums(bytes: Column): Column =
+    col(RasterChannelSums(expr(bytes)))
   def psnr_db(a: Column, b: Column): Column = col(PsnrDb(expr(a), expr(b)))
   def raster_decode(bytes: Column, fmt: Column): Column =
     col(RasterDecode(expr(bytes), expr(fmt)))

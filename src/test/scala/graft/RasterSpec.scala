@@ -149,4 +149,16 @@ class RasterSpec extends AnyFunSuite {
     assert(bins.toSeq == Seq(3L, 2L, 1L, 2L))
     assert(bins.sum == 8L)
   }
+
+  test("raster_channel_sums kernel: interleaved R/G/B sums, unsigned bytes") {
+    // 2 pixels: (1, 2, 3) and (255 as -1, 0, 10)
+    val expr = graft.multimodal.RasterChannelSums(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        Array[Byte](1, 2, 3, -1, 0, 10),
+        org.apache.spark.sql.types.BinaryType))
+    val sums = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    assert(sums.toSeq == Seq(256L, 2L, 13L))
+  }
 }
