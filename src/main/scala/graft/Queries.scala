@@ -2258,6 +2258,46 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS n_days
          |FROM i GROUP BY 1, 2""".stripMargin))
 
+  /** COHORT RETENTION MATRIX — users grouped by first-active week (cohort
+    * 0..4 against the fixture epoch-week origin 19723 = 2024-01-01), and
+    * for each (cohort, week-offset) the distinct users still active and
+    * their event volume — the analytics staple that reads activity as a
+    * triangular matrix. Shape: distinct (user, day) partial-aggregates
+    * map-side; the per-user first-day frame (≤ |users| rows) joins back
+    * KEYED; the final rollup is a ~25-key agg. The cohort assignment and
+    * offsets are pure integer div — no date lib, no tz surface. */
+  private val qRetention = Q(
+    "q_retention",
+    (s, dir) => {
+      val d = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long").as("day"))
+        .distinct()
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("f"))
+      d.join(f, Seq("user_id"))
+        .select(col("user_id"),
+          expr("(f - 19723) div 7").as("cohort_week"),
+          expr("(day - f) div 7").as("week_off"))
+        .groupBy(col("cohort_week"), col("week_off"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_user_days"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, min(day) AS f FROM d GROUP BY 1
+         |)
+         |SELECT (f.f - 19723) // 7 AS cohort_week,
+         |  (d.day - f.f) // 7 AS week_off,
+         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users,
+         |  CAST(count(*) AS BIGINT) AS n_user_days
+         |FROM d JOIN f USING (user_id)
+         |GROUP BY 1, 2""".stripMargin))
+
   /** AUTOMATIC RESOLUTION SELECTION — the grid-side analog of the BIC
     * model-selection sweep ([[qBicK]] picks k; this picks the binning
     * RESOLUTION): per candidate res 4..9, the occupied-cell count and
@@ -2641,6 +2681,70 @@ object Queries {
          |  CAST(sum(CASE WHEN cell = ocell THEN cnt ELSE 0 END) AS BIGINT)
          |    AS center_cnt
          |FROM contrib GROUP BY 1""".stripMargin))
+
+  /** BILINEAR RASTER UPSAMPLE — 2x magnification of the res-5 density
+    * raster to the res-6 grid (gdal `-r bilinear` / image-pyramid
+    * magnification: the missing RESAMPLING member of the raster family —
+    * local ops q_density_raster, focal q_focal_stats, interpolation
+    * q_idw_surface, decimation q_raster_pyramid; this goes the other
+    * direction). Half-pixel-center bilinear: each output pixel mixes its
+    * 2x2 source neighborhood with weights {9,3,3,1}/16 — emitted as the
+    * EXACT integer numerator `up16` (sum of 16ths; the consumer's one
+    * division), zero-padded at borders and off-support (documented
+    * convention: sparse scatter, no densification). Scatter form: each
+    * occupied source pixel explodes to its 4x4 output refs (16x fanout
+    * bounded by the OCCUPIED grid, never the point count), one keyed
+    * shuffle on the output pixel — q_focal_stats' scale shape. */
+  private val qRasterUpsample = Q(
+    "q_raster_upsample",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 5))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val offs = "array(struct(-1L AS d, 1L AS wt), struct(0L AS d, 3L AS wt)," +
+        " struct(1L AS d, 3L AS wt), struct(2L AS d, 1L AS wt))"
+      g.select(col("cnt"),
+          col("cell").bitwiseAND(lit(31L)).as("x"),
+          shiftright(col("cell"), 5).bitwiseAND(lit(31L)).as("y"))
+        .select(col("cnt"), col("y"), explode(expr(offs)).as("ox"), col("x"))
+        .select(col("cnt"), col("y"),
+          (col("x") * 2 + col("ox.d")).as("x6"), col("ox.wt").as("wx"))
+        .where(col("x6").between(0, 63))
+        .select(col("cnt"), col("x6"), col("wx"), explode(expr(offs)).as("oy"),
+          col("y"))
+        .select(col("cnt"), col("x6"),
+          (col("y") * 2 + col("oy.d")).as("y6"),
+          (col("wx") * col("oy.wt")).as("w"))
+        .where(col("y6").between(0, 63))
+        .groupBy(col("x6"), col("y6"))
+        .agg(sum(col("w") * col("cnt")).as("up16"),
+          count(lit(1)).as("n_src"))
+        .select(
+          shiftleft(lit(6L), 58).bitwiseOR(shiftleft(col("y6"), 6))
+            .bitwiseOR(col("x6")).as("cell"),
+          col("x6"), col("y6"), col("up16"), col("n_src"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(5)} AS cell, count(*) AS cnt FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cnt, cell & 31 AS x, (cell >> 5) & 31 AS y FROM g
+         |), wgt AS (
+         |  SELECT * FROM (VALUES (-1, 1), (0, 3), (1, 3), (2, 1)) w(d, wt)
+         |), sc AS (
+         |  SELECT x * 2 + wx.d AS x6, y * 2 + wy.d AS y6,
+         |    wx.wt * wy.wt AS w, cnt
+         |  FROM xy, wgt wx, wgt wy
+         |  WHERE x * 2 + wx.d BETWEEN 0 AND 63
+         |    AND y * 2 + wy.d BETWEEN 0 AND 63
+         |)
+         |SELECT ((CAST(6 AS BIGINT) << 58)
+         |    | (CAST(y6 AS BIGINT) << 6) | CAST(x6 AS BIGINT)) AS cell,
+         |  CAST(x6 AS BIGINT) AS x6, CAST(y6 AS BIGINT) AS y6,
+         |  CAST(sum(w * cnt) AS BIGINT) AS up16,
+         |  CAST(count(*) AS BIGINT) AS n_src
+         |FROM sc GROUP BY 1, 2, 3""".stripMargin))
 
   /** IDW surface interpolation (Shepard's method) on the binned grid —
     * the gdal_grid / geostatistics operator, completing the raster
@@ -3594,6 +3698,8 @@ object Queries {
     qDecayHot,
     qFunnel,
     qActivityIslands,
+    qRetention,
+    qRasterUpsample,
     qKnnClassify,
     qKnnBudget,
     qKnnBudgetIncl,
