@@ -730,6 +730,85 @@ object QueriesText {
          |SELECT id AS doc_id, min(r) AS rep_id FROM cc GROUP BY id"""
         .stripMargin))
 
+  /** CANONICAL KEEPER SELECTION — the composition the dedup family exists
+    * for: connected-component duplicate groups ([[qDedupGroups]]'s exact
+    * machinery) joined with the quality scores ([[qQuality]]'s integer
+    * chain), and per group the HIGHEST-QUALITY member picked as the
+    * surviving document (tie → smallest doc_id) — "which row do we keep"
+    * is the decision a 100 TB dedup pass actually emits, not just the
+    * group labels. One GROUP-keyed window over ≤ group-size partitions;
+    * the oracle composes the same recursive-CTE closure with the same
+    * replayed score, so group membership AND the argmax are hash-proven
+    * together. */
+  private val qDedupKeeper = Q(
+    "q_dedup_keeper",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir)
+      val sims = NearDup.simhashDocs(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val groups = graft.dedup.Components.connectedComponents(
+        sims.select(col("doc_id").as("id")),
+        NearDup.simhashPairsOf(sims, persistBands = false)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+      val quality = base
+        .select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          expr(langScore(SparkD, "toks", StopWords)).as("n_stop"))
+        .withColumn("score",
+          expr(qualityScore(SparkD, "n_tokens", "n_distinct", "n_stop")))
+        .select(col("doc_id"), col("score"))
+      val w = Window.partitionBy(col("rep_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val out = groups.join(quality, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("rep_id"))
+        .agg(max(when(col("rn") === 1, col("doc_id"))).as("keeper"),
+          max(when(col("rn") === 1, col("score"))).as("keeper_score"),
+          count(lit(1)).as("n_docs"))
+      // CC is eagerly materialized inside connectedComponents (per-round
+      // localCheckpoint), so the shared cache can be released here
+      sims.unpersist(blocking = false)
+      out
+    },
+    Some(
+      s"""${simhashCte(DuckD).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |edges AS MATERIALIZED (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sim a JOIN sim b ON a.doc_id <> b.doc_id
+         |  WHERE ${DuckD.bitCount(DuckD.xor("a.simhash", "b.simhash"))}
+         |    <= $SimHammingMax
+         |),
+         |cc AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM sim
+         |  UNION
+         |  SELECT e.v AS id, cc.r FROM cc JOIN edges e ON e.u = cc.id
+         |),
+         |g AS (SELECT id AS doc_id, min(r) AS rep_id FROM cc GROUP BY id),
+         |m AS (
+         |  SELECT doc_id,
+         |    ${DuckD.size("toks")} AS n_tokens,
+         |    ${DuckD.size(DuckD.arrDistinct("toks"))} AS n_distinct,
+         |    ${langScore(DuckD, "toks", StopWords)} AS n_stop
+         |  FROM d),
+         |q AS (
+         |  SELECT doc_id,
+         |    ${qualityScore(DuckD, "n_tokens", "n_distinct", "n_stop")} AS score
+         |  FROM m),
+         |j AS (
+         |  SELECT g.rep_id, g.doc_id, q.score, row_number() OVER (
+         |    PARTITION BY g.rep_id ORDER BY q.score DESC, g.doc_id) AS rn
+         |  FROM g JOIN q USING (doc_id)
+         |)
+         |SELECT rep_id,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+         |  max(CASE WHEN rn = 1 THEN score END) AS keeper_score,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM j GROUP BY rep_id""".stripMargin))
+
   // ------------------------------------------------- round-5 sketch operators
 
   /** Count-Min frequency sketch over the token stream
@@ -909,6 +988,6 @@ object QueriesText {
     qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qMinhashEst, qLshNearDup,
-    qSimhash, qSimhashPairs, qDedupGroups,
+    qSimhash, qSimhashPairs, qDedupGroups, qDedupKeeper,
     qCmsHeavy, qBloomDedup)
 }

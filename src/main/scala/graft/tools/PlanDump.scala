@@ -309,7 +309,29 @@ object PlanDump {
           " over the 4x-exploded token stream (map-side combine compacts" +
           " the fanout); probes join the <= d*w-row sketch BROADCAST —" +
           " fixed-size mergeable state at any corpus scale",
-        graft.Queries.queryMap("q_cms_heavy")(spark, dir)))
+        graft.Queries.queryMap("q_cms_heavy")(spark, dir)),
+      ("Integer PageRank over the AkNN graph (round 5)",
+        "each of the 3 unrolled rounds is ONE keyed join (edges x ranks" +
+          " on src — both sides hash-partitioned on the same key) plus" +
+          " ONE map-side-combinable aggregation on dst; no window, no" +
+          " broadcast that grows with the graph, nothing collected to" +
+          " the driver — the classic keyed-join PageRank shape that" +
+          " scales to any edge count",
+        graft.Queries.queryMap("q_pagerank")(spark, dir)),
+      ("Bilinear raster upsample (round 5)",
+        "scatter form: each OCCUPIED res-5 pixel explodes to its 16" +
+          " (dX, dY, weight) output refs — fanout bounded by the grid" +
+          " resolution, never the point count — then ONE keyed shuffle" +
+          " on the output pixel; weights are exact integer sixteenths," +
+          " so the emitted numerators hash cross-engine",
+        graft.Queries.queryMap("q_raster_upsample")(spark, dir)),
+      ("Ordered funnel conversion (round 5)",
+        "each stage is a type-pruned scan (filter reaches the parquet" +
+          " row groups) + a user-keyed min-agg; stage frames are <=" +
+          " |users| rows and join keyed — the raw event table is never" +
+          " self-joined and no window is planned, so 10^12 events mean" +
+          " three prunable scans, not a sort",
+        graft.Queries.queryMap("q_funnel")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
