@@ -2055,6 +2055,60 @@ object Queries {
          |GROUP BY 1, 2""".stripMargin
     })
 
+  /** GEOFENCE DWELL TIME — how LONG each user stays inside each fence,
+    * not just how often ([[qEventGeofence]] counts hits; dwell is the
+    * billing/exposure metric an ST engine actually sells): in-fence event
+    * stamps sessionized per (fence, user) with a 30-minute gap cap —
+    * consecutive-hit gaps ≤ 30 min accrue as dwell, larger gaps break the
+    * visit (exact epoch-micro integers throughout). Same broadcast
+    * covering-index + codegen ray-cast scan shape as the geofence rollup;
+    * the one window is (fence, user)-keyed. */
+  private val qGeofenceDwell = Q(
+    "q_geofence_dwell",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val res = SpatialJoin.CoverRes
+      val idx = SpatialJoin.coverIndex(s, Fixtures.polys, res,
+        graft.geo.QuadkeyTiling)
+      val hits = eventPositions(s, dir, res)
+        .join(broadcast(idx), Seq("cell"))
+        .filter(G.point_in_poly(col("lat"), col("lon"),
+          col("lats"), col("lons")))
+        .select(col("poly_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t"))
+      val w = Window.partitionBy(col("poly_id"), col("user_id"))
+        .orderBy(col("t"))
+      hits.withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .groupBy(col("poly_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(when(col("gap").isNotNull &&
+              col("gap") <= lit(1800000000L), col("gap"))
+            .otherwise(lit(0L))).as("dwell_us"),
+          sum(when(col("gap") > lit(1800000000L), lit(1L))
+            .otherwise(lit(0L))).as("n_visits_broken"))
+    },
+    Some {
+      val parts = Fixtures.polys.map { p =>
+        s"""SELECT '${p.polyId}' AS poly_id, user_id, t
+           |FROM pd WHERE ${Fixtures.polySql(p)}""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${eventCellCtes(6)}, pd AS (
+         |  SELECT lat, lon, user_id, epoch_us(ts) AS t FROM pos
+         |), g AS (
+         |  SELECT poly_id, user_id, t,
+         |    t - lag(t) OVER (PARTITION BY poly_id, user_id ORDER BY t)
+         |      AS gap
+         |  FROM ($parts) u
+         |)
+         |SELECT poly_id, user_id,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 1800000000
+         |    THEN gap ELSE 0 END) AS BIGINT) AS dwell_us,
+         |  CAST(sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_visits_broken
+         |FROM g GROUP BY 1, 2""".stripMargin
+    })
+
   /** TEMPORAL CHANGE DETECTION — the time-axis companion of
     * [[qRasterDiff]]'s cross-dataset band math: the event-density raster
     * of the stream's FIRST nine days vs everything after (fixed epoch-day
@@ -3700,6 +3754,7 @@ object Queries {
     qActivityIslands,
     qRetention,
     qRasterUpsample,
+    qGeofenceDwell,
     qKnnClassify,
     qKnnBudget,
     qKnnBudgetIncl,
