@@ -618,6 +618,96 @@ object StreamingTiles {
   }
 
 
+  /** A finalized funnel transition of [[funnelStream]]: `uid` reached
+    * `stage` (1 = signup, 2 = view-after-signup, 3 = purchase-after-view)
+    * at event time `t_us`. Each (uid, stage) is emitted exactly once. */
+  case class FunnelHit(user_id: Long, stage: Int, t_us: Long)
+  /** State of [[funnelStream]]: events still inside the watermark delay
+    * (as (t_us, type-index) pairs) + the finalized stage stamps (-1 =
+    * not reached) + how many stages have already been emitted. */
+  case class FunnelSt(buf: List[(Long, Int)], t1: Long, t2: Long, t3: Long,
+                      emitted: Int)
+
+  /** One state transition of the streaming funnel (pure; unit under
+    * StreamingSpec's incremental parity): buffer fresh events, fold the
+    * sub-watermark prefix in event-time order through the strict-after
+    * stage rule, emit newly finalized transitions. A stamp set from the
+    * finalized prefix is EXACT: every future admitted event has
+    * t >= watermark > every folded event, so it can neither lower a min
+    * nor create an earlier qualifying chain. */
+  private[graft] def advanceFunnel(uid: Long, st: FunnelSt,
+      fresh: Seq[(Long, Int)], wmUs: Long): (List[FunnelHit], FunnelSt) = {
+    val (fin, keep) = (st.buf ++ fresh).sortBy(identity).partition(_._1 < wmUs)
+    var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+    fin.foreach { case (t, ti) =>
+      if (ti == 1 && t1 < 0) t1 = t
+      else if (ti == 2 && t2 < 0 && t1 >= 0 && t > t1) t2 = t
+      else if (ti == 3 && t3 < 0 && t2 >= 0 && t > t2) t3 = t
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+    if (st.emitted < 1 && t1 >= 0) out += FunnelHit(uid, 1, t1)
+    if (st.emitted < 2 && t2 >= 0) out += FunnelHit(uid, 2, t2)
+    if (st.emitted < 3 && t3 >= 0) out += FunnelHit(uid, 3, t3)
+    val emitted = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
+    (out.toList, FunnelSt(keep, t1, t2, t3, emitted))
+  }
+
+  /** STREAMING FUNNEL PROGRESSION — the streaming form of `q_funnel`:
+    * signup → view → purchase stage transitions emitted EXACTLY ONCE per
+    * user as they become unrevisable under the event-time watermark
+    * (sequential pattern matching with bounded disorder — the state shape
+    * the session/stay operators don't cover). Only sub-watermark events
+    * are folded, in event-time order, so a stamped stage is bit-identical
+    * to the batch funnel's on any increment order; stages never reached
+    * are simply never emitted (batch's -1 rows). State per user =
+    * O(events inside the delay window) buffered pairs + three stamps —
+    * O(rate × delay), NOT stream length; stage-3-complete users whose
+    * buffer drains drop their state entirely. Idle users flush via an
+    * event-time timeout one tick past the watermark. */
+  def funnelStream(spark: SparkSession, dir: String,
+                   delay: String = "2 hours"): Dataset[FunnelHit] = {
+    import spark.implicits._
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", delay)
+      .withColumn("ti",
+        when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "view", 2)
+          .when(col("event_type") === "purchase", 3))
+      .filter(col("ti").isNotNull)
+      // keep the watermarked column itself — the event-time timeout needs
+      // it to survive to the stateful operator
+      .select(col("user_id"), unix_micros(col("ets")).as("t"), col("ti"),
+        col("ets"))
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[FunnelSt]) =>
+          val prev = state.getOption.getOrElse(FunnelSt(Nil, -1L, -1L, -1L, 0))
+          val fresh = rows.map(r => (r._2, r._3)).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (hits, next) = advanceFunnel(uid, prev, fresh, wmUs)
+          // state hygiene: completed funnels (all 3 emitted, buffer
+          // drained) and no-progress users (nothing buffered, no stamp)
+          // carry NO state at all — state is strictly O(active funnels)
+          if (next.buf.isEmpty && (next.emitted == 3 || next.t1 < 0)) {
+            state.remove()
+          } else {
+            state.update(next)
+            // flush buffered events once the watermark passes them; no
+            // buffer -> no timeout needed (stamps only change on data)
+            if (next.buf.nonEmpty) {
+              val horizonMs = next.buf.map(_._1).max / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          hits.iterator
+      }
+  }
+
   /** STREAM-STREAM INTERVAL JOIN — the streaming form of
     * `q_interval_join`: error intervals and click points arrive on the
     * SAME stream and must pair while both sides are in flight. Uses the

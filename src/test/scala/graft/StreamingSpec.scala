@@ -814,4 +814,97 @@ class StreamingSpec extends SparkFunSuite {
     }.groupBy(identity).map { case (k, v) => k -> v.length }
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming funnel: late-arriving earlier signup is folded exactly; " +
+    "each stage emitted once") {
+    val inDir = Files.createTempDirectory("graft-funnel-in").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-ck").toString
+    val outDir = Files.createTempDirectory("graft-funnel-out").toString
+    val Min = 60000000L
+    val B = 1000 * Min
+    def dump(events: Seq[(Long, Long, String, Long)]): Unit = {
+      import spark.implicits._
+      events.toDF("event_id", "tus", "event_type", "uid")
+        .select(col("event_id"),
+          expr("timestamp_micros(tus)").cast("timestamp_ntz").as("ts"),
+          col("uid").as("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    def run(): Unit = {
+      val q = StreamingTiles.funnelStream(spark, inDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: view BEFORE any signup (must not stamp stage 2), purchase
+    dump(Seq((1L, B + 20 * Min, "view", 1L), (2L, B + 30 * Min, "signup", 1L),
+      (3L, B + 100 * Min, "purchase", 1L)))
+    run()
+    // batch 2: LATE earlier signup — the true t1; makes the +20min view
+    // the true t2 (strictly after), and the purchase the true t3
+    dump(Seq((4L, B + 10 * Min, "signup", 1L)))
+    run()
+    // fences: advance the watermark past everything (recorded at batch
+    // end), then drive one more batch under it to finalize. Fence rows
+    // must be FUNNEL types: the type filter is pushed below the
+    // watermark collector, so a filtered type never advances event time.
+    // Fencing with user 999 keeps them out of user 1's state; their own
+    // events stay above the final watermark so 999 emits nothing.
+    dump(Seq((5L, B + 600 * Min, "signup", 999L)))
+    run()
+    dump(Seq((6L, B + 601 * Min, "signup", 999L)))
+    run()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+        r.getAs[Long]("t_us"))).toSeq.sorted
+    assert(got == Seq((1L, 1, B + 10 * Min), (1L, 2, B + 20 * Min),
+      (1L, 3, B + 100 * Min)), s"funnel drifted: $got")
+  }
+
+  test("funnel state math: randomized increments == batch fold " +
+    "(pure sweep, exactly-once emission)") {
+    import graft.streaming.StreamingTiles.{FunnelSt, advanceFunnel}
+    val rnd = new scala.util.Random(225)
+    (0 until 300).foreach { trial =>
+      val n = 1 + rnd.nextInt(30)
+      val events = Seq.fill(n)(
+        (1L + math.abs(rnd.nextLong() % 10000L), 1 + rnd.nextInt(3)))
+      val nBatches = 1 + rnd.nextInt(5)
+      val batches = events.groupBy(_ => rnd.nextInt(nBatches)).toSeq
+        .sortBy(_._1).map(_._2)
+      var st = FunnelSt(Nil, -1L, -1L, -1L, 0)
+      var wm = 0L
+      var admitted = List.empty[(Long, Int)]
+      val emitted = scala.collection.mutable.ListBuffer
+        .empty[graft.streaming.StreamingTiles.FunnelHit]
+      batches.foreach { b =>
+        val ok = b.filter(_._1 >= wm) // engine drops below-watermark rows
+        admitted = admitted ++ ok
+        val (out, st2) = advanceFunnel(7L, st, ok, wm)
+        emitted ++= out
+        st = st2
+        if (admitted.nonEmpty)
+          wm = math.max(wm,
+            admitted.map(_._1).max - math.abs(rnd.nextLong() % 5000L))
+      }
+      // final flush: watermark past everything
+      val (out, _) = advanceFunnel(7L, st, Nil, Long.MaxValue)
+      emitted ++= out
+      // batch truth over the admitted events
+      val sorted = admitted.sorted
+      val t1 = sorted.collectFirst { case (t, 1) => t }.getOrElse(-1L)
+      val t2 = if (t1 < 0) -1L
+        else sorted.collectFirst { case (t, 2) if t > t1 => t }.getOrElse(-1L)
+      val t3 = if (t2 < 0) -1L
+        else sorted.collectFirst { case (t, 3) if t > t2 => t }.getOrElse(-1L)
+      val want = Seq((1, t1), (2, t2), (3, t3)).filter(_._2 >= 0)
+        .map { case (s, t) => (7L, s, t) }
+      val gotSeq = emitted.map(h => (h.user_id, h.stage, h.t_us)).toSeq
+      assert(gotSeq.distinct == gotSeq, s"trial $trial re-emitted: $gotSeq")
+      assert(gotSeq.sorted == want.sorted,
+        s"trial $trial drifted: got $gotSeq want $want (admitted $sorted)")
+    }
+  }
 }
