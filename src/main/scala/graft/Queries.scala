@@ -3731,7 +3731,204 @@ object Queries {
          |FROM sm WHERE d <= dmin * $rho""".stripMargin
     })
 
+  // ------------------------------------------- temporal trend analytics
+
+  /** Dense (res-5 cell × observed day) event counts — the shared input of
+    * the Mann-Kendall trend and anomaly-spike queries: per-cell daily
+    * counts densified over the GLOBAL observed-day set (missing days are
+    * true zeros — a cell that went quiet must count against its trend).
+    * Scale shape: one partial-aggregated groupBy on (cell, day), then a
+    * broadcast cross of the occupied-cell set with the tiny day dimension
+    * (T = analysis horizon in days — a configuration-bounded constant,
+    * never data-sized) and a keyed left join back. */
+  private def denseDailyCells(s: SparkSession, dir: String,
+                              res: Int = 5): DataFrame = {
+    val daily = eventPositions(s, dir, res)
+      .groupBy(col("cell"),
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(86400000000L))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.select("cell").distinct()
+      .crossJoin(broadcast(daily.select("day").distinct()))
+      .join(daily, Seq("cell", "day"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+  }
+
+  /** Oracle twin of [[denseDailyCells]]: CTEs `d/days/cells/dd` over the
+    * `pc` chain of [[eventCellCtes]], ending in `dd(cell, day, cnt)`. */
+  private val denseDailyCtes: String =
+    s"""d AS (
+       |  SELECT cell, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pc GROUP BY 1, 2
+       |), days AS (SELECT DISTINCT day FROM d),
+       |cells AS (SELECT DISTINCT cell FROM d),
+       |dd AS (
+       |  SELECT c.cell, days.day, coalesce(d.cnt, 0) AS cnt
+       |  FROM cells c CROSS JOIN days
+       |  LEFT JOIN d ON d.cell = c.cell AND d.day = days.day
+       |)""".stripMargin
+
+  /** MANN-KENDALL TREND PER CELL — the "emerging hot spot" composition
+    * (the temporal leg ArcGIS pairs with Getis-Ord Gi*): per occupied
+    * res-5 cell, the Mann-Kendall S statistic over its dense daily counts
+    * `S = Σ_{i<j} sign(c_j − c_i)`, with the normal-approximation
+    * significance test at α = 0.05 carried ENTIRELY IN INTEGERS — z > 1.96
+    * on the continuity-corrected score ⇔ 180000·(|S|−1)² >
+    * 38416·T(T−1)(2T+5) (both sides BIGINT; the untied-variance form —
+    * tie correction documented out: zero-inflated counts tie heavily and
+    * both engines apply the same convention). Labels: `emerging`
+    * (significant upward), `waning` (significant downward), `stable`.
+    * No transcendental touches the hashed output (the q_bic_k lesson).
+    *
+    * Scale shape: the day-pair fanout is T(T−1)/2 per cell with T a
+    * configuration constant (the analysis horizon — 30 here), keyed by
+    * cell; at 10^12 events the dominant cost stays the ONE (cell, day)
+    * groupBy with map-side combine, and the pair stage is
+    * occupied-cells × O(T²) — grid-bounded, never event-sized. */
+  private val qMannKendall = Q(
+    "q_mann_kendall",
+    (s, dir) => {
+      val dd = denseDailyCells(s, dir)
+      val sstat = dd.as("a")
+        .join(dd.as("b"),
+          col("a.cell") === col("b.cell") && col("b.day") > col("a.day"))
+        .groupBy(col("a.cell").as("cell"))
+        .agg(sum(when(col("b.cnt") > col("a.cnt"), 1L)
+          .when(col("b.cnt") < col("a.cnt"), -1L)
+          .otherwise(0L)).as("s_stat"))
+      val tglob = dd.select("day").distinct()
+        .agg(count(lit(1)).as("t_days"))
+      val sig = abs(col("s_stat")) > 0 &&
+        lit(180000L) * (abs(col("s_stat")) - 1L) * (abs(col("s_stat")) - 1L) >
+          lit(38416L) * col("t_days") * (col("t_days") - 1L) *
+            (lit(2L) * col("t_days") + 5L)
+      sstat.crossJoin(broadcast(tglob))
+        .select(col("cell"), col("t_days"), col("s_stat"),
+          when(sig && col("s_stat") > 0, lit("emerging"))
+            .when(sig && col("s_stat") < 0, lit("waning"))
+            .otherwise(lit("stable")).as("trend"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, $denseDailyCtes, sp AS (
+         |  SELECT a.cell,
+         |    CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+         |      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM dd a JOIN dd b ON b.cell = a.cell AND b.day > a.day
+         |  GROUP BY 1
+         |), tg AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS t_days FROM d)
+         |SELECT cell, t_days, s_stat,
+         |  CASE WHEN abs(s_stat) > 0
+         |      AND 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+         |        > 38416 * t_days * (t_days - 1) * (2 * t_days + 5)
+         |    THEN CASE WHEN s_stat > 0 THEN 'emerging' ELSE 'waning' END
+         |    ELSE 'stable' END AS trend
+         |FROM sp CROSS JOIN tg""".stripMargin))
+
+  /** DAILY ANOMALY SPIKES — the outlier leg of the temporal family
+    * ([[qMannKendall]] = monotone trend; this = single-day departures from
+    * a cell's own history): a (res-3 cell, day) is a spike when its count
+    * is ≥ 8 and exceeds 1.5× the cell's horizon mean — tested as
+    * `2·T·c > 3·S` on exact integers (no division; the 3/2 multiplier is
+    * a configuration threshold, set where the uniform synthetic stream
+    * still produces genuine high-side outliers). Emits the spike rows
+    * with their integer evidence (cnt, horizon total, the positive
+    * `dev = 2·T·c − 3·S` margin). Coarser res than the trend query —
+    * anomaly detection needs day-counts with real mass, trend only needs
+    * ranks. Same dense-daily scale shape; the spike filter is map-side
+    * after one keyed join of the daily frame to its per-cell totals. */
+  private val qAnomalyCells = Q(
+    "q_anomaly_cells",
+    (s, dir) => {
+      val dd = denseDailyCells(s, dir, res = 3)
+      val tot = dd.groupBy("cell").agg(sum("cnt").as("s_total"))
+      val tglob = dd.select("day").distinct()
+        .agg(count(lit(1)).as("t_days"))
+      dd.join(tot, "cell").crossJoin(broadcast(tglob))
+        .where(col("cnt") >= 8 &&
+          lit(2L) * col("t_days") * col("cnt") > lit(3L) * col("s_total"))
+        .select(col("cell"), col("day"), col("cnt"), col("s_total"),
+          (lit(2L) * col("t_days") * col("cnt") - lit(3L) * col("s_total"))
+            .as("dev"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(3)}, $denseDailyCtes, tot AS (
+         |  SELECT cell, CAST(sum(cnt) AS BIGINT) AS s_total
+         |  FROM dd GROUP BY 1
+         |), tg AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS t_days FROM d)
+         |SELECT dd.cell, dd.day, dd.cnt, tot.s_total,
+         |  2 * tg.t_days * dd.cnt - 3 * tot.s_total AS dev
+         |FROM dd JOIN tot ON tot.cell = dd.cell CROSS JOIN tg
+         |WHERE dd.cnt >= 8
+         |  AND 2 * tg.t_days * dd.cnt > 3 * tot.s_total""".stripMargin))
+
+  /** PER-TILE INTEGRAL IMAGE (summed-area table) — the raster-algebra
+    * primitive that makes box filters O(1) per query pixel: for every
+    * occupied res-4 tile, densify its 8×8 res-7 subgrid (64 pixels,
+    * missing = 0) and compute `SAT(x,y) = Σ_{x'≤x, y'≤y} cnt(x',y')` as
+    * two KEYED cumulative windows — row prefix within (tile, py), then
+    * column prefix of the row prefixes within (tile, px). Local pixel
+    * coords are bit-slices of the res-7 cell id (px = c & 7,
+    * py = (c>>7) & 7 — the quadtree nesting identity again), so no
+    * geometry math. All integers.
+    *
+    * Scale shape: after the one data-sized (res-7) groupBy, everything is
+    * bounded by PIXELS (64 × occupied tiles); both windows are keyed by
+    * tile — thousands of independent 8-row partitions, never a
+    * partitionless sort. At 10^12 points this is the tile-server
+    * preaggregation pass: emit SAT planes once, answer every box-sum
+    * query with 4 lookups. */
+  private val qIntegralImage = Q(
+    "q_integral_image",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val pix = Images.images(s, dir)
+        .withColumn("c", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("c").agg(count(lit(1)).as("cnt"))
+        .select(G.cell_parent_at(col("c"), 4).as("tile"),
+          shiftright(col("c"), 7).bitwiseAND(lit(7L)).as("py"),
+          col("c").bitwiseAND(lit(7L)).as("px"),
+          col("cnt"))
+      val grid = s.range(0, 64).select(
+        shiftright(col("id"), 3).as("py"),
+        col("id").bitwiseAND(lit(7L)).as("px"))
+      val dense = pix.select("tile").distinct()
+        .crossJoin(broadcast(grid))
+        .join(pix, Seq("tile", "py", "px"), "left_outer")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val wRow = Window.partitionBy("tile", "py").orderBy("px")
+      val wCol = Window.partitionBy("tile", "px").orderBy("py")
+      dense.withColumn("rs", sum("cnt").over(wRow))
+        .withColumn("sat", sum("rs").over(wCol))
+        .select("tile", "py", "px", "cnt", "sat")
+    },
+    Some(
+      s"""$cte, f AS (
+         |  SELECT ${cellSql(7)} AS c, count(*) AS cnt FROM images GROUP BY 1
+         |), p AS (
+         |  SELECT ((CAST(4 AS BIGINT) << 58)
+         |      | ((((c >> 7) & 127) >> 3) << 4)
+         |      | ((c & 127) >> 3)) AS tile,
+         |    (c >> 7) & 7 AS py, c & 7 AS px, CAST(cnt AS BIGINT) AS cnt
+         |  FROM f
+         |), tiles AS (SELECT DISTINCT tile FROM p),
+         |dense AS (
+         |  SELECT t.tile, gy.r AS py, gx.r AS px, coalesce(p.cnt, 0) AS cnt
+         |  FROM tiles t CROSS JOIN range(0,8) gy(r) CROSS JOIN range(0,8) gx(r)
+         |  LEFT JOIN p ON p.tile = t.tile AND p.py = gy.r AND p.px = gx.r
+         |), rsum AS (
+         |  SELECT tile, py, px, cnt,
+         |    sum(cnt) OVER (PARTITION BY tile, py ORDER BY px) AS rs
+         |  FROM dense
+         |)
+         |SELECT tile, py, px, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(sum(rs) OVER (PARTITION BY tile, px ORDER BY py) AS BIGINT) AS sat
+         |FROM rsum""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qMannKendall,
+    qAnomalyCells,
+    qIntegralImage,
     qTileAssign,
     qHexAssign,
     qKmeansAssign,
