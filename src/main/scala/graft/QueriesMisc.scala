@@ -1012,6 +1012,86 @@ object QueriesMisc {
          |  ((s_r + s_g + s_b) * 10000) // (3 * s_b + 1) AS gain_b
          |FROM cs""".stripMargin))
 
+  /** AFFINE WARP PARITY — the geometric-transform leg of the augmentation
+    * family ([[qAugmentFlip]] pins the mirror via dHash; this pins the
+    * 90°-clockwise ROTATION via the position-weighted checksum
+    * [[graft.multimodal.expressions.RasterChk]], the layout-sensitive
+    * fingerprint a permutation-invariant stat can't provide): per image,
+    * `chk` of the decoded 4×4 thumb and of its rot90. The oracle remaps
+    * each sampled pixel to its rotated index — out(y,x) = in(g−1−x, y),
+    * so src (oy,ox) lands at dst (ox, g−1−oy) — and re-weights; a hash
+    * match proves decode, resize, the rotation's exact byte layout AND
+    * the checksum kernel cross-engine. Map-only (bytes never leave the
+    * scan stage); at 10^12 images this is the augmentation pass shape. */
+  private val qAffineWarp = Q(
+    "q_affine_warp",
+    (s, dir) => Images.imagesWithBytes(s, dir)
+      .withColumn("thumb", M.raster_resize(
+        M.raster_decode(col("bytes"), col("fmt")),
+        col("w"), col("h"), lit(4), lit(4)))
+      .select(col("image_id"),
+        M.raster_chk(col("thumb")).as("chk_orig"),
+        M.raster_chk(M.raster_rot90(col("thumb"), lit(4), lit(4)))
+          .as("chk_rot")),
+    Some(
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}, pxv AS (
+         |  SELECT image_id, oy, ox, ch, CASE WHEN fmt = 'raw' THEN truth
+         |    ELSE least(255, greatest(0, truth + delta)) END AS v
+         |  FROM px
+         |)
+         |SELECT image_id,
+         |  CAST(sum(((oy * 4 + ox) * 3 + ch + 1) * v) AS BIGINT) AS chk_orig,
+         |  CAST(sum(((ox * 4 + (3 - oy)) * 3 + ch + 1) * v) AS BIGINT) AS chk_rot
+         |FROM pxv GROUP BY 1""".stripMargin))
+
+  /** HISTOGRAM-EQUALIZATION LUT — the radiometric-normalization leg
+    * beyond [[qGrayWorld]]'s color cast: per image, the 4-bin luminance
+    * histogram of the decoded 4×4 thumb and the equalization lookup
+    * table `eq_i = (cdf_i · 255) div 48` (48 = thumb byte count; the
+    * classic `round(cdf·L)` remap on exact integers — a bin's equalized
+    * level is where its cumulative mass lands on the byte scale). All
+    * integer; the CDF of 4 bins is three additions, not a window.
+    * Map-only at any scale — the LUT is the per-image artifact an
+    * equalize-on-read ingest stores alongside the bytes. */
+  private val qHistEqualize = Q(
+    "q_hist_equalize",
+    (s, dir) => {
+      val withHist = Images.imagesWithBytes(s, dir)
+        .withColumn("hist", M.raster_hist4(M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(4), lit(4))))
+        .select(col("image_id"),
+          element_at(col("hist"), 1).as("b0"),
+          element_at(col("hist"), 2).as("b1"),
+          element_at(col("hist"), 3).as("b2"),
+          element_at(col("hist"), 4).as("b3"))
+      withHist.select(col("image_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        expr("(b0 * 255) div 48").as("eq0"),
+        expr("((b0 + b1) * 255) div 48").as("eq1"),
+        expr("((b0 + b1 + b2) * 255) div 48").as("eq2"),
+        expr("((b0 + b1 + b2 + b3) * 255) div 48").as("eq3"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}, pxv AS (
+         |  SELECT image_id, CASE WHEN fmt = 'raw' THEN truth
+         |    ELSE least(255, greatest(0, truth + delta)) END AS v
+         |  FROM px
+         |), hb AS (
+         |  SELECT image_id,
+         |    CAST(sum(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         |    CAST(sum(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(sum(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         |    CAST(sum(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+         |  FROM pxv GROUP BY 1
+         |)
+         |SELECT image_id, b0, b1, b2, b3,
+         |  (b0 * 255) // 48 AS eq0,
+         |  ((b0 + b1) * 255) // 48 AS eq1,
+         |  ((b0 + b1 + b2) * 255) // 48 AS eq2,
+         |  ((b0 + b1 + b2 + b3) * 255) // 48 AS eq3
+         |FROM hb""".stripMargin))
+
   // ------------------------------------------------------ schema inspection
 
   /** S3 — SCHEMA-INSPECTION SCAN (≙ analyse_dataset_tokens.py:34-62: load
@@ -1136,7 +1216,7 @@ object QueriesMisc {
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
     qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
-    qTileLuma, qSceneCuts, qGrayWorld,
+    qTileLuma, qSceneCuts, qGrayWorld, qAffineWarp, qHistEqualize,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells, qSchemaInspect,

@@ -266,6 +266,19 @@ object Raster {
   @inline def byteAt(bytes: Array[Byte], i: Int): Int =
     if (i >= 0 && i < bytes.length) bytes(i) & 0xff else 0
 
+  /** Position-weighted checksum `Σ (i+1)·byte[i]` — a LAYOUT-sensitive
+    * integer fingerprint (channel sums and histograms are permutation-
+    * invariant, so they cannot pin a geometric transform; this can). */
+  def chk(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) {
+      s += (i + 1).toLong * (bytes(i) & 0xff)
+      i += 1
+    }
+    s
+  }
+
   def resize(bytes: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
     val out = new Array[Byte](ow * oh * 3)
     var oy = 0

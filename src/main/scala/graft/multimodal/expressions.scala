@@ -276,6 +276,22 @@ case class SobelEnergy(bytes: Expression, w: Expression, h: Expression)
   override def prettyName: String = "sobel_energy"
 }
 
+/** `RASTER_CHK(bytes) -> Long` position-weighted checksum `Σ (i+1)·b[i]`
+  * ([[Raster.chk]]) — the layout-sensitive fingerprint that proves a
+  * geometric transform (rotation, flip, crop) produced exactly the bytes
+  * it should, where any permutation-invariant stat would be blind. Real
+  * `doGenCode`: it sits in the same scan projection as the transform. */
+case class RasterChk(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Raster.chk(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.multimodal.Raster.chk($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "raster_chk"
+}
+
 /** `BYTE_AT(bytes, i) -> Int` unsigned byte at index `i` (0 out of range —
   * total, see [[Raster.byteAt]]). Unlike the blob producers above this IS
   * on an aggregation hot path (the mosaic pyramid extracts 48 bytes per row
@@ -301,6 +317,8 @@ object functions {
 
   def byte_at(bytes: Column, i: Column): Column =
     col(ByteAt(expr(bytes), expr(i)))
+
+  def raster_chk(bytes: Column): Column = col(RasterChk(expr(bytes)))
 
   def dhash56(bytes: Column, w: Column, h: Column): Column =
     col(DHash56(expr(bytes), expr(w), expr(h)))

@@ -193,6 +193,10 @@ object GraftFunctions {
       "raster_rot90(bytes, w, h) - 90-degree clockwise rotation of a raw " +
         "w*h*3 raster (output h wide x w tall); augmentation family.") {
       case Seq(b, w, h) => RasterRot90(b, w, h) },
+    fn("raster_chk", 1,
+      "raster_chk(bytes) - position-weighted checksum sum((i+1)*b[i]); " +
+        "the layout-sensitive fingerprint that pins geometric transforms.") {
+      case Seq(b) => RasterChk(b) },
     fn("sobel_energy", 3,
       "sobel_energy(bytes, w, h) - integer Sobel gradient energy of a " +
         "decoded w*h*3 raster (8x8 gray grid, 3x3 Sobel over the interior); " +

@@ -42,6 +42,29 @@ class RasterSpec extends AnyFunSuite {
     assert(dst(0) == src(0) && dst(1) == src(1) && dst(2) == src(2))
   }
 
+  test("chk is layout-sensitive; rot90 x4 is the identity") {
+    // hand value: bytes [3, 0, 5] -> 1*3 + 2*0 + 3*5 = 18
+    assert(Raster.chk(Array[Byte](3, 0, 5)) == 18L)
+    val img = Raster.truthRaster(11L, 4, 4)
+    val r1 = Raster.rot90(img, 4, 4)
+    // a rotation permutes bytes: same multiset (channel sums equal),
+    // different positions (chk differs)
+    assert(r1.sorted.sameElements(img.sorted))
+    assert(Raster.chk(r1) != Raster.chk(img))
+    val r4 = Raster.rot90(Raster.rot90(Raster.rot90(r1, 4, 4), 4, 4), 4, 4)
+    assert(r4.sameElements(img))
+  }
+
+  test("rot90 geometry: src (y,x) lands at dst (x, g-1-y)") {
+    val g = 4
+    val img = Raster.truthRaster(5L, g, g)
+    val rot = Raster.rot90(img, g, g)
+    for (y <- 0 until g; x <- 0 until g; c <- 0 until 3) {
+      val dst = (x * g + (g - 1 - y)) * 3 + c
+      assert(rot(dst) == img((y * g + x) * 3 + c), s"(y=$y,x=$x,c=$c)")
+    }
+  }
+
   test("phash centroid: strict bit majority, ties -> 0") {
     // three hashes: bit0 set in 2/3 -> majority; bit1 set in 1/3 -> not;
     // with 4 hashes bit2 set in 2/4 -> tie -> 0
