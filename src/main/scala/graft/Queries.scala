@@ -3925,10 +3925,105 @@ object Queries {
          |  CAST(sum(rs) OVER (PARTITION BY tile, px ORDER BY py) AS BIGINT) AS sat
          |FROM rsum""".stripMargin))
 
+  // ------------------------------------------- similarity-graph refinement
+
+  /** MUTUAL-kNN EDGE LIST — the symmetric refinement of the AkNN graph
+    * ([[qKnnJoin]]): keep the pair (a, b) only when each is in the
+    * other's top-3 — the edge filter that turns a directed kNN graph
+    * into the mutual graph used for conservative cluster seeding (a
+    * one-way neighbor is often a hub artifact; a mutual one is a real
+    * local structure). One keyed self-join of the kNN edge list on the
+    * REVERSED pair key, emitted once per unordered pair (qid < nid).
+    * Scale shape: the edge list is k·N rows; the reversal join is an
+    * equi-join on the composite pair key — hash-partitioned, no fanout
+    * beyond k. The oracle replays ranking AND mutuality from the ring
+    * CTE chain. */
+  private val qMutualKnn = Q(
+    "q_mutual_knn",
+    (s, dir) => {
+      val e = Knn.knnSelfJoin(Images.images(s, dir), 3, 8)
+        .select(col("qid"), col("nid"), col("d2"))
+      e.as("a").join(e.as("b"),
+          col("a.qid") === col("b.nid") && col("a.nid") === col("b.qid"))
+        .where(col("a.qid") < col("a.nid"))
+        .select(col("a.qid").as("id_a"), col("a.nid").as("id_b"),
+          col("a.d2").as("d2"))
+    },
+    Some(aknnCtes +
+      """
+        |, t AS (SELECT qid, nid, d2 FROM r WHERE rnk <= 3)
+        |SELECT a.qid AS id_a, a.nid AS id_b, a.d2 AS d2
+        |FROM t a JOIN t b ON b.qid = a.nid AND b.nid = a.qid
+        |WHERE a.qid < a.nid""".stripMargin))
+
+  /** SKYLINE (Pareto frontier) QUERY — "cells that are both NEAR the
+    * anchor and HOT, with no cell better on both axes": over the occupied
+    * res-7 grid, keep cell p unless some q has d2 ≤ p.d2 ∧ cnt ≥ p.cnt
+    * with one strict. Axes are integers (d2 = squared grid distance to
+    * the center cell (64,64) from the id's bit-slices; cnt = point
+    * count).
+    *
+    * Scale shape — the classic distributed-skyline decomposition instead
+    * of the textbook all-pairs anti-join: (1) bucket by d2 range
+    * (bkt = d2 >> 7 — ≤ 253 buckets, GRID-bounded, never data-sized);
+    * (2) per-bucket max cnt, then the strictly-lower-bucket prefix max
+    * via a ≤253² broadcast-tiny theta join (a lower bucket implies
+    * strictly smaller d2, so `prefix_max ≥ cnt` is domination); (3) the
+    * residual same-bucket dominance check as a KEYED self-join on bkt
+    * (a bucket is a thin annulus — ≤ ~400 cells by geometry). The oracle
+    * is the textbook NOT EXISTS over all pairs — an independent
+    * formulation, so a hash match proves the decomposition exactly. */
+  private val qSkyline = Q(
+    "q_skyline",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("c", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("c").agg(count(lit(1)).as("cnt"))
+        .select(col("c").as("cell"),
+          (col("c").bitwiseAND(lit(127L)) - 64L).as("dx"),
+          (shiftright(col("c"), 7).bitwiseAND(lit(127L)) - 64L).as("dy"),
+          col("cnt"))
+        .select(col("cell"),
+          (col("dx") * col("dx") + col("dy") * col("dy")).as("d2"),
+          col("cnt"))
+        .withColumn("bkt", shiftright(col("d2"), 7))
+      val bmax = g.groupBy("bkt").agg(max("cnt").as("mx"))
+      val pmax = bmax.as("x")
+        .join(broadcast(bmax.as("y")), col("y.bkt") < col("x.bkt"),
+          "left_outer")
+        .groupBy(col("x.bkt").as("bkt")).agg(max(col("y.mx")).as("pmax"))
+      val dom = g.as("p").join(g.as("q"),
+          col("p.bkt") === col("q.bkt") &&
+            col("q.d2") <= col("p.d2") && col("q.cnt") >= col("p.cnt") &&
+            (col("q.d2") < col("p.d2") || col("q.cnt") > col("p.cnt")))
+        .select(col("p.cell").as("cell")).distinct()
+      g.join(broadcast(pmax), Seq("bkt"), "left_outer")
+        .where(coalesce(col("pmax"), lit(-1L)) < col("cnt"))
+        .join(dom, Seq("cell"), "left_anti")
+        .select("cell", "d2", "cnt")
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT cell, cnt,
+         |    ((cell & 127) - 64) * ((cell & 127) - 64)
+         |      + (((cell >> 7) & 127) - 64) * (((cell >> 7) & 127) - 64) AS d2
+         |  FROM (SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |        FROM images GROUP BY 1)
+         |)
+         |SELECT cell, d2, CAST(cnt AS BIGINT) AS cnt
+         |FROM g p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM g q
+         |  WHERE q.cell <> p.cell AND q.d2 <= p.d2 AND q.cnt >= p.cnt
+         |    AND (q.d2 < p.d2 OR q.cnt > p.cnt))""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qMannKendall,
     qAnomalyCells,
     qIntegralImage,
+    qMutualKnn,
+    qSkyline,
     qTileAssign,
     qHexAssign,
     qKmeansAssign,
