@@ -3620,6 +3620,41 @@ object Queries {
          |SELECT image_id, cid FROM af""".stripMargin
     })
 
+  /** CLUSTER-QUALITY SILHOUETTE — [[KmeansAssign.silhouette]]: per-cluster
+    * exact integer Σa²/Σb² simplified-silhouette factors over the same
+    * integer-lattice Lloyd fit as [[qKmeansAssign]]. The oracle replays
+    * the fit chain, ranks each point's k distances by (d, cid), and
+    * aggregates rn=1 (own) vs rn=2 (nearest other) — the same
+    * second-smallest-under-ties semantics as the engine's value-sorted
+    * array. DECIMAL(38,0) sums, no division or sqrt in the hashed
+    * output (the q_bic_k lesson). */
+  private val qSilhouette = Q(
+    "q_silhouette",
+    (s, dir) => KmeansAssign.silhouette(Images.images(s, dir)),
+    Some {
+      val k = KmeansAssign.DefaultK
+      val iters = KmeansAssign.DefaultIters
+      s"""$cte,
+         |$kmeansPtsSql,
+         |${kmeansChainSql("sil_", k, iters)},
+         |sd AS (SELECT p.image_id, c.cid, $kmeansDistSql AS d
+         |       FROM pts p CROSS JOIN sil_c$iters c),
+         |sr AS (SELECT image_id, cid, d,
+         |         row_number() OVER (PARTITION BY image_id
+         |           ORDER BY d, cid) AS rn
+         |       FROM sd),
+         |ab AS (SELECT a.image_id, a.cid, a.d AS a2, b.d AS b2
+         |       FROM (SELECT * FROM sr WHERE rn = 1) a
+         |       JOIN (SELECT * FROM sr WHERE rn = 2) b USING (image_id))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(a2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa2,
+         |  CAST(sum(CAST(b2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb2,
+         |  CASE WHEN sum(CAST(b2 AS DECIMAL(38,0)))
+         |      > sum(CAST(a2 AS DECIMAL(38,0))) THEN 'cohesive'
+         |    ELSE 'overlapping' END AS cohesion
+         |FROM ab GROUP BY cid""".stripMargin
+    })
+
   /** A6 — BIC model selection (VERDICT r2 coverage table's one N/A row,
     * now implemented; ≙ cluster_utils.py:50-61 `get_optimal_clusters`):
     * [[KmeansAssign.bicSweep]] fits the seeded exact-Lloyd model per
@@ -4024,6 +4059,7 @@ object Queries {
     qIntegralImage,
     qMutualKnn,
     qSkyline,
+    qSilhouette,
     qTileAssign,
     qHexAssign,
     qKmeansAssign,

@@ -400,4 +400,37 @@ object KmeansAssign {
     points(images).withColumn("cid", nearestCid(cents))
       .select(col("image_id"), col("cid"))
   }
+
+  /** Per-cluster SIMPLIFIED-SILHOUETTE factors on the integer lattice —
+    * the model-quality diagnostic that complements [[bicSweep]]'s model
+    * SELECTION: for each point, a² = squared lattice distance to its own
+    * (nearest) centroid and b² = the smallest squared distance to any
+    * OTHER centroid (= the second-smallest entry of the sorted distance
+    * array — exact under ties, where "own" is the first argmin). Emits
+    * per cluster the exact integer sums Σa², Σb² (DECIMAL(38,0) — same
+    * overflow reasoning as [[BicScale]]) plus the member count and a
+    * cohesion label (Σb² > Σa² ⇔ mean simplified silhouette > 0 on the
+    * squared scale). No division, no sqrt, no transcendental anywhere in
+    * the hashed output — a consumer wanting the classical [-1,1] score
+    * divides driver-side.
+    *
+    * Scale shape: one broadcast of k centroids into the scan projection
+    * (the [[assign]] pattern), a codegen'd sort of a k-length array per
+    * row, one keyed k-row aggregation. Map-only until the final rollup. */
+  def silhouette(images: DataFrame, k: Int = DefaultK,
+                 iters: Int = DefaultIters): DataFrame = {
+    val cents = fit(images, k, iters)
+    val sorted = array_sort(array(distCols(cents): _*))
+    points(images)
+      .withColumn("cid", nearestCid(cents))
+      .withColumn("a2", element_at(sorted, 1))
+      .withColumn("b2", element_at(sorted, 2))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a2").cast("decimal(38,0)")).as("sa2"),
+        sum(col("b2").cast("decimal(38,0)")).as("sb2"))
+      .withColumn("cohesion",
+        when(col("sb2") > col("sa2"), lit("cohesive"))
+          .otherwise(lit("overlapping")))
+  }
 }

@@ -982,9 +982,58 @@ object QueriesText {
          |CROSS JOIN nt
          |ORDER BY pmi_q DESC, bc.x, bc.y LIMIT 25""".stripMargin))
 
+  /** RARE-BIGRAM RARITY SCORE — the corpus-statistics quality signal
+    * beyond per-doc ratios ([[qQuality]]) and pointwise association
+    * ([[qPmiColloc]]): per document, its DISTINCT bigram set (the n=2
+    * [[TextOps.shingles]] kernel), each bigram's corpus document
+    * frequency, and the rare-bigram ratio (df ≤ 2 — bigrams almost no
+    * other document uses; a high ratio flags gibberish or boilerplate-
+    * mangled text, the LM-perplexity proxy that needs no model). The ONE
+    * double is a single division of two exact integers — IEEE-correctly
+    * rounded identically on both engines (never a folded sum of doubles).
+    *
+    * Scale shape: explode to (doc, bigram) rows, ONE keyed groupBy for
+    * the df table, one keyed join back, one keyed per-doc rollup — the
+    * same two-shuffle shape as TF-IDF at any corpus size; the df table
+    * partial-aggregates map-side. */
+  private val qBigramRare = Q(
+    "q_bigram_rare",
+    (s, dir) => {
+      val ex = docs(s, dir)
+        .select(col("doc_id"), expr(SparkD.splitToks("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(shingles(SparkD, "toks", 2))).as("bigram"))
+      val dfreq = ex.groupBy("bigram").agg(count(lit(1)).as("df"))
+      ex.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_rate",
+          col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, ${DuckD.splitToks("text")} AS toks FROM documents
+         |), f AS (
+         |  SELECT doc_id, ${shingles(DuckD, "toks", 2)} AS bg
+         |  FROM d WHERE ${DuckD.size("toks")} >= 2
+         |), ex AS (
+         |  SELECT doc_id, unnest(bg) AS bigram FROM f
+         |), dfq AS (
+         |  SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1
+         |)
+         |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rare,
+         |  CAST(sum(CASE WHEN dfq.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS rare_rate
+         |FROM ex JOIN dfq USING (bigram)
+         |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
-    qTokenDist, qPmiColloc,
+    qTokenDist, qPmiColloc, qBigramRare,
     qLangId, qQuality, qFingerprint,
     qDedupExact, qDedupNorm,
     qJaccardPairs, qMinhashSig, qMinhashEst, qLshNearDup,

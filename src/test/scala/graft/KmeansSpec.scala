@@ -134,4 +134,34 @@ class KmeansSpec extends SparkFunSuite {
       assert(d == best, s"${r.getString(0)} not assigned to its nearest centroid")
     }
   }
+
+  test("silhouette factors match a driver-side brute recomputation") {
+    val imgs = Images.images(spark, SparkSpec.Sf)
+    val cents = KmeansAssign.fit(imgs, K, Iters)
+    // brute: per point, own = argmin (ties to smallest cid), a2 = min,
+    // b2 = second-smallest distance value
+    val brute = imgs.select(col("lat"), col("lon")).collect().map { r =>
+      val (la, lo) = (q(r.getDouble(0)), q(r.getDouble(1)))
+      val ds = cents.sortBy(_.cid).map(c =>
+        (la - c.clat) * (la - c.clat) + (lo - c.clon) * (lo - c.clon))
+      val sorted = ds.sorted
+      val own = ds.indexOf(sorted.head) + 1 // first argmin, 1-based cid
+      (own, sorted(0), sorted(1))
+    }
+    val expected = brute.groupBy(_._1).map { case (cid, g) =>
+      cid -> (g.length.toLong, g.map(t => BigInt(t._2)).sum,
+        g.map(t => BigInt(t._3)).sum)
+    }
+    val rows = KmeansAssign.silhouette(imgs, K, Iters).collect()
+    assert(rows.map(_.getInt(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (n, sa2, sb2) = expected(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(BigInt(r.getDecimal(2).toBigInteger) == sa2)
+      assert(BigInt(r.getDecimal(3).toBigInteger) == sb2)
+      assert(sa2 <= sb2) // a2 <= b2 pointwise, so the sums order too
+      val label = if (sb2 > sa2) "cohesive" else "overlapping"
+      assert(r.getString(4) == label)
+    }
+  }
 }
