@@ -4053,7 +4053,110 @@ object Queries {
          |  WHERE q.cell <> p.cell AND q.d2 <= p.d2 AND q.cnt >= p.cnt
          |    AND (q.d2 < p.d2 OR q.cnt > p.cnt))""".stripMargin))
 
+  /** GEOHASH PREFIX ROLLUP — encode every image position as a precision-6
+    * geohash ([[graft.geo.Geohash]]: integer-lattice, exact substring
+    * nesting) and roll counts up to the 4-char prefix: points, occupied
+    * subcells, and the densest subcell per prefix — the string-keyed export
+    * shape external geo-systems (ES geo_grid, BigQuery GEOHASH joins)
+    * consume. Scale shape: encode is a map-side codegen projection; the
+    * first groupBy (the only data-sized shuffle) is absorbed by map-side
+    * combine; the prefix re-group is bounded by occupied precision-6 cells,
+    * not points — the qDensityRaster two-level rollup discipline. The
+    * oracle replays quantize -> interleave -> base32 as an independent
+    * unrolled CTE chain over the same micro-degree lattice, so a match
+    * proves the whole bit layout, not just the counts. */
+  private val qGeohashRollup = Q(
+    "q_geohash_rollup",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      Images.images(s, dir)
+        .withColumn("gh6", G.geohash_encode(col("lat"), col("lon"), 6))
+        .groupBy(col("gh6")).agg(count(lit(1)).as("n"))
+        .groupBy(substring(col("gh6"), 1, 4).as("gh4"))
+        .agg(sum(col("n")).as("n_points"),
+          count(lit(1)).as("n_sub"),
+          max(col("n")).as("max_sub"))
+        .where(col("n_points") >= 2)
+    },
+    Some {
+      import graft.geo.Geohash
+      s"""$cte, q AS (
+         |  SELECT ${Geohash.oracleQuantLonSql("lon", 6)} AS lq,
+         |    ${Geohash.oracleQuantLatSql("lat", 6)} AS tq
+         |  FROM images
+         |), iv AS (
+         |  SELECT (${Geohash.oracleInterleaveSql(6)}) AS v FROM q
+         |), gh AS (
+         |  SELECT ${Geohash.oracleCharsSql(6)} AS gh6 FROM iv
+         |), sub AS (
+         |  SELECT gh6, count(*) AS n FROM gh GROUP BY 1
+         |)
+         |SELECT substr(gh6, 1, 4) AS gh4, CAST(sum(n) AS BIGINT) AS n_points,
+         |  CAST(count(*) AS BIGINT) AS n_sub, CAST(max(n) AS BIGINT) AS max_sub
+         |FROM sub GROUP BY 1 HAVING sum(n) >= 2""".stripMargin
+    })
+
+  /** MAP-MATCHING (nearest-vertex snap) — snap every event position onto
+    * the 48-vertex reference route ([[Fixtures.routeVertices]]) and roll up
+    * per-vertex load: point count, closest approach, and total squared
+    * displacement. The snap is a single codegen least-fold over
+    * literal-vertex `struct(d2, vid)` distances (the k-center/IVF
+    * assign-to-codebook pattern): argmin with the (d2, vid) tie-break,
+    * zero joins, zero extra shuffles — per-event work is O(V) map-side and
+    * the only shuffle is the V-bounded rollup. At 100 TB with a large
+    * vertex set this becomes the cell-bucketed 1-NN join (q_knn); the
+    * literal fold IS the right shape while V fits a broadcast (the common
+    * reference-route case). All arithmetic is exact: micro-degree BIGINT
+    * deltas, BIGINT squares (≤ 1.4e17), DECIMAL(38,0) sum — no
+    * floating-point op between quantize and hash on either engine. */
+  private val qMapMatch = Q(
+    "q_map_match",
+    (s, dir) => {
+      val ev = graft.sources.Events
+        .withPosition(s.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"),
+          floor(col("lat") * 1000000).cast("long").as("qlat"),
+          floor(col("lon") * 1000000).cast("long").as("qlon"))
+      val best = Fixtures.routeVertices.map { case (vid, vlat, vlon) =>
+        struct(
+          ((col("qlat") - lit(vlat)) * (col("qlat") - lit(vlat)) +
+            (col("qlon") - lit(vlon)) * (col("qlon") - lit(vlon))).as("d2"),
+          lit(vid).as("vid"))
+      }.reduceLeft(least(_, _))
+      ev.select(best.getField("vid").as("vid"), best.getField("d2").as("d2"))
+        .groupBy(col("vid"))
+        .agg(count(lit(1)).as("n_pts"),
+          min(col("d2")).as("min_d2"),
+          sum(col("d2").cast("decimal(38,0)")).as("sum_d2"))
+    },
+    Some(
+      s"""WITH eh1 AS (
+         |  SELECT event_id, ${graft.sources.Events.oracleH1Sql} AS h1 FROM events
+         |), eh2 AS (
+         |  SELECT event_id, h1, ${graft.sources.Events.oracleH2Sql} AS h2 FROM eh1
+         |), pos AS (
+         |  SELECT event_id,
+         |    CAST(floor((${graft.sources.Events.oracleLatSql}) * 1000000) AS BIGINT) AS qlat,
+         |    CAST(floor((${graft.sources.Events.oracleLonSql}) * 1000000) AS BIGINT) AS qlon
+         |  FROM eh2
+         |), verts(vid, vlat, vlon) AS (VALUES ${Fixtures.routeOracleValues}
+         |), snapped AS (
+         |  SELECT event_id, vid, d2,
+         |    row_number() OVER (PARTITION BY event_id ORDER BY d2, vid) AS rn
+         |  FROM (
+         |    SELECT p.event_id, v.vid,
+         |      (p.qlat - v.vlat) * (p.qlat - v.vlat)
+         |        + (p.qlon - v.vlon) * (p.qlon - v.vlon) AS d2
+         |    FROM pos p CROSS JOIN verts v)
+         |)
+         |SELECT CAST(vid AS INTEGER) AS vid, CAST(count(*) AS BIGINT) AS n_pts,
+         |  CAST(min(d2) AS BIGINT) AS min_d2,
+         |  CAST(sum(d2) AS DECIMAL(38,0)) AS sum_d2
+         |FROM snapped WHERE rn = 1 GROUP BY vid""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qGeohashRollup,
+    qMapMatch,
     qMannKendall,
     qAnomalyCells,
     qIntegralImage,

@@ -459,6 +459,36 @@ case class HexParentOnce(child: Expression) extends UnaryExpression {
   override def prettyName: String = "hex_parent_once"
 }
 
+/** `GEOHASH_ENCODE(lat, lon, prec) -> String` — integer-lattice geohash
+  * ([[Geohash.encode]]): the interoperable string-keyed spatial index with
+  * the exact substring-prefix rollup property. Codegen'd; the kernel is a
+  * static call so the whole projection stays in one WholeStageCodegen span. */
+case class GeohashEncode(lat: Expression, lon: Expression, prec: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = prec
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = lat.dataType == DoubleType && lon.dataType == DoubleType &&
+      prec.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"geohash_encode expects (double, double, int), got " +
+        s"(${lat.dataType}, ${lon.dataType}, ${prec.dataType})")
+  }
+  override protected def nullSafeEval(la: Any, lo: Any, p: Any): Any =
+    Geohash.encodeUTF8(la.asInstanceOf[Double], lo.asInstanceOf[Double],
+      p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (la, lo, p) => s"graft.geo.Geohash.encodeUTF8($la, $lo, $p)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "geohash_encode"
+}
+
 /** Column-level API over the expressions, mirroring
   * `org.apache.spark.sql.functions`. */
 object functions {
@@ -512,6 +542,9 @@ object functions {
     col(HexParentAt(expr(cell),
       expr(org.apache.spark.sql.functions.lit(toRes))))
   def hex_parent_once(cell: Column): Column = col(HexParentOnce(expr(cell)))
+  def geohash_encode(lat: Column, lon: Column, prec: Int): Column =
+    col(GeohashEncode(expr(lat), expr(lon),
+      expr(org.apache.spark.sql.functions.lit(prec))))
 
   /** Register SQL names so `spark.sql` queries can use the extensions too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -540,5 +573,7 @@ object functions {
       es => S2Ring(es(0), es(1)), "builtin")
     reg.createOrReplaceTempFunction("s2_level",
       es => S2Level(es(0)), "builtin")
+    reg.createOrReplaceTempFunction("geohash_encode",
+      es => GeohashEncode(es(0), es(1), es(2)), "builtin")
   }
 }

@@ -246,4 +246,21 @@ object Fixtures {
        |${parts.mkString("\nUNION ALL\n")}
        |) GROUP BY poly_id, cell""".stripMargin
   }
+
+  /** Deterministic 48-vertex reference route (the map-matching target ≙ the
+    * "known trajectory" the reference snaps query points onto when scoring
+    * retrieval against dataset anchors). Coordinates are EXACT integer
+    * micro-degrees — constructed with integer arithmetic only, so the Spark
+    * literals and the oracle VALUES are the same lattice points and the
+    * snap distances are exact BIGINTs on both engines. The path sweeps the
+    * populated lat/lon band diagonally with a bounded integer wiggle. */
+  val routeVertices: Seq[(Int, Long, Long)] = (0 until 48).map { i =>
+    val vlat = -55000000L + i * 2300000L + ((i.toLong * i * 37L) % 900000L)
+    val vlon = -170000000L + i * 7100000L + ((i.toLong * 53L) % 1300000L)
+    (i, vlat, vlon)
+  }
+
+  /** `(vid, vlat, vlon)` VALUES relation for the oracle. */
+  val routeOracleValues: String =
+    routeVertices.map { case (i, la, lo) => s"($i, $la, $lo)" }.mkString(", ")
 }

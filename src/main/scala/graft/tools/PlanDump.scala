@@ -331,7 +331,21 @@ object PlanDump {
           " |users| rows and join keyed — the raw event table is never" +
           " self-joined and no window is planned, so 10^12 events mean" +
           " three prunable scans, not a sort",
-        graft.Queries.queryMap("q_funnel")(spark, dir)))
+        graft.Queries.queryMap("q_funnel")(spark, dir)),
+      ("Geohash prefix rollup (round 5)",
+        "string-keyed spatial export: the geohash encode is ONE codegen" +
+          " projection inside the scan stage; the precision-6 groupBy is" +
+          " the only data-sized exchange (map-side combine absorbs hot" +
+          " cells); the prefix re-group is bounded by OCCUPIED precision-6" +
+          " cells, not points — the density-raster two-level discipline",
+        graft.Queries.queryMap("q_geohash_rollup")(spark, dir)),
+      ("Map-matching nearest-vertex snap (round 5)",
+        "the 48-vertex argmin is a literal least-fold of struct(d2, vid)" +
+          " — zero joins, zero explode, all map-side inside one" +
+          " WholeStageCodegen span; the ONLY exchange is the V-bounded" +
+          " per-vertex rollup, so 10^12 events shuffle 48 rows per" +
+          " partition after partial aggregation",
+        graft.Queries.queryMap("q_map_match")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
