@@ -4154,7 +4154,51 @@ object Queries {
          |  CAST(sum(d2) AS DECIMAL(38,0)) AS sum_d2
          |FROM snapped WHERE rn = 1 GROUP BY vid""".stripMargin))
 
+  /** GRID BFS (cost-distance / service-area) — hop distance of every
+    * occupied res-6 cell from the nearest of the 3 densest cells
+    * ([[graft.graph.Graph.gridBfs]]: frontier expansion, rook adjacency,
+    * lon-wrap/lat-clamp). The oracle computes the same fixpoint as a
+    * DuckDB recursive CTE over the identical adjacency arithmetic, so a
+    * hash match proves the distributed frontier loop reaches the exact
+    * BFS distance labeling — the iterative-traversal twin of the
+    * q_hotspot_regions transitive-closure check. Scale shape: the binning
+    * groupBy is the only point-sized stage; frontier/visited are bounded
+    * by the 4^6 grid, rounds by maxDist=8. */
+  private val qGridBfs = Q(
+    "q_grid_bfs",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val occ = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val seeds = occ.orderBy(col("cnt").desc, col("cell"))
+        .limit(3).select("cell")
+      graft.graph.Graph.gridBfs(occ, seeds, 6, 8)
+    },
+    Some(
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), seeds AS MATERIALIZED (
+         |  SELECT cell FROM g ORDER BY cnt DESC, cell LIMIT 3
+         |), walk AS (
+         |  SELECT cell, 0 AS dist FROM seeds
+         |  UNION
+         |  SELECT n.cell, w.dist + 1
+         |  FROM walk w
+         |  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) off(dx, dy)
+         |  JOIN g n ON n.cell = ((CAST(6 AS BIGINT) << 58)
+         |      | (CAST(((w.cell >> 6) & 63) + off.dy AS BIGINT) << 6)
+         |      | CAST((((w.cell & 63) + off.dx) % 64 + 64) % 64 AS BIGINT))
+         |  WHERE ((w.cell >> 6) & 63) + off.dy BETWEEN 0 AND 63
+         |    AND w.dist < 8
+         |)
+         |SELECT cell, CAST(min(w.dist) AS INTEGER) AS dist,
+         |  CAST(min(g.cnt) AS BIGINT) AS cnt
+         |FROM walk w JOIN g USING (cell) GROUP BY cell""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qGridBfs,
     qGeohashRollup,
     qMapMatch,
     qMannKendall,

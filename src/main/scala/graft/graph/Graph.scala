@@ -80,4 +80,69 @@ object Graph {
         coalesce(col("nlbl"), col("lbl")).as("new_lbl"),
         coalesce(col("votes"), lit(0L)).as("votes"))
   }
+
+  /** Multi-source BFS hop distance over an occupied grid at `res` with
+    * ROOK (4-neighbor) adjacency — the iterative frontier-expansion
+    * traversal (cost-distance / service-area analysis in the GIS raster
+    * toolbox; "how far is every dense cell from the nearest seed").
+    * Longitude wraps, latitude clamps (edge rows simply have 3
+    * neighbors) — the [[graft.geo.GridCell.ring]] seam conventions.
+    *
+    * Frontier loop, NOT pointer jumping: distance labels need exactly
+    * `maxDist` rounds and each round's frontier is a fraction of the
+    * occupied grid, so the CC device (O(log d) rounds over the whole edge
+    * set) would do strictly more work here. Every round is one explode
+    * (4x, grid-bounded) + two keyed joins (semi against occupied, anti
+    * against visited); the per-round `isEmpty` early-stop reads one
+    * partition head, not a count. Scale shape: after the initial binning
+    * groupBy (the only point-sized stage, done by the CALLER), everything
+    * is bounded by 4^res cells regardless of corpus size; `visited` is
+    * localCheckpointed each round so lineage stays O(1).
+    *
+    * @param occupied `(cell, cnt)` occupied cells at `res`
+    * @param seeds    `(cell)` subset of occupied — distance-0 sources
+    * @return `(cell, dist, cnt)` for every occupied cell within `maxDist`
+    *         hops of a seed (unreachable cells are absent)
+    */
+  def gridBfs(occupied: DataFrame, seeds: DataFrame, res: Int,
+              maxDist: Int): DataFrame = {
+    val dim = 1L << res
+    val occ = occupied.select(col("cell"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("cell"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var d = 1
+    var done = false
+    while (d <= maxDist && !done) {
+      val x = col("cell").bitwiseAND(lit(dim - 1))
+      val y = shiftrightunsigned(col("cell"), res).bitwiseAND(lit(dim - 1))
+      val steps = explode(array(
+        struct(lit(1L).as("dx"), lit(0L).as("dy")),
+        struct(lit(-1L).as("dx"), lit(0L).as("dy")),
+        struct(lit(0L).as("dx"), lit(1L).as("dy")),
+        struct(lit(0L).as("dx"), lit(0L - 1L).as("dy"))))
+      val next = frontier
+        .select(x.as("x"), y.as("y"), steps.as("s"))
+        .select(pmod(col("x") + col("s.dx"), lit(dim)).as("nx"),
+          (col("y") + col("s.dy")).as("ny"))
+        .where(col("ny") >= 0 && col("ny") < dim)
+        .select(lit(res.toLong << 58)
+          .bitwiseOR(shiftleft(col("ny"), res)).bitwiseOR(col("nx"))
+          .as("cell"))
+        .distinct()
+        .join(occ.select("cell"), Seq("cell"), "semi")
+        .join(visited, Seq("cell"), "anti")
+        .select(col("cell"), lit(d).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else { visited = visited.union(next).localCheckpoint(true); frontier = next }
+      d += 1
+    }
+    val out = visited.join(occ, Seq("cell"))
+      .select(col("cell"), col("dist"), col("cnt"))
+      .localCheckpoint(true)
+    occ.unpersist(blocking = false)
+    out
+  }
 }

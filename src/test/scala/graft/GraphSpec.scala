@@ -69,4 +69,38 @@ class GraphSpec extends SparkFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("Window ["))
   }
+
+  test("gridBfs: distance labels match a driver-side BFS replay " +
+    "(rook adjacency, lon wrap, lat clamp, maxDist cutoff)") {
+    import org.apache.spark.sql.functions._
+    val res = 6; val dim = 1L << res; val maxDist = 8
+    val occ = graft.sources.Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell",
+        graft.geo.functions.cell_encode(col("lat"), col("lon"), res))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val seeds = occ.orderBy(col("cnt").desc, col("cell"))
+      .limit(3).select("cell")
+    val got = Graph.gridBfs(occ, seeds, res, maxDist)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+
+    // driver truth: textbook queue BFS over the collected occupied grid
+    val cnt = occ.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seedCells = cnt.toSeq.sortBy { case (c, n) => (-n, c) }
+      .take(3).map(_._1)
+    val dist = scala.collection.mutable.Map(seedCells.map(_ -> 0): _*)
+    var frontier = seedCells.toSet
+    for (d <- 1 to maxDist) {
+      frontier = frontier.flatMap { c =>
+        val x = c & (dim - 1); val y = (c >> res) & (dim - 1)
+        Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L)).flatMap { case (dx, dy) =>
+          val ny = y + dy
+          if (ny < 0 || ny >= dim) None
+          else Some((res.toLong << 58) | (ny << res) | (((x + dx) % dim + dim) % dim))
+        }
+      }.filter(c => cnt.contains(c) && !dist.contains(c))
+      frontier.foreach(dist(_) = d)
+    }
+    assert(got.keySet === dist.keySet)
+    for ((c, d) <- dist) assert(got(c) === ((d, cnt(c))), s"cell=$c")
+  }
 }
