@@ -4197,7 +4197,74 @@ object Queries {
          |  CAST(min(g.cnt) AS BIGINT) AS cnt
          |FROM walk w JOIN g USING (cell) GROUP BY cell""".stripMargin))
 
+  /** MORPHOLOGICAL OPENING (erosion -> dilation, 3x3 square structuring
+    * element) on the binary occupancy raster at res 7 — the mathematical-
+    * morphology despeckle: cells that survive opening belong to solid
+    * occupied blocks; isolated speckle and filaments get opened=0 (the
+    * image-processing twin of q_hotspot_regions' clustering view).
+    * Boundary convention: outside the lat range counts as UNOCCUPIED
+    * (image border), so clamped edge rows never survive erosion;
+    * longitude wraps. Both passes are SCATTER form: erosion counts each
+    * mask cell's 3x3 disk contributions with one keyed re-group (full
+    * disk = 9 contributors = eroded), dilation re-explodes the eroded
+    * set; opening is anti-extensive, so the flag join stays inside the
+    * mask. Scale shape: the binning groupBy is the only point-sized
+    * stage; everything after is bounded by the 4^7 grid — at 10^12
+    * points the morphology costs exactly two grid-bounded 9x fanouts. */
+  private val qMorphOpen = Q(
+    "q_morph_open",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val mask = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val eroded = mask
+        .select(explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("g"))
+        .where(col("g") === 9).select("cell")
+      val opened = eroded
+        .select(explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .distinct()
+      val out = mask
+        .join(opened.withColumn("op", lit(1)), Seq("cell"), "left")
+        .select(col("cell"), col("cnt"),
+          coalesce(col("op"), lit(0)).as("opened"))
+        .localCheckpoint(true)
+      mask.unpersist(blocking = false)
+      out
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), mask AS MATERIALIZED (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g WHERE cnt >= 2
+         |), eroded AS MATERIALIZED (
+         |  SELECT t AS cell FROM (
+         |    SELECT ((CAST(7 AS BIGINT) << 58)
+         |        | (CAST(m.y + dy.r AS BIGINT) << 7)
+         |        | CAST(((m.x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS t
+         |    FROM mask m, range(-1,2) dy(r), range(-1,2) dx(r)
+         |    WHERE m.y + dy.r BETWEEN 0 AND 127)
+         |  GROUP BY 1 HAVING count(*) = 9
+         |), opened AS (
+         |  SELECT DISTINCT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(((e.cell >> 7) & 127) + dy.r AS BIGINT) << 7)
+         |      | CAST((((e.cell & 127) + dx.r) % 128 + 128) % 128 AS BIGINT))
+         |    AS cell
+         |  FROM eroded e, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE ((e.cell >> 7) & 127) + dy.r BETWEEN 0 AND 127
+         |)
+         |SELECT m.cell, CAST(m.cnt AS BIGINT) AS cnt,
+         |  CAST(CASE WHEN o.cell IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         |    AS opened
+         |FROM mask m LEFT JOIN opened o USING (cell)""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qMorphOpen,
     qGridBfs,
     qGeohashRollup,
     qMapMatch,
