@@ -4263,7 +4263,55 @@ object Queries {
          |    AS opened
          |FROM mask m LEFT JOIN opened o USING (cell)""".stripMargin))
 
+  /** POLYGON DISSOLVE (multi-layer union membership) — merge the 15 test
+    * polygons with a 16-polygon bench layer (the two layers genuinely
+    * overlap) and roll up the DISSOLVED region per res-5 cell: points in
+    * the union, overlap mass (Σ containing-polygon count), multi-covered
+    * points, and the deepest nesting — the GIS dissolve/overlay-union
+    * operator (merging admin boundaries from two sources), built ON TOP of
+    * the covering-index pip join rather than geometry union: at 10^12
+    * points, dissolving MEMBERSHIP (a keyed count per point) scales where
+    * dissolving GEOMETRY (a polygon union) is a driver-side preprocess.
+    * Scale shape: one pip join (broadcast covering index), one point-keyed
+    * count, one cell rollup — no new shuffle class. The oracle replays
+    * membership per polygon with the kind-exact strict-interior predicates
+    * and re-derives the same counts. */
+  private val qPolyDissolve = Q(
+    "q_poly_dissolve",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val layer = Fixtures.polys ++ Fixtures.benchPolys(16)
+      val imgs = Images.images(s, dir)
+      val k = SpatialJoin.pipJoin(imgs, s, layer)
+        .groupBy("image_id").agg(count(lit(1)).as("kp"))
+      imgs.join(k, Seq("image_id"))
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 5))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_union"),
+          sum(col("kp")).as("overlap_mass"),
+          sum(when(col("kp") >= 2, 1L).otherwise(0L)).as("n_multi"),
+          max(col("kp")).as("max_k"))
+    },
+    Some {
+      val members = (Fixtures.polys ++ Fixtures.benchPolys(16)).map { p =>
+        s"SELECT image_id FROM images WHERE ${Fixtures.polySql(p)}"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""$cte, m AS (
+         |  SELECT image_id, count(*) AS kp FROM (
+         |    $members
+         |  ) GROUP BY image_id
+         |)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_union,
+         |  CAST(sum(kp) AS BIGINT) AS overlap_mass,
+         |  CAST(sum(CASE WHEN kp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+         |  CAST(max(kp) AS BIGINT) AS max_k
+         |FROM (SELECT ${cellSql(5)} AS cell, kp
+         |      FROM images JOIN m USING (image_id))
+         |GROUP BY cell""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
+    qPolyDissolve,
     qMorphOpen,
     qGridBfs,
     qGeohashRollup,

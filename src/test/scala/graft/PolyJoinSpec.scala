@@ -62,4 +62,28 @@ class PolyJoinSpec extends SparkFunSuite {
     assert(pairs(SpatialJoin.polyJoin(spark, Seq(hbar), Seq(vbar))) ==
       Seq(("hbar", "vbar")))
   }
+
+  test("poly dissolve: per-cell union rollup matches a driver ray-cast " +
+    "replay over the combined two-layer set (q_poly_dissolve)") {
+    import org.apache.spark.sql.functions._
+    val layer = Fixtures.polys ++ Fixtures.benchPolys(16)
+    val got = SparkEntry.queries("q_poly_dissolve")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val pts = graft.sources.Images.images(spark, SparkSpec.Sf)
+      .select(col("lat"), col("lon")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val truth = pts.flatMap { case (lat, lon) =>
+      val k = layer.count(p =>
+        graft.geo.GridCell.pointInPolygon(lat, lon, p.lats, p.lons))
+      if (k == 0) None
+      else Some(graft.geo.GridCell.encode(lat, lon, 5) -> k.toLong)
+    }.groupBy(_._1).map { case (cell, ks) =>
+      cell -> ((ks.length.toLong, ks.map(_._2).sum,
+        ks.count(_._2 >= 2).toLong, ks.map(_._2).max))
+    }
+    assert(got === truth)
+    assert(truth.values.exists(_._3 > 0)) // the layers genuinely overlap
+  }
 }
