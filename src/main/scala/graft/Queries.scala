@@ -4310,7 +4310,72 @@ object Queries {
          |GROUP BY cell""".stripMargin
     })
 
+  /** MARCHING SQUARES contour extraction over the res-6 density raster —
+    * the isoline operator (heatmap -> contour lines, the cartographic
+    * render step after q_density_raster): binarize cells at threshold 3,
+    * index every 2x2 block by its corner mask (LL=1, LR=2, UL=4, UR=8;
+    * absent cell = below threshold), and roll up the contour cases —
+    * blocks with mask in 1..14 carry a contour segment (saddles 5 and 10
+    * carry two). Output per case: block count, segment count, and the
+    * block-id mass (by*64+bx) pinning WHERE the contour runs, not just how
+    * much of it exists. Longitude wraps (blocks straddle the antimeridian);
+    * the top lat row has no block above it. Scale shape: the binning
+    * groupBy is the only point-sized stage; the block index is a 4x
+    * scatter of ABOVE-THRESHOLD cells + one keyed re-group — bounded by
+    * the grid, never the points; pure integer end-to-end. */
+  private val qContourCases = Q(
+    "q_contour_cases",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val corners = explode(array(
+        struct(lit(0L).as("dx"), lit(0L).as("dy"), lit(1L).as("bit")),
+        struct(lit(1L).as("dx"), lit(0L).as("dy"), lit(2L).as("bit")),
+        struct(lit(0L).as("dx"), lit(1L).as("dy"), lit(4L).as("bit")),
+        struct(lit(1L).as("dx"), lit(1L).as("dy"), lit(8L).as("bit"))))
+      Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)
+        .select(col("cell").bitwiseAND(lit(63L)).as("x"),
+          shiftrightunsigned(col("cell"), 6).bitwiseAND(lit(63L)).as("y"),
+          corners.as("c"))
+        .select(pmod(col("x") - col("c.dx"), lit(64L)).as("bx"),
+          (col("y") - col("c.dy")).as("by"), col("c.bit").as("bit"))
+        .where(col("by") >= 0 && col("by") <= 62)
+        .groupBy(col("bx"), col("by"))
+        .agg(sum(col("bit")).as("mask"))
+        .where(col("mask") >= 1 && col("mask") <= 14)
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("mask") === 5 || col("mask") === 10, 2L)
+            .otherwise(1L)).as("n_segs"),
+          sum(col("by") * 64 + col("bx")).as("block_mass"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), hot AS (
+         |  SELECT cell & 63 AS x, (cell >> 6) & 63 AS y
+         |  FROM g WHERE cnt >= 3
+         |), blocks AS (
+         |  SELECT ((h.x - c.dx) % 64 + 64) % 64 AS bx, h.y - c.dy AS by,
+         |    sum(c.bit) AS mask
+         |  FROM hot h
+         |  CROSS JOIN (VALUES (0, 0, 1), (1, 0, 2), (0, 1, 4), (1, 1, 8))
+         |    c(dx, dy, bit)
+         |  WHERE h.y - c.dy BETWEEN 0 AND 62
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(mask AS BIGINT) AS mask,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN mask IN (5, 10) THEN 2 ELSE 1 END) AS BIGINT)
+         |    AS n_segs,
+         |  CAST(sum(by * 64 + bx) AS BIGINT) AS block_mass
+         |FROM blocks WHERE mask BETWEEN 1 AND 14 GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qContourCases,
     qPolyDissolve,
     qMorphOpen,
     qGridBfs,

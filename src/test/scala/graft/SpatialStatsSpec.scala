@@ -325,4 +325,32 @@ class SpatialStatsSpec extends SparkFunSuite {
     // / 411 speckle. Here assert the replay agreed on the whole mask.)
     assert(got.nonEmpty)
   }
+
+  test("marching squares: case rollup matches a driver replay " +
+    "(corner bits, lon wrap, top-row clamp, saddle = 2 segments)") {
+    val got = SparkEntry.queries("q_contour_cases")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val hot = graft.sources.Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 3)
+      .collect().map { r =>
+        val c = r.getLong(0); ((c & 63L).toInt, ((c >> 6) & 63L).toInt)
+      }.toSet
+    val masks = (for {
+      bx <- 0 to 63; by <- 0 to 62
+      bits = Seq((0, 0, 1), (1, 0, 2), (0, 1, 4), (1, 1, 8)).collect {
+        case (dx, dy, b) if hot(((bx + dx) % 64, by + dy)) => b
+      }
+      m = bits.sum if m >= 1 && m <= 14
+    } yield (bx, by, m))
+    val truth = masks.groupBy(_._3).map { case (m, bs) =>
+      m.toLong -> ((bs.length.toLong,
+        bs.length.toLong * (if (m == 5 || m == 10) 2 else 1),
+        bs.map(b => b._2.toLong * 64 + b._1).sum))
+    }
+    assert(got === truth)
+  }
 }
