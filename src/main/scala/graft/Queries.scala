@@ -4374,7 +4374,72 @@ object Queries {
          |  CAST(sum(by * 64 + bx) AS BIGINT) AS block_mass
          |FROM blocks WHERE mask BETWEEN 1 AND 14 GROUP BY 1""".stripMargin))
 
+  /** RIPLEY'S K (focal-sample estimator) — the point-pattern-analysis
+    * statistic: for radius bands 0.25/0.5/1.0 degrees, how many neighbors
+    * does a focal point have within r? Clustered processes grow faster
+    * than the Poisson r² law — the ESDA companion to q_morans_i that works
+    * on POINTS, not a binned grid. Estimator: a deterministic 1-in-293
+    * focal sample (k % 293 = 0 — the count estimator at 100 TB, where
+    * all-pairs K is quadratic and the sampled form is the published
+    * remedy); neighbors found via a broadcast ring prefilter — each focal
+    * explodes its res-7 Chebyshev-1 ring (cell dims 1.41°x2.81° ≥ the 1°
+    * max radius, so the prefilter is provably complete) and the corpus
+    * joins on the cell key: map-side, no shuffle of the point table, no
+    * theta join. Distances are exact BIGINT micro-degree squares (planar,
+    * the [[graft.geo.GridCell.lineCells]] seam convention); strict `<`
+    * band predicates hash identically cross-engine. The oracle replays
+    * the same bands over the true all-pairs form — a match also proves
+    * prefilter completeness on real data. */
+  private val qRipleyK = Q(
+    "q_ripley_k",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val imgs = Images.images(s, dir)
+        .select(col("k"),
+          floor(col("lat") * 1000000).cast("long").as("qlat"),
+          floor(col("lon") * 1000000).cast("long").as("qlon"),
+          G.cell_encode(col("lat"), col("lon"), 7).as("cell"))
+      val focal = imgs.where(pmod(col("k"), lit(293L)) === 0)
+        .select(col("k").as("fk"), col("qlat").as("flat"),
+          col("qlon").as("flon"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      imgs.join(broadcast(focal), Seq("cell"))
+        .where(col("k") =!= col("fk"))
+        .withColumn("d2",
+          (col("qlat") - col("flat")) * (col("qlat") - col("flat")) +
+            (col("qlon") - col("flon")) * (col("qlon") - col("flon")))
+        .where(col("d2") < lit(1000000000000L))
+        .select(col("fk"), col("d2"),
+          explode(array(lit(250000L), lit(500000L), lit(1000000L))).as("r"))
+        .where(col("d2") < col("r") * col("r"))
+        .groupBy(col("fk"), col("r")).agg(count(lit(1)).as("nb"))
+        .groupBy(col("r"))
+        .agg(sum(col("nb")).as("n_pairs"),
+          count(lit(1)).as("n_focals"),
+          max(col("nb")).as("max_nb"))
+    },
+    Some(
+      s"""$cte, pts AS (
+         |  SELECT k, CAST(floor(lat * 1000000) AS BIGINT) AS qlat,
+         |    CAST(floor(lon * 1000000) AS BIGINT) AS qlon
+         |  FROM images
+         |), f AS (SELECT * FROM pts WHERE k % 293 = 0),
+         |per_focal AS (
+         |  SELECT f.k AS fk, b.r, count(*) AS nb
+         |  FROM f JOIN pts p ON p.k != f.k
+         |  CROSS JOIN (VALUES (250000), (500000), (1000000)) b(r)
+         |  WHERE (p.qlat - f.qlat) * (p.qlat - f.qlat)
+         |      + (p.qlon - f.qlon) * (p.qlon - f.qlon)
+         |      < CAST(b.r AS BIGINT) * b.r
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(r AS BIGINT) AS r, CAST(sum(nb) AS BIGINT) AS n_pairs,
+         |  CAST(count(*) AS BIGINT) AS n_focals,
+         |  CAST(max(nb) AS BIGINT) AS max_nb
+         |FROM per_focal GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qRipleyK,
     qContourCases,
     qPolyDissolve,
     qMorphOpen,

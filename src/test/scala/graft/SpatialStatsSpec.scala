@@ -353,4 +353,30 @@ class SpatialStatsSpec extends SparkFunSuite {
     }
     assert(got === truth)
   }
+
+  test("Ripley's K: ring-prefiltered band counts match brute all-pairs " +
+    "(q_ripley_k — also proves the res-7 prefilter is complete)") {
+    val got = SparkEntry.queries("q_ripley_k")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val pts = graft.sources.Images.images(spark, SparkSpec.Sf)
+      .select(col("k"), col("lat"), col("lon")).collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 1000000.0).toLong,
+        math.floor(r.getDouble(2) * 1000000.0).toLong))
+    val focals = pts.filter(_._1 % 293 == 0)
+    val truth = Seq(250000L, 500000L, 1000000L).flatMap { r =>
+      val nbs = focals.map { case (fk, fla, flo) =>
+        pts.count { case (k, la, lo) =>
+          k != fk &&
+            (la - fla) * (la - fla) + (lo - flo) * (lo - flo) < r * r
+        }
+      }.filter(_ > 0)
+      if (nbs.isEmpty) None
+      else Some(r -> ((nbs.map(_.toLong).sum, nbs.length.toLong,
+        nbs.max.toLong)))
+    }.toMap
+    assert(got === truth)
+  }
 }
