@@ -4438,7 +4438,95 @@ object Queries {
          |  CAST(max(nb) AS BIGINT) AS max_nb
          |FROM per_focal GROUP BY 1""".stripMargin))
 
+  /** HARRIS CORNER DETECTION over the res-6 density raster — the
+    * interest-point operator of classical vision (where does the heatmap
+    * turn?), run on the 8-BIT CLIPPED luma `min(cnt, 255)` exactly as on a
+    * real image; the clip also bounds every moment (gx ≤ 4·255, det ≤
+    * 8.8e13) so the response stays BIGINT-exact at ANY corpus scale. Two
+    * scatter passes in the q_slope_aspect idiom: (1) Sobel gx/gy at every
+    * grid cell (zero padding at lat edges, lon wraps), (2) 3x3 box sums of
+    * the second-moment products (Sxx, Syy, Sxy). Response R20 =
+    * 20·(Sxx·Syy − Sxy²) − (Sxx+Syy)² — Harris k=0.05 scaled ×20 into
+    * integers. Output: top-10 corners by (R20, cell) with the moment
+    * pieces. Scale shape: binning is the only point-sized stage; both
+    * fanouts are 9× the grid, never the points. */
+  private val qHarrisCorners = Q(
+    "q_harris_corners",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val n = 64L
+      def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+      def yOf(c: org.apache.spark.sql.Column) =
+        shiftright(c, 6).bitwiseAND(lit(n - 1))
+      val rawOx = xOf(col("src")) - xOf(col("cell"))
+      val ox = when(rawOx > 32, rawOx - 64)
+        .when(rawOx < -32, rawOx + 64).otherwise(rawOx)
+      val oy = yOf(col("src")) - yOf(col("cell"))
+      val grad = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(least(count(lit(1)), lit(255L)).as("z"))
+        .select(col("cell").as("src"), col("z"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .withColumn("ox", ox).withColumn("oy", oy)
+        .groupBy("cell")
+        .agg(sum(col("ox") * (lit(2L) - abs(col("oy"))) * col("z")).as("gx"),
+          sum(col("oy") * (lit(2L) - abs(col("ox"))) * col("z")).as("gy"))
+      grad
+        .select(col("cell").as("src"),
+          (col("gx") * col("gx")).as("pxx"),
+          (col("gy") * col("gy")).as("pyy"),
+          (col("gx") * col("gy")).as("pxy"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .groupBy("cell")
+        .agg(sum(col("pxx")).as("sxx"), sum(col("pyy")).as("syy"),
+          sum(col("pxy")).as("sxy"))
+        .withColumn("r20",
+          lit(20L) * (col("sxx") * col("syy") - col("sxy") * col("sxy")) -
+            (col("sxx") + col("syy")) * (col("sxx") + col("syy")))
+        .orderBy(col("r20").desc, col("cell")).limit(10)
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell,
+         |    least(count(*), 255) AS z,
+         |    ${cellSql(6)} & 63 AS x, (${cellSql(6)} >> 6) & 63 AS y
+         |  FROM images GROUP BY 1, 3, 4
+         |), grad AS (
+         |  SELECT ocell AS cell, x, y,
+         |    CAST(sum(gxw * z) AS BIGINT) AS gx,
+         |    CAST(sum(gyw * z) AS BIGINT) AS gy
+         |  FROM (
+         |    SELECT ((CAST(6 AS BIGINT) << 58)
+         |        | (CAST(g.y + dy.r AS BIGINT) << 6)
+         |        | CAST(((g.x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell,
+         |      ((g.x + dx.r) % 64 + 64) % 64 AS x, g.y + dy.r AS y,
+         |      g.z,
+         |      (-dx.r) * (2 - abs(dy.r)) AS gxw,
+         |      (-dy.r) * (2 - abs(dx.r)) AS gyw
+         |    FROM g, range(-1,2) dy(r), range(-1,2) dx(r)
+         |    WHERE g.y + dy.r BETWEEN 0 AND 63)
+         |  GROUP BY 1, 2, 3
+         |), mom AS (
+         |  SELECT ocell AS cell,
+         |    CAST(sum(pxx) AS BIGINT) AS sxx,
+         |    CAST(sum(pyy) AS BIGINT) AS syy,
+         |    CAST(sum(pxy) AS BIGINT) AS sxy
+         |  FROM (
+         |    SELECT ((CAST(6 AS BIGINT) << 58)
+         |        | (CAST(gr.y + dy.r AS BIGINT) << 6)
+         |        | CAST(((gr.x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell,
+         |      gr.gx * gr.gx AS pxx, gr.gy * gr.gy AS pyy,
+         |      gr.gx * gr.gy AS pxy
+         |    FROM grad gr, range(-1,2) dy(r), range(-1,2) dx(r)
+         |    WHERE gr.y + dy.r BETWEEN 0 AND 63)
+         |  GROUP BY 1
+         |)
+         |SELECT cell, sxx, syy, sxy,
+         |  20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS r20
+         |FROM mom ORDER BY r20 DESC, cell LIMIT 10""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qHarrisCorners,
     qRipleyK,
     qContourCases,
     qPolyDissolve,

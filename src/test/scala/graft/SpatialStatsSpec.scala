@@ -379,4 +379,62 @@ class SpatialStatsSpec extends SparkFunSuite {
     }.toMap
     assert(got === truth)
   }
+
+  test("Harris corners: two scatter passes match a dense driver replay " +
+    "(8-bit clip, Sobel, 3x3 second moments, R20 top-10)") {
+    val res = 6; val n = 64
+    val got = SparkEntry.queries("q_harris_corners")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val z = Array.ofDim[Long](n, n)
+    graft.sources.Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), res))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .collect().foreach { r =>
+        val c = r.getLong(0)
+        z(((c >> res) & 63L).toInt)((c & 63L).toInt) =
+          math.min(r.getLong(1), 255L)
+      }
+    // dense-VALUE replay over the engine's sparse scatter DOMAIN: values
+    // at a target equal the dense formula (absent cells contribute zero
+    // products), but only targets that actually received a contribution
+    // exist in the engine frames — T1 = disks of occupied cells, T2 =
+    // disks of T1 — and the zero/negative-R20 tail of the ranking is
+    // domain-sensitive, so the replay must use the same domain.
+    def disk(y: Int, x: Int): Seq[(Int, Int)] =
+      for (dy <- -1 to 1; dx <- -1 to 1; ny = y + dy if ny >= 0 && ny < n)
+        yield (ny, ((x + dx) % n + n) % n)
+    val occ = (for (y <- 0 until n; x <- 0 until n if z(y)(x) > 0)
+      yield (y, x)).toSet
+    val t1 = occ.flatMap((disk _).tupled)
+    val t2 = t1.flatMap((disk _).tupled)
+    val gx = Array.ofDim[Long](n, n); val gy = Array.ofDim[Long](n, n)
+    for ((y, x) <- t1; dy <- -1 to 1; dx <- -1 to 1) {
+      val sy = y + dy
+      if (sy >= 0 && sy < n) {
+        val sx = ((x + dx) % n + n) % n
+        gx(y)(x) += dx.toLong * (2 - math.abs(dy)) * z(sy)(sx)
+        gy(y)(x) += dy.toLong * (2 - math.abs(dx)) * z(sy)(sx)
+      }
+    }
+    val resp = t2.toSeq.map { case (y, x) =>
+      var sxx = 0L; var syy = 0L; var sxy = 0L
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val sy = y + dy
+        if (sy >= 0 && sy < n) {
+          val sx = ((x + dx) % n + n) % n
+          if (t1((sy, sx))) {
+            sxx += gx(sy)(sx) * gx(sy)(sx); syy += gy(sy)(sx) * gy(sy)(sx)
+            sxy += gx(sy)(sx) * gy(sy)(sx)
+          }
+        }
+      }
+      val cell = (res.toLong << 58) | (y.toLong << res) | x.toLong
+      (cell, sxx, syy, sxy,
+        20L * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy))
+    }
+    val want = resp.sortBy(t => (-t._5, t._1)).take(10)
+    assert(got === want)
+  }
 }
