@@ -3897,6 +3897,133 @@ object Queries {
          |WHERE dd.cnt >= 8
          |  AND 2 * tg.t_days * dd.cnt > 3 * tot.s_total""".stripMargin))
 
+  /** EMERGING HOT-SPOT CLASSIFICATION — the full ArcGIS-style composition
+    * the two temporal legs were built for ([[qGetisOrd]] = WHERE is hot,
+    * [[qMannKendall]] = WHICH WAY is it trending): per ever-occupied res-5
+    * cell, a per-day Gi* hot flag over the DENSE daily panel (dev_star =
+    * n·star_sum − n_star·Σx_day, ring sums INCLUDE self; the dense panel
+    * makes n and n_star day-independent), then a Mann-Kendall S over the
+    * dev_star series itself with the same integer continuity-corrected
+    * significance test, classified:
+    *   `new`           — hot on the final day and hot ≤ 10% of days;
+    *   `intensifying`  — significant upward dev trend;
+    *   `diminishing`   — significant downward dev trend;
+    *   `persistent`    — hot ≥ 90% of days, no significant trend;
+    *   `sporadic`      — hot some days, none of the above;
+    *   `none`          — never hot.
+    * Every branch tests pure BIGINTs (10·hot_days vs t_days etc.) — no
+    * z-score, no division, no transcendental in the hashed output.
+    *
+    * Scale shape: after the one event-sized (cell, day) groupBy, every
+    * stage is bounded by the OCCUPIED GRID × the T-day horizon — the ring
+    * scatter is 9×|cells| (day-independent, reused across days by the
+    * keyed join), the MK pair fanout is T²/2 per cell, and the three
+    * global scalars (n, Σx_day, max day) broadcast. At 10^12 events this
+    * is one map-side-combined shuffle plus grid-bounded work — the same
+    * contract as every raster op in the family. */
+  private val qEmergingHot = Q(
+    "q_emerging_hot",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val dd = denseDailyCells(s, dir)
+      val cells = dd.select("cell").distinct()
+      val star = cells.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .join(dd, Seq("cell"))
+        .groupBy(col("src"), col("day"))
+        .agg(count(lit(1)).as("n_star"), sum(col("cnt")).as("star_sum"))
+      val daytot = dd.groupBy("day").agg(sum(col("cnt")).as("sx"))
+      val glob = dd.agg(
+        countDistinct(col("cell")).as("n"),
+        countDistinct(col("day")).as("t_days"),
+        max(col("day")).as("max_day"))
+      val dev = star.join(daytot, Seq("day"))
+        .crossJoin(broadcast(glob.select("n")))
+        .select(col("src").as("cell"), col("day"),
+          (col("n") * col("star_sum") - col("n_star") * col("sx"))
+            .as("dev_star"))
+        .withColumn("hot", when(col("dev_star") > 0, 1L).otherwise(0L))
+      val mk = dev.as("a")
+        .join(dev.as("b"),
+          col("a.cell") === col("b.cell") && col("b.day") > col("a.day"))
+        .groupBy(col("a.cell").as("cell"))
+        .agg(sum(when(col("b.dev_star") > col("a.dev_star"), 1L)
+          .when(col("b.dev_star") < col("a.dev_star"), -1L)
+          .otherwise(0L)).as("s_dev"))
+      val hotagg = dev
+        .crossJoin(broadcast(glob.select("max_day")))
+        .groupBy("cell")
+        .agg(sum(col("hot")).as("hot_days"),
+          max(when(col("day") === col("max_day"), col("hot"))
+            .otherwise(0L)).as("last_hot"))
+      val sig = abs(col("s_dev")) > 0 &&
+        lit(180000L) * (abs(col("s_dev")) - 1L) * (abs(col("s_dev")) - 1L) >
+          lit(38416L) * col("t_days") * (col("t_days") - 1L) *
+            (lit(2L) * col("t_days") + 5L)
+      hotagg.join(mk, Seq("cell"))
+        .crossJoin(broadcast(glob.select("t_days")))
+        .select(col("cell"), col("t_days"), col("hot_days"),
+          col("last_hot"), col("s_dev"),
+          when(col("hot_days") === 0, lit("none"))
+            .when(col("last_hot") === 1 &&
+              lit(10L) * col("hot_days") <= col("t_days"), lit("new"))
+            .when(sig && col("s_dev") > 0, lit("intensifying"))
+            .when(sig && col("s_dev") < 0, lit("diminishing"))
+            .when(lit(10L) * col("hot_days") >= lit(9L) * col("t_days"),
+              lit("persistent"))
+            .otherwise(lit("sporadic")).as("cat"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, $denseDailyCtes, ring AS (
+         |  SELECT c.cell AS src, ((CAST(5 AS BIGINT) << 58)
+         |      | (CAST(((c.cell >> 5) & 31) + dy.r AS BIGINT) << 5)
+         |      | CAST((((c.cell & 31) + dx.r) % 32 + 32) % 32 AS BIGINT))
+         |      AS ocell
+         |  FROM cells c, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE ((c.cell >> 5) & 31) + dy.r BETWEEN 0 AND 31
+         |), star AS (
+         |  SELECT r.src, dd.day, CAST(count(*) AS BIGINT) AS n_star,
+         |    CAST(sum(dd.cnt) AS BIGINT) AS star_sum
+         |  FROM ring r JOIN dd ON dd.cell = r.ocell GROUP BY 1, 2
+         |), daytot AS (
+         |  SELECT day, CAST(sum(cnt) AS BIGINT) AS sx FROM dd GROUP BY 1
+         |), gstat AS (
+         |  SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT day) AS BIGINT) AS t_days,
+         |    CAST(max(day) AS BIGINT) AS max_day FROM dd
+         |), dev AS (
+         |  SELECT star.src AS cell, star.day,
+         |    gstat.n * star.star_sum - star.n_star * daytot.sx AS dev_star,
+         |    CASE WHEN gstat.n * star.star_sum - star.n_star * daytot.sx > 0
+         |      THEN 1 ELSE 0 END AS hot
+         |  FROM star JOIN daytot ON daytot.day = star.day CROSS JOIN gstat
+         |), mk AS (
+         |  SELECT a.cell,
+         |    CAST(sum(CASE WHEN b.dev_star > a.dev_star THEN 1
+         |      WHEN b.dev_star < a.dev_star THEN -1 ELSE 0 END) AS BIGINT)
+         |      AS s_dev
+         |  FROM dev a JOIN dev b ON b.cell = a.cell AND b.day > a.day
+         |  GROUP BY 1
+         |), hotagg AS (
+         |  SELECT dev.cell, CAST(sum(dev.hot) AS BIGINT) AS hot_days,
+         |    CAST(max(CASE WHEN dev.day = gstat.max_day THEN dev.hot
+         |      ELSE 0 END) AS BIGINT) AS last_hot
+         |  FROM dev CROSS JOIN gstat GROUP BY 1
+         |)
+         |SELECT h.cell, g.t_days, h.hot_days, h.last_hot, m.s_dev,
+         |  CASE
+         |    WHEN h.hot_days = 0 THEN 'none'
+         |    WHEN h.last_hot = 1 AND 10 * h.hot_days <= g.t_days THEN 'new'
+         |    WHEN abs(m.s_dev) > 0
+         |        AND 180000 * (abs(m.s_dev) - 1) * (abs(m.s_dev) - 1)
+         |          > 38416 * g.t_days * (g.t_days - 1) * (2 * g.t_days + 5)
+         |      THEN CASE WHEN m.s_dev > 0 THEN 'intensifying'
+         |        ELSE 'diminishing' END
+         |    WHEN 10 * h.hot_days >= 9 * g.t_days THEN 'persistent'
+         |    ELSE 'sporadic' END AS cat
+         |FROM hotagg h JOIN mk m ON m.cell = h.cell CROSS JOIN gstat g
+         |""".stripMargin))
+
   /** PER-TILE INTEGRAL IMAGE (summed-area table) — the raster-algebra
     * primitive that makes box filters O(1) per query pixel: for every
     * occupied res-4 tile, densify its 8×8 res-7 subgrid (64 pixels,
@@ -4535,6 +4662,7 @@ object Queries {
     qGeohashRollup,
     qMapMatch,
     qMannKendall,
+    qEmergingHot,
     qAnomalyCells,
     qIntegralImage,
     qMutualKnn,

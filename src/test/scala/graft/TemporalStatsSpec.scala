@@ -68,6 +68,69 @@ class TemporalStatsSpec extends SparkFunSuite {
     }
   }
 
+  test("q_emerging_hot: dense Gi*-per-day + MK-over-dev driver replay") {
+    import graft.geo.{functions => G}
+    val got = Queries.queryMap("q_emerging_hot")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("t_days"), r.getAs[Long]("hot_days"),
+          r.getAs[Long]("last_hot"), r.getAs[Long]("s_dev"),
+          r.getAs[String]("cat")))
+      .toMap
+    assert(got.nonEmpty)
+    val daily = graft.sources.Events
+      .withPosition(spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .select(G.cell_encode(col("lat"), col("lon"), 5).as("cell"),
+        floor(unix_micros(col("ts").cast("timestamp")) /
+          lit(86400000000L)).cast("long").as("day"))
+      .groupBy("cell", "day").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val cells = daily.keys.map(_._1).toSet
+    val days = daily.keys.map(_._2).toSeq.distinct.sorted
+    val n = cells.size.toLong
+    val t = days.size.toLong
+    val maxDay = days.max
+    val sxPerDay = days.map(d =>
+      d -> cells.toSeq.map(c => daily.getOrElse((c, d), 0L)).sum).toMap
+    def ring(c: Long): Seq[Long] = {
+      val x = (c & 31).toInt; val y = ((c >> 5) & 31).toInt
+      for {
+        dy <- -1 to 1; dx <- -1 to 1
+        ny = y + dy if ny >= 0 && ny <= 31
+      } yield (5L << 58) | (ny.toLong << 5) | (((x + dx) % 32 + 32) % 32).toLong
+    }
+    val truth = cells.map { c =>
+      val members = ring(c).filter(cells.contains).distinct
+      val nStar = members.size.toLong
+      val devSeries = days.map { d =>
+        val starSum = members.map(m => daily.getOrElse((m, d), 0L)).sum
+        d -> (n * starSum - nStar * sxPerDay(d))
+      }
+      val hotDays = devSeries.count(_._2 > 0).toLong
+      val lastHot = if (devSeries.find(_._1 == maxDay).get._2 > 0) 1L else 0L
+      val sDev = (for {
+        i <- devSeries.indices; j <- (i + 1) until devSeries.size
+      } yield java.lang.Long.signum(
+        devSeries(j)._2 - devSeries(i)._2).toLong).sum
+      val sig = math.abs(sDev) > 0 &&
+        180000L * (math.abs(sDev) - 1) * (math.abs(sDev) - 1) >
+          38416L * t * (t - 1) * (2 * t + 5)
+      val cat =
+        if (hotDays == 0) "none"
+        else if (lastHot == 1 && 10 * hotDays <= t) "new"
+        else if (sig && sDev > 0) "intensifying"
+        else if (sig && sDev < 0) "diminishing"
+        else if (10 * hotDays >= 9 * t) "persistent"
+        else "sporadic"
+      c -> (t, hotDays, lastHot, sDev, cat)
+    }.toMap
+    assert(got === truth)
+    // the classifier actually discriminates on this data
+    assert(got.values.map(_._5).toSet.size >= 2,
+      s"degenerate categories: ${got.values.map(_._5).toSet}")
+  }
+
   test("q_integral_image: SAT corner, box-sum identity, monotonicity") {
     val rows = Queries.queryMap("q_integral_image")(spark, SparkSpec.Sf)
       .collect()
