@@ -74,6 +74,87 @@ object QueriesMisc {
          |    ELSE least(255, greatest(0, truth + delta)) END) AS DOUBLE) / 48 AS mean_px
          |FROM px GROUP BY image_id""".stripMargin))
 
+  /** PER-IMAGE OTSU BINARIZATION THRESHOLD — the classic histogram-based
+    * segmentation operator, run on the 16 gray values (R+G+B per position,
+    * 0..765) of each image's decoded 4×4 thumb. Otsu maximizes the
+    * between-class variance w0·w1·(μ0−μ1)², which on integer counts is
+    * the rational num²/(W0·W1) with num = S0·W1 − S1·W0 — emitted as the
+    * exact integer `score_q = (num²·10⁴) div (W0·W1)` (|num| ≤ 765·16·16
+    * ⇒ num²·10⁴ ≤ 3.8e14, comfortably BIGINT; ties after the floor-div
+    * break to the SMALLER threshold, deterministically on both engines —
+    * no float op anywhere). Candidates are the image's distinct gray
+    * values with a non-empty upper class (w0 < 16); a uniform image has
+    * no candidate and is absent (documented inner semantics). Output:
+    * per image the argmax threshold, its class-0 mass, and the score.
+    *
+    * Scale shape: decode → 16 ByteAt sums is map-side in the scan stage
+    * (bytes never leave it); the histogram is one keyed groupBy; the
+    * cumulative/argmax windows are IMAGE-keyed (≤16 rows per partition,
+    * never partitionless). At 10^12 images this is scan + one shuffle of
+    * 16-row histograms — the same contract as the dHash family. */
+  private val qOtsuThreshold = Q(
+    "q_otsu_threshold",
+    (s, dir) => {
+      val thumb = Images.imagesWithBytes(s, dir)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(4), lit(4)))
+      val grays = array((0 until 16).map { p =>
+        (M.byte_at(col("thumb"), lit(3 * p)) +
+          M.byte_at(col("thumb"), lit(3 * p + 1)) +
+          M.byte_at(col("thumb"), lit(3 * p + 2))).cast("long")
+      }: _*)
+      val hist = thumb.select(col("image_id"), explode(grays).as("g"))
+        .groupBy(col("image_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("image_id").orderBy("g")
+      val wa = Window.partitionBy("image_id")
+      val scored = hist
+        .withColumn("w0", sum(col("cnt")).over(wc))
+        .withColumn("s0", sum(col("g") * col("cnt")).over(wc))
+        .withColumn("s", sum(col("g") * col("cnt")).over(wa))
+        .where(col("w0") < 16)
+        .withColumn("num",
+          col("s0") * (lit(16L) - col("w0")) -
+            (col("s") - col("s0")) * col("w0"))
+        .withColumn("score_q",
+          expr("(num * num * 10000) div (w0 * (16 - w0))"))
+      val wr = Window.partitionBy("image_id")
+        .orderBy(col("score_q").desc, col("g"))
+      scored.withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("image_id"), col("g").as("t_opt"),
+          col("w0"), col("score_q"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 4, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS BIGINT) AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), hist AS (
+         |  SELECT image_id, g, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM gray GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT image_id, g, cnt,
+         |    CAST(sum(cnt) OVER
+         |      (PARTITION BY image_id ORDER BY g) AS BIGINT) AS w0,
+         |    CAST(sum(g * cnt) OVER
+         |      (PARTITION BY image_id ORDER BY g) AS BIGINT) AS s0,
+         |    CAST(sum(g * cnt) OVER (PARTITION BY image_id) AS BIGINT) AS s
+         |  FROM hist
+         |), sc AS (
+         |  SELECT image_id, g, w0,
+         |    ((s0 * (16 - w0) - (s - s0) * w0)
+         |      * (s0 * (16 - w0) - (s - s0) * w0)
+         |      * 10000) // (w0 * (16 - w0)) AS score_q
+         |  FROM cum WHERE w0 < 16
+         |)
+         |SELECT image_id, g AS t_opt, w0, score_q
+         |FROM sc
+         |QUALIFY row_number() OVER
+         |  (PARTITION BY image_id ORDER BY score_q DESC, g) = 1""".stripMargin))
+
   /** Raster ZONAL STATISTICS — the classic raster↔vector operator (zone
     * layer × raster layer → per-zone aggregates of decoded pixel content;
     * the north star's "raster↔vector" axis beyond pure assignment).
@@ -1214,7 +1295,8 @@ object QueriesMisc {
          |FROM w GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qImageFidelity, qThumbStats, qZonalStats, qRasterPyramid, qFrameSample,
+    qImageFidelity, qThumbStats, qOtsuThreshold, qZonalStats, qRasterPyramid,
+    qFrameSample,
     qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
     qTileLuma, qSceneCuts, qGrayWorld, qAffineWarp, qHistEqualize,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,

@@ -64,4 +64,45 @@ class MultimodalPipelineSpec extends SparkFunSuite {
     assert(row.getDouble(4) == mean && row.getInt(5) == mn &&
       row.getInt(6) == mx && row.getInt(7) == bytes.length)
   }
+
+  test("q_otsu_threshold: exact integer Otsu replay over the thumb kernel") {
+    val got = Queries.queryMap("q_otsu_threshold")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("t_opt"), r.getAs[Long]("w0"),
+          r.getAs[Long]("score_q")))
+      .toMap
+    assert(got.nonEmpty)
+    val thumbs = withBytes.select(col("image_id"),
+        M.raster_resize(M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(4), lit(4)).as("thumb"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("thumb"))
+    assert(thumbs.length >= got.size)
+    val truth = thumbs.flatMap { case (id, tb) =>
+      val grays = (0 until 16).map(p =>
+        ((tb(3 * p) & 0xff) + (tb(3 * p + 1) & 0xff) +
+          (tb(3 * p + 2) & 0xff)).toLong)
+      val hist = grays.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val sTot = grays.sum
+      var w0 = 0L; var s0 = 0L
+      val cands = hist.flatMap { case (g, cnt) =>
+        w0 += cnt; s0 += g * cnt
+        if (w0 < 16) {
+          val num = s0 * (16 - w0) - (sTot - s0) * w0
+          Some((g, w0, num * num * 10000L / (w0 * (16 - w0))))
+        } else None
+      }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy { case (g, _, sc) => (-sc, g) }
+        Some(id -> (best._1, best._2, best._3))
+      }
+    }.toMap
+    assert(got === truth)
+    // the threshold really separates: class-0 max <= t < class-1 min holds
+    // by construction (t is a member gray value with w0 rows <= it)
+    assert(got.values.forall { case (t, w0, _) => t >= 0 && w0 >= 1 && w0 <= 15 })
+  }
 }
