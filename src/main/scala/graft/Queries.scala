@@ -3078,6 +3078,85 @@ object Queries {
          |FROM contrib c JOIN g ON g.cell = c.ocell
          |GROUP BY d2""".stripMargin))
 
+  /** JOIN-COUNT STATISTICS — the CATEGORICAL spatial-autocorrelation test
+    * (Cliff & Ord's BB/BW/WW join counts: do like-marked cells neighbor
+    * each other more than chance?), completing the ESDA family next to the
+    * interval-scale [[qMoransI]]/q_getis_ord. Each occupied res-7 cell is
+    * marked Black iff its count exceeds the global mean — decided by the
+    * exact integer cross-multiplication cnt·n_cells > Σx (never a divided
+    * double) — and every ORDERED queen (3x3 Chebyshev, lon-wrap/lat-clamp)
+    * occupied-neighbor pair is classified BB / BW / WW. Emitted with
+    * n_cells, n_black and s0 so the consumer can form the permutation-null
+    * expectations E[BB] = s0·nb·(nb−1)/(n·(n−1)) etc. — all integer-exact.
+    *
+    * Scale shape: the mark needs one global (n, Σx) scalar broadcast onto
+    * the grid-bounded cell table; pairs come from the identical 9x ring
+    * scatter + keyed equi-join as q_morans_i — at 10^12 points every
+    * post-scan stage is bounded by the OCCUPIED grid (≤ 4^res cells), and
+    * the one data-sized shuffle is the res-7 groupBy with map-side
+    * combine. */
+  private val qJoinCounts = Q(
+    "q_join_counts",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val base = g.agg(count(lit(1)).as("n_cells"), sum("cnt").as("sx"))
+      val marked = g.crossJoin(broadcast(base))
+        .withColumn("b", (col("cnt") * col("n_cells")) > col("sx"))
+        .select(col("cell"), col("b"), col("n_cells"))
+      val pairs = marked
+        .select(col("cell").as("src"), col("b").as("bi"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("src"))
+        .join(marked.select(col("cell"), col("b").as("bj")), Seq("cell"))
+        .agg(count(lit(1)).as("s0"),
+          sum(when(col("bi") && col("bj"), 1L).otherwise(0L)).as("bb"),
+          sum(when(col("bi") =!= col("bj"), 1L).otherwise(0L)).as("bw"),
+          sum(when(!col("bi") && !col("bj"), 1L).otherwise(0L)).as("ww"))
+      base.crossJoin(
+          marked.agg(sum(when(col("b"), 1L).otherwise(0L)).as("n_black")))
+        .crossJoin(pairs)
+        .select(col("n_cells"), col("sx"), col("n_black"),
+          col("s0"), col("bb"), col("bw"), col("ww"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(cnt) AS BIGINT) AS sx
+         |  FROM g
+         |), mk AS (
+         |  SELECT cell, cnt * n_cells > sx AS b,
+         |    cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g, b
+         |), contrib AS (
+         |  SELECT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell,
+         |    b AS bi
+         |  FROM mk, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), pr AS (
+         |  SELECT c.bi, m.b AS bj FROM contrib c JOIN mk m ON m.cell = c.ocell
+         |), p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN bi AND bj THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+         |    CAST(sum(CASE WHEN bi != bj THEN 1 ELSE 0 END) AS BIGINT) AS bw,
+         |    CAST(sum(CASE WHEN NOT bi AND NOT bj THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ww
+         |  FROM pr
+         |), nb AS (
+         |  SELECT CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_black
+         |  FROM mk
+         |)
+         |SELECT n_cells, sx, n_black, s0, bb, bw, ww FROM b, nb, p""".stripMargin))
+
   /** LOCAL MORAN (LISA) QUADRANT CLASSIFICATION — the per-cell companion
     * of [[qMoransI]]: every occupied res-7 cell labeled HH / LL / HL / LH
     * (the Anselin LISA cluster map: hotspot, coldspot, high-low outlier,
@@ -4701,6 +4780,7 @@ object Queries {
     qSlopeAspect,
     qMoransI,
     qVariogram,
+    qJoinCounts,
     qLisaQuadrants,
     qGetisOrd,
     qIsolated,

@@ -437,4 +437,47 @@ class SpatialStatsSpec extends SparkFunSuite {
     val want = resp.sortBy(t => (-t._5, t._1)).take(10)
     assert(got === want)
   }
+
+  test("join counts: hand fixture — mean-threshold marks, ordered queen " +
+    "BB/BW/WW classification, and the pieces' internal identities") {
+    import spark.implicits._
+    // Same geometry as the Moran fixture: cells a (5 pts) and b (5 pts)
+    // adjacent, far (2 pts) isolated. Mean 4 -> marks B, B, W. Ordered
+    // queen pairs: (a,b) and (b,a), both BB; far has no occupied
+    // neighbor. Expected: n=3, sx=12, n_black=2, s0=2, bb=2, bw=0, ww=0.
+    val pts = Seq.fill(5)((0.1, 0.1)) ++ Seq.fill(5)((0.1, 3.0)) ++
+      Seq.fill(2)((40.0, 100.0))
+    val g = pts.toDF("lat", "lon")
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val base = g.agg(count(lit(1)).as("n_cells"), sum("cnt").as("sx"))
+    val marked = g.crossJoin(broadcast(base))
+      .withColumn("b", (col("cnt") * col("n_cells")) > col("sx"))
+      .select(col("cell"), col("b"))
+    val r = marked
+      .select(col("cell").as("src"), col("b").as("bi"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      .where(col("cell") =!= col("src"))
+      .join(marked.select(col("cell"), col("b").as("bj")), Seq("cell"))
+      .agg(count(lit(1)).as("s0"),
+        sum(when(col("bi") && col("bj"), 1L).otherwise(0L)).as("bb"),
+        sum(when(col("bi") =!= col("bj"), 1L).otherwise(0L)).as("bw"),
+        sum(when(!col("bi") && !col("bj"), 1L).otherwise(0L)).as("ww"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 0L, 0L)))
+    // Shipped query at the fixture SF: pieces obey the structural
+    // identities (s0 partitions into the three classes; marks partition
+    // the cells; every join-count is bounded by s0).
+    val q = Queries.queryMap("q_join_counts")(spark, SparkSpec.Sf)
+      .collect().head
+    val (n, sx, nb) = (q.getLong(0), q.getLong(1), q.getLong(2))
+    val (s0, bb, bw, ww) = (q.getLong(3), q.getLong(4), q.getLong(5),
+      q.getLong(6))
+    assert(s0 == bb + bw + ww && s0 > 0)
+    assert(nb > 0 && nb < n && sx > n)
+    // bw counts ordered mixed pairs, so it is even (each unordered pair
+    // appears in both orders), as are bb and ww.
+    assert(bb % 2 == 0 && bw % 2 == 0 && ww % 2 == 0)
+  }
 }
