@@ -352,6 +352,78 @@ object QueriesMisc {
     Some(s"""${dhashOracleCtes(dupSide = false)}
             |SELECT image_id, dhash FROM dh""".stripMargin))
 
+  /** LOCAL BINARY PATTERN texture fingerprint — the classic texture
+    * descriptor (Ojala et al. LBP: per interior pixel an 8-bit code with
+    * bit i set iff the i-th clockwise neighbor's gray ≥ the center's),
+    * over the same 8x8 gray grid as the dHash/Sobel kernels
+    * ([[graft.multimodal.Raster.lbpCodes]]). Per image the code histogram
+    * is summarized as: the MODE code (ties → smaller code), its count,
+    * the distinct-code count, and the mass of UNIFORM patterns (≤ 2
+    * circular bit transitions — Ojala's uniform-LBP class: flats, edges,
+    * corners; computed as bit_count(code XOR rot1(code)) on integers, so
+    * the whole statistic replays exactly). The oracle recomputes every
+    * code relationally from the pixel chain — a hash match proves the
+    * kernel's 288 comparisons bit-for-bit on every image.
+    *
+    * Scale shape: decode → 36 codes is map-side in the scan stage (the
+    * codes array never exceeds 144 bytes); the histogram groupBy is keyed
+    * by (image, code) with map-side combine, and every window is
+    * IMAGE-keyed (≤ 36 rows per key — never partitionless). At 10^12
+    * images: one scan + one keyed shuffle of ≤36-row groups. */
+  private val qLbpTexture = Q(
+    "q_lbp_texture",
+    (s, dir) => {
+      val codes = Images.imagesWithBytes(s, dir)
+        .select(col("image_id"),
+          explode(M.lbp_codes(M.raster_decode(col("bytes"), col("fmt")),
+            col("w"), col("h"))).as("code"))
+      val hist = codes.groupBy(col("image_id"), col("code"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("trans",
+          expr("bit_count(code ^ ((code * 2) % 256 + code div 128))"))
+      val wi = Window.partitionBy("image_id")
+      val wr = wi.orderBy(col("cnt").desc, col("code"))
+      hist
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n_codes", count(lit(1)).over(wi))
+        .withColumn("uniform_cnt",
+          sum(when(col("trans") <= 2, col("cnt")).otherwise(0L)).over(wi))
+        .where(col("rn") === 1)
+        .select(col("image_id"), col("code").as("mode_code"),
+          col("cnt").as("mode_cnt"), col("n_codes"), col("uniform_cnt"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), offs AS (
+         |  SELECT * FROM (VALUES (-1,-1,0),(-1,0,1),(-1,1,2),(0,1,3),
+         |    (1,1,4),(1,0,5),(1,-1,6),(0,-1,7)) t(dy, dx, bit)
+         |), code AS (
+         |  SELECT c.image_id, c.oy, c.ox,
+         |    CAST(SUM(CASE WHEN n.g >= c.g THEN 1 << o.bit ELSE 0 END)
+         |      AS INTEGER) AS code
+         |  FROM gray c
+         |  CROSS JOIN offs o
+         |  JOIN gray n ON n.image_id = c.image_id
+         |    AND n.oy = c.oy + o.dy AND n.ox = c.ox + o.dx
+         |  WHERE c.oy BETWEEN 1 AND 6 AND c.ox BETWEEN 1 AND 6
+         |  GROUP BY 1, 2, 3
+         |), hist AS (
+         |  SELECT image_id, code, CAST(count(*) AS BIGINT) AS cnt,
+         |    bit_count(xor(code, (code * 2) % 256 + code // 128)) AS trans
+         |  FROM code GROUP BY 1, 2
+         |)
+         |SELECT image_id, code AS mode_code, cnt AS mode_cnt,
+         |  CAST(count(*) OVER (PARTITION BY image_id) AS BIGINT) AS n_codes,
+         |  CAST(sum(CASE WHEN trans <= 2 THEN cnt ELSE 0 END)
+         |    OVER (PARTITION BY image_id) AS BIGINT) AS uniform_cnt
+         |FROM hist
+         |QUALIFY row_number() OVER
+         |  (PARTITION BY image_id ORDER BY cnt DESC, code) = 1""".stripMargin))
+
   /** IMAGE AUGMENTATION, proven cross-engine — decode → horizontal flip
     * ([[graft.multimodal.Raster.hflip]], the canonical label-preserving
     * augmentation) → perceptual hash of the AUGMENTED image. The oracle
@@ -1297,7 +1369,8 @@ object QueriesMisc {
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qOtsuThreshold, qZonalStats, qRasterPyramid,
     qFrameSample,
-    qImageDhash, qImageSharpness, qAugmentFlip, qImageNeardup, qTileDiversity,
+    qImageDhash, qLbpTexture, qImageSharpness, qAugmentFlip, qImageNeardup,
+    qTileDiversity,
     qTileLuma, qSceneCuts, qGrayWorld, qAffineWarp, qHistEqualize,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
     qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,

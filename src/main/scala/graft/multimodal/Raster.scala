@@ -258,6 +258,56 @@ object Raster {
     total
   }
 
+  /** Offsets of the 8-neighborhood in CLOCKWISE order from NW — the LBP
+    * bit order (bit i set ⟺ neighbor i ≥ center). Shared with the oracle
+    * SQL, which enumerates the same (dy, dx, bit) triples literally. */
+  val lbpOffsets: Array[(Int, Int)] = Array(
+    (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+
+  /** LOCAL BINARY PATTERN codes of a decoded w*h*3 raster — the classic
+    * texture descriptor (Ojala et al.): same 8x8 nearest-neighbor gray
+    * grid as [[dhash]]/[[sobelEnergy]] (gray = R+G+B, integer), then for
+    * each of the 36 interior pixels an 8-bit code with bit i set iff the
+    * i-th clockwise neighbor's gray ≥ the center's. Row-major over the
+    * interior; all comparisons integer, so codes replay exactly in ANSI
+    * SQL. Codes are 0..255; the per-image histogram is the texture
+    * fingerprint (flat regions → code 255, edges → uniform patterns). */
+  def lbpCodes(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val g = Array.ofDim[Int](8, 8)
+    var oy = 0
+    while (oy < 8) {
+      val sy = oy * h / 8
+      var ox = 0
+      while (ox < 8) {
+        val base = (sy * w + ox * w / 8) * 3
+        g(oy)(ox) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+          (bytes(base + 2) & 0xff)
+        ox += 1
+      }
+      oy += 1
+    }
+    val out = new Array[Int](36)
+    var i = 0
+    var cy = 1
+    while (cy < 7) {
+      var cx = 1
+      while (cx < 7) {
+        var code = 0
+        var b = 0
+        while (b < 8) {
+          val (dy, dx) = lbpOffsets(b)
+          if (g(cy + dy)(cx + dx) >= g(cy)(cx)) code |= 1 << b
+          b += 1
+        }
+        out(i) = code
+        i += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
   /** Unsigned byte at index `i` of a raster blob, 0 when out of range — a
     * TOTAL function so the mosaic pyramid's 48-sum aggregate
     * ([[graft.operators.MosaicPyramid]]) generates branch-light code with

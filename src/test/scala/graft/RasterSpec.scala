@@ -184,4 +184,33 @@ class RasterSpec extends AnyFunSuite {
       .toLongArray()
     assert(sums.toSeq == Seq(256L, 2L, 13L))
   }
+
+  test("lbpCodes: constant image -> all 255; brute replay on an 8x8 " +
+    "raster; clockwise bit order pinned on a single-bright-neighbor cell") {
+    // Constant gray: every neighbor >= center -> all 36 codes are 255,
+    // which is a uniform pattern (0 transitions).
+    val flat = Array.fill[Byte](8 * 8 * 3)(17)
+    assert(Raster.lbpCodes(flat, 8, 8).forall(_ == 255))
+    // Real raster at w=h=8: the grid sampling is the identity, so a brute
+    // per-pixel replay must match exactly.
+    val bytes = Raster.decode(Raster.storedBytes(42L, 8, 8, "lossy"), "lossy")
+    val g = Array.tabulate(8, 8) { (y, x) =>
+      val b = (y * 8 + x) * 3
+      (bytes(b) & 0xff) + (bytes(b + 1) & 0xff) + (bytes(b + 2) & 0xff)
+    }
+    val want = for (cy <- 1 to 6; cx <- 1 to 6) yield {
+      Raster.lbpOffsets.zipWithIndex.map { case ((dy, dx), i) =>
+        if (g(cy + dy)(cx + dx) >= g(cy)(cx)) 1 << i else 0
+      }.sum
+    }
+    assert(Raster.lbpCodes(bytes, 8, 8).toSeq == want)
+    // Bit order: center brighter than all neighbors except the one due
+    // EAST (bit 3 in the clockwise-from-NW order).
+    val img = Array.fill[Byte](8 * 8 * 3)(0)
+    for (c <- 0 until 3) {
+      img((1 * 8 + 1) * 3 + c) = 50 // center (1,1)
+      img((1 * 8 + 2) * 3 + c) = 90 // east neighbor (1,2)
+    }
+    assert(Raster.lbpCodes(img, 8, 8)(0) == (1 << 3))
+  }
 }
