@@ -2954,6 +2954,130 @@ object Queries {
          |    ELSE 5 END AS INTEGER) AS aspect
          |FROM a""".stripMargin))
 
+  /** LINE-OF-SIGHT / VIEWSHED over the density raster — the classic
+    * terrain-visibility operator (observer sees target iff no intermediate
+    * sample rises above the sight line), with the binned res-7 density as
+    * elevation. Observers are the HOT cells (cnt > 2x the global mean,
+    * decided by the exact cross-multiplication cnt·n_cells > 2·Σx);
+    * targets are the OCCUPIED cells within Chebyshev radius 3 (lon-wrap,
+    * lat in range). The sight line is sampled by integer DDA: at step
+    * t ∈ 1..n−1 (n = Chebyshev distance) the sample column is
+    * ((x0·n + dx·t + 128·n) div n) mod 128 — the +128·n bias keeps the
+    * numerator non-negative so truncating and flooring division agree on
+    * both engines — and the sample BLOCKS iff (e_s − e_o)·n ≥ (e_t − e_o)·t
+    * (the sight-line inequality cross-multiplied; zero floating point
+    * anywhere). Adjacent targets (n = 1) have no intermediate sample and
+    * are always visible. Output: per (observer, target) the distance,
+    * both elevations, the blocker count, and vis ∈ {0,1}.
+    *
+    * Scale shape: observers are a broadcast-thresholded slice of the
+    * OCCUPIED grid; the 48x ring fanout and the ≤2-sample DDA explode are
+    * grid-bounded; every elevation lookup is a keyed equi-join against the
+    * cell table (never a theta join). At 10^12 points the only data-sized
+    * stage is the res-7 groupBy; everything downstream is O(hot cells ×
+    * 48 × 2). */
+  private val qLineOfSight = Q(
+    "q_line_of_sight",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      lineOfSightFrom(s,
+        Images.images(s, dir)
+          .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+          .groupBy("cell").agg(count(lit(1)).as("cnt")))
+    },
+    Some(losOracleSql))
+
+  /** Core of [[qLineOfSight]] over an arbitrary `(cell, cnt)` res-7
+    * elevation table — factored out so the spec can drive it with a
+    * hand-built grid. */
+  private[graft] def lineOfSightFrom(s: SparkSession,
+                                     g: DataFrame): DataFrame = {
+    {
+      import s.implicits._
+      val base = g.agg(count(lit(1)).as("n_cells"), sum("cnt").as("sx"))
+      val obs = g.crossJoin(broadcast(base))
+        .where(col("cnt") * col("n_cells") > col("sx") * 2)
+        .select(col("cell").as("ocell"), col("cnt").as("eo"))
+        .withColumn("x0", col("ocell").bitwiseAND(lit(127L)))
+        .withColumn("y0", shiftright(col("ocell"), 7).bitwiseAND(lit(127L)))
+      val offs = (for (dy <- -3 to 3; dx <- -3 to 3 if dx != 0 || dy != 0)
+        yield (dx.toLong, dy.toLong)).toDF("dx", "dy")
+      val cand = obs.crossJoin(broadcast(offs))
+        .where(col("y0") + col("dy") >= 0 && col("y0") + col("dy") <= 127)
+        .withColumn("n", greatest(abs(col("dx")), abs(col("dy"))))
+        .withColumn("tx", (col("x0") + col("dx") + 128) % 128)
+        .withColumn("ty", col("y0") + col("dy"))
+        .withColumn("cell",
+          lit(7L << 58).bitwiseOR(shiftleft(col("ty"), 7)).bitwiseOR(col("tx")))
+        .join(g.select(col("cell"), col("cnt").as("et")), Seq("cell"))
+        .select(col("ocell"), col("cell").as("tcell"), col("n"),
+          col("eo"), col("et"), col("x0"), col("y0"), col("dx"), col("dy"))
+      val blk = cand.where(col("n") >= 2)
+        .withColumn("t", explode(sequence(lit(1L), col("n") - 1)))
+        .withColumn("sx_",
+          expr("((x0 * n + dx * t + 128 * n) div n) % 128"))
+        .withColumn("sy_",
+          expr("(y0 * n + dy * t + 128 * n) div n - 128"))
+        .withColumn("cell",
+          lit(7L << 58).bitwiseOR(shiftleft(col("sy_"), 7))
+            .bitwiseOR(col("sx_")))
+        .join(g.select(col("cell"), col("cnt").as("es")), Seq("cell"), "left")
+        .withColumn("es", coalesce(col("es"), lit(0L)))
+        .groupBy("ocell", "tcell")
+        .agg(sum(when((col("es") - col("eo")) * col("n") >=
+          (col("et") - col("eo")) * col("t"), 1L).otherwise(0L))
+          .as("n_block"))
+      cand.join(blk, Seq("ocell", "tcell"), "left")
+        .withColumn("n_block", coalesce(col("n_block"), lit(0L)))
+        .select(col("ocell"), col("tcell"), col("n"), col("eo"), col("et"),
+          col("n_block"),
+          when(col("n_block") === 0, 1L).otherwise(0L).as("vis"))
+    }
+  }
+
+  private def losOracleSql: String =
+    s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(cnt) AS BIGINT) AS sx
+         |  FROM g
+         |), obs AS (
+         |  SELECT cell AS ocell, cnt AS eo,
+         |    cell & 127 AS x0, (cell >> 7) & 127 AS y0
+         |  FROM g, b WHERE cnt * n_cells > sx * 2
+         |), cand AS (
+         |  SELECT o.ocell, g.cell AS tcell,
+         |    greatest(abs(dx.r), abs(dy.r)) AS n,
+         |    o.eo, g.cnt AS et, o.x0, o.y0,
+         |    CAST(dx.r AS BIGINT) AS dx, CAST(dy.r AS BIGINT) AS dy
+         |  FROM obs o, range(-3,4) dy(r), range(-3,4) dx(r)
+         |  JOIN g ON g.cell = ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(o.y0 + dy.r AS BIGINT) << 7)
+         |      | CAST((o.x0 + dx.r + 128) % 128 AS BIGINT))
+         |  WHERE o.y0 + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), blk AS (
+         |  SELECT c.ocell, c.tcell,
+         |    CAST(sum(CASE WHEN (coalesce(sg.cnt, 0) - c.eo) * c.n >=
+         |      (c.et - c.eo) * s.t THEN 1 ELSE 0 END) AS BIGINT) AS n_block
+         |  FROM cand c
+         |  JOIN range(1, 3) s(t) ON s.t < c.n
+         |  LEFT JOIN g sg ON sg.cell = ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST((c.y0 * c.n + c.dy * s.t + 128 * c.n) // c.n - 128
+         |          AS BIGINT) << 7)
+         |      | CAST(((c.x0 * c.n + c.dx * s.t + 128 * c.n) // c.n) % 128
+         |          AS BIGINT))
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.ocell, c.tcell, CAST(c.n AS BIGINT) AS n, c.eo, c.et,
+         |  coalesce(k.n_block, 0) AS n_block,
+         |  CAST(CASE WHEN coalesce(k.n_block, 0) = 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS vis
+         |FROM cand c LEFT JOIN blk k
+         |  ON k.ocell = c.ocell AND k.tcell = c.tcell""".stripMargin
+
   /** Global MORAN'S I — spatial autocorrelation over the binned grid (the
     * ESDA statistic behind "is the density clustered, dispersed, or
     * random?"), with queen (3x3 Chebyshev) binary weights over OCCUPIED
@@ -4781,6 +4905,7 @@ object Queries {
     qMoransI,
     qVariogram,
     qJoinCounts,
+    qLineOfSight,
     qLisaQuadrants,
     qGetisOrd,
     qIsolated,

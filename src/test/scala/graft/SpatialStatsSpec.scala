@@ -480,4 +480,35 @@ class SpatialStatsSpec extends SparkFunSuite {
     // appears in both orders), as are bb and ww.
     assert(bb % 2 == 0 && bw % 2 == 0 && ww % 2 == 0)
   }
+
+  test("line of sight: observer/wall/target hand fixture — the wall blocks " +
+    "exactly the 2-step pair, adjacency is always visible") {
+    import spark.implicits._
+    def pack(x: Long, y: Long): Long = (7L << 58) | (y << 7) | x
+    val obsC = pack(10, 10); val wallC = pack(11, 10); val tgtC = pack(12, 10)
+    // Background cells keep the global mean low so obs (100) and wall
+    // (200) clear the 2x-mean observer threshold and tgt (1) does not.
+    val g = (Seq((obsC, 100L), (wallC, 200L), (tgtC, 1L)) ++
+      (100L to 106L).map(x => (pack(x, 100L), 1L))).toDF("cell", "cnt")
+    val got = Queries.lineOfSightFrom(spark, g)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    val bg = (100L to 106L).map(x => pack(x, 100L))
+    val gotMain = got.filterNot(t => bg.contains(t._1))
+    assert(gotMain == Set(
+      (obsC, wallC, 1L, 100L, 200L, 0L, 1L),
+      // the wall (e=200 > e_obs=100) rises above the sight line to the
+      // low target: (200-100)*2 >= (1-100)*1 -> blocked
+      (obsC, tgtC, 2L, 100L, 1L, 1L, 0L),
+      (wallC, obsC, 1L, 200L, 100L, 0L, 1L),
+      (wallC, tgtC, 1L, 200L, 1L, 0L, 1L)))
+    // Shipped query at the fixture SF: vis <=> zero blockers; adjacency
+    // (n=1) has no intermediate sample and is always visible.
+    val q = Queries.queryMap("q_line_of_sight")(spark, SparkSpec.Sf).collect()
+    assert(q.nonEmpty)
+    assert(q.forall(r => (r.getLong(6) == 1L) == (r.getLong(5) == 0L)))
+    assert(q.filter(_.getLong(2) == 1L).forall(_.getLong(6) == 1L))
+  }
 }
