@@ -1339,6 +1339,105 @@ object Queries {
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          |FROM d GROUP BY 1""".stripMargin))
 
+  /** TRAJECTORY SIMILARITY JOIN — bounded-radius directed HAUSDORFF over
+    * user footprints (the movement-analytics "which users travel alike"
+    * operator). A footprint is the user's DISTINCT res-7 cell set; for
+    * every ordered pair that comes within Chebyshev radius 2 anywhere,
+    * the per-cell nearest-other-trajectory distance md(a) = min_{b∈B}
+    * d(a,b) is computed exactly for the cells it exists on (d = wrapped
+    * Chebyshev), giving: cov_ab = |{a : md(a) ≤ 2}| (the directed
+    * coverage), h_ab = the exact directed Hausdorff max md WHEN the
+    * coverage is total (else −1 = "exceeds the radius" — the bounded
+    * evaluation a 10^12-row engine can afford: h ≤ r is decidable from
+    * radius-r candidates alone; the exact value beyond r is not, and is
+    * deliberately not approximated), and mind = the closest approach.
+    * Both directions emitted once per unordered pair.
+    *
+    * Scale shape: footprints are grid-bounded distinct sets (one keyed
+    * dedup); candidates come from the same 25x ring scatter + keyed
+    * equi-join as the spatial-stats family — never |users|² — and every
+    * aggregation is keyed by (ua, ub[, acell]). Work is O(co-located
+    * pairs × footprint), the candidate-bounded cost any near-join at
+    * scale must have. */
+  private val qTrajHausdorff = Q(
+    "q_traj_hausdorff",
+    (s, dir) => trajHausdorffFrom(
+      eventPositions(s, dir, 7).select(col("user_id"), col("cell"))),
+    Some(trajHausdorffOracleSql))
+
+  /** Core of [[qTrajHausdorff]] over arbitrary `(user_id, cell)` points —
+    * factored out so the spec can drive it with hand-built footprints. */
+  private[graft] def trajHausdorffFrom(points: DataFrame): DataFrame = {
+      import graft.geo.{functions => G}
+      val n = 128L
+      val uc = points.distinct()
+      val sz = uc.groupBy("user_id").agg(count(lit(1)).as("n"))
+      def xOf(c: org.apache.spark.sql.Column) = c.bitwiseAND(lit(n - 1))
+      def yOf(c: org.apache.spark.sql.Column) =
+        shiftright(c, 7).bitwiseAND(lit(n - 1))
+      val rawDx = abs(xOf(col("acell")) - xOf(col("cell")))
+      val sc = uc.select(col("user_id").as("ua"), col("cell").as("acell"),
+          explode(G.cell_ring(col("cell"), lit(2))).as("cell"))
+        .withColumn("d", greatest(least(rawDx, lit(n) - rawDx),
+          abs(yOf(col("acell")) - yOf(col("cell")))))
+      val m = sc
+        .join(uc.select(col("user_id").as("ub"), col("cell")), Seq("cell"))
+        .where(col("ub") =!= col("ua"))
+        .groupBy("ua", "ub", "acell").agg(min(col("d")).as("md"))
+      val h = m.groupBy("ua", "ub")
+        .agg(count(lit(1)).as("ncov"), max("md").as("hh"),
+          min("md").as("mind"))
+      h.as("a")
+        .join(h.as("r"),
+          col("a.ua") === col("r.ub") && col("a.ub") === col("r.ua"))
+        .join(sz.as("za"), col("a.ua") === col("za.user_id"))
+        .join(sz.as("zb"), col("a.ub") === col("zb.user_id"))
+        .where(col("a.ua") < col("a.ub"))
+        .select(col("a.ua").as("ua"), col("a.ub").as("ub"),
+          col("za.n").as("n_a"), col("zb.n").as("n_b"),
+          col("a.ncov").as("cov_ab"), col("r.ncov").as("cov_ba"),
+          when(col("a.ncov") === col("za.n"), col("a.hh"))
+            .otherwise(lit(-1L)).as("h_ab"),
+          when(col("r.ncov") === col("zb.n"), col("r.hh"))
+            .otherwise(lit(-1L)).as("h_ba"),
+          col("a.mind").as("mind"))
+  }
+
+  private def trajHausdorffOracleSql: String =
+    s"""WITH ${eventCellCtes(7)}, uc AS (
+         |  SELECT DISTINCT user_id, cell FROM pc
+         |), sz AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM uc GROUP BY 1
+         |), xy AS (
+         |  SELECT user_id, cell, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM uc
+         |), sc AS (
+         |  SELECT u.user_id AS ua, u.cell AS acell,
+         |    ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS cell,
+         |    greatest(abs(dx.r), abs(dy.r)) AS d
+         |  FROM xy u, range(-2,3) dy(r), range(-2,3) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |), m AS (
+         |  SELECT s.ua, b.user_id AS ub, s.acell, CAST(min(s.d) AS BIGINT) AS md
+         |  FROM sc s JOIN uc b ON b.cell = s.cell AND b.user_id != s.ua
+         |  GROUP BY 1, 2, 3
+         |), h AS (
+         |  SELECT ua, ub, CAST(count(*) AS BIGINT) AS ncov,
+         |    CAST(max(md) AS BIGINT) AS hh, CAST(min(md) AS BIGINT) AS mind
+         |  FROM m GROUP BY 1, 2
+         |)
+         |SELECT a.ua, a.ub, za.n AS n_a, zb.n AS n_b,
+         |  a.ncov AS cov_ab, r.ncov AS cov_ba,
+         |  CASE WHEN a.ncov = za.n THEN a.hh ELSE -1 END AS h_ab,
+         |  CASE WHEN r.ncov = zb.n THEN r.hh ELSE -1 END AS h_ba,
+         |  a.mind
+         |FROM h a JOIN h r ON r.ua = a.ub AND r.ub = a.ua
+         |JOIN sz za ON za.user_id = a.ua
+         |JOIN sz zb ON zb.user_id = a.ub
+         |WHERE a.ua < a.ub""".stripMargin
+
   /** STAY-POINT DETECTION + REVISITS — the trajectory STOP analysis: a
     * "stay" is a maximal run of consecutive same-cell events of one user
     * (the gap-sessionization pattern applied SPATIALLY: break on cell
@@ -4929,6 +5028,7 @@ object Queries {
     qStHotspots,
     qOdFlows,
     qTrajHeadings,
+    qTrajHausdorff,
     qStayPoints,
     qTrendSurface,
     qBboxWrap,

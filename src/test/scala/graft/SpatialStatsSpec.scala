@@ -511,4 +511,39 @@ class SpatialStatsSpec extends SparkFunSuite {
     assert(q.forall(r => (r.getLong(6) == 1L) == (r.getLong(5) == 0L)))
     assert(q.filter(_.getLong(2) == 1L).forall(_.getLong(6) == 1L))
   }
+
+  test("trajectory Hausdorff: hand footprints — exact directed h within " +
+    "the radius, -1 beyond it, antimeridian wrap, far pairs absent") {
+    import spark.implicits._
+    def pack(x: Long, y: Long): Long = (7L << 58) | (y << 7) | x
+    val uc = Seq(
+      (1L, pack(10, 10)), (1L, pack(11, 10)), // A: two cells
+      (2L, pack(12, 10)),                     // B: one cell, 2 and 1 away
+      (3L, pack(60, 60)),                     // isolated
+      (4L, pack(127, 50)), (5L, pack(0, 50))  // wrap-adjacent across ±180
+    ).toDF("user_id", "cell")
+    val got = Queries.trajHausdorffFrom(uc)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+      .toSet
+    assert(got == Set(
+      // h(A->B) = max(min-dists 2, 1) = 2; h(B->A) = 1; closest approach 1
+      (1L, 2L, 2L, 1L, 2L, 1L, 2L, 1L, 1L),
+      // x=127 and x=0 are wrapped Chebyshev distance 1
+      (4L, 5L, 1L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    // Shipped query: coverage never exceeds the footprint; h >= 0 iff
+    // coverage is total; mind <= h when h is defined.
+    val q = Queries.queryMap("q_traj_hausdorff")(spark, SparkSpec.Sf).collect()
+    assert(q.nonEmpty)
+    assert(q.forall { r =>
+      val (na, nb, covAb, covBa) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (hAb, hBa, mind) = (r.getLong(6), r.getLong(7), r.getLong(8))
+      covAb <= na && covBa <= nb &&
+        ((hAb >= 0) == (covAb == na)) && ((hBa >= 0) == (covBa == nb)) &&
+        (hAb < 0 || mind <= hAb) && mind >= 0 && mind <= 2
+    })
+  }
 }
