@@ -155,6 +155,74 @@ object QueriesMisc {
          |QUALIFY row_number() OVER
          |  (PARTITION BY image_id ORDER BY score_q DESC, g) = 1""".stripMargin))
 
+  /** PER-IMAGE RUN-LENGTH COMPRESSIBILITY — the storage-planning metric of
+    * an image lakehouse (how well would this tile RLE-compress? long runs
+    * → flat content → cheap; 64 runs → noise → incompressible): the 64
+    * gray values of the 8x8 thumb in raster-scan order, counted as
+    * maximal equal-value runs. Emitted per image: run count, longest run,
+    * and the distinct-value count (the dictionary-size estimate). All
+    * integer; the change-flag/run-id windows are IMAGE-keyed (64 rows per
+    * key — never partitionless), so at 10^12 images this is scan + one
+    * keyed shuffle, the same contract as the dHash family. */
+  private val qRleRuns = Q(
+    "q_rle_runs",
+    (s, dir) => {
+      val thumb = Images.imagesWithBytes(s, dir)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(8), lit(8)))
+      val grays = array((0 until 64).map { p =>
+        (M.byte_at(col("thumb"), lit(3 * p)) +
+          M.byte_at(col("thumb"), lit(3 * p + 1)) +
+          M.byte_at(col("thumb"), lit(3 * p + 2))).cast("long")
+      }: _*)
+      val px = thumb.select(col("image_id"),
+        posexplode(grays).as(Seq("pos", "g")))
+      val w = Window.partitionBy("image_id").orderBy("pos")
+      val runs = px
+        .withColumn("prev", lag(col("g"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("g"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(w))
+        .groupBy(col("image_id"), col("run_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("image_id")
+        .agg(count(lit(1)).as("n_runs"), max("len").as("max_run"))
+      val vals = px.groupBy("image_id")
+        .agg(countDistinct(col("g")).as("n_vals"))
+      runs.join(vals, Seq("image_id"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), sq AS (
+         |  SELECT image_id, oy * 8 + ox AS pos, g FROM gray
+         |), ch AS (
+         |  SELECT image_id, pos, g,
+         |    CASE WHEN lag(g) OVER (PARTITION BY image_id ORDER BY pos)
+         |      IS DISTINCT FROM g THEN 1 ELSE 0 END AS chg
+         |  FROM sq
+         |), rid AS (
+         |  SELECT image_id,
+         |    sum(chg) OVER (PARTITION BY image_id ORDER BY pos) AS run_id
+         |  FROM ch
+         |), runs AS (
+         |  SELECT image_id, run_id, count(*) AS len FROM rid GROUP BY 1, 2
+         |), a AS (
+         |  SELECT image_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |    CAST(max(len) AS BIGINT) AS max_run
+         |  FROM runs GROUP BY 1
+         |), v AS (
+         |  SELECT image_id, CAST(count(DISTINCT g) AS BIGINT) AS n_vals
+         |  FROM sq GROUP BY 1
+         |)
+         |SELECT a.image_id, n_runs, max_run, n_vals
+         |FROM a JOIN v ON v.image_id = a.image_id""".stripMargin))
+
   /** Raster ZONAL STATISTICS — the classic raster↔vector operator (zone
     * layer × raster layer → per-zone aggregates of decoded pixel content;
     * the north star's "raster↔vector" axis beyond pure assignment).
@@ -1367,7 +1435,8 @@ object QueriesMisc {
          |FROM w GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qImageFidelity, qThumbStats, qOtsuThreshold, qZonalStats, qRasterPyramid,
+    qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qZonalStats,
+    qRasterPyramid,
     qFrameSample,
     qImageDhash, qLbpTexture, qImageSharpness, qAugmentFlip, qImageNeardup,
     qTileDiversity,

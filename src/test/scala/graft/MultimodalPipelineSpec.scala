@@ -105,4 +105,35 @@ class MultimodalPipelineSpec extends SparkFunSuite {
     // by construction (t is a member gray value with w0 rows <= it)
     assert(got.values.forall { case (t, w0, _) => t >= 0 && w0 >= 1 && w0 <= 15 })
   }
+
+  test("q_rle_runs: exact run-length replay over the 8x8 thumb kernel") {
+    val got = Queries.queryMap("q_rle_runs")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+          r.getAs[Long]("n_vals")))
+      .toMap
+    assert(got.nonEmpty)
+    val truth = withBytes.select(col("image_id"),
+        M.raster_resize(M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(8), lit(8)).as("thumb"))
+      .collect()
+      .map { r =>
+        val tb = r.getAs[Array[Byte]]("thumb")
+        val g = (0 until 64).map(p =>
+          ((tb(3 * p) & 0xff) + (tb(3 * p + 1) & 0xff) +
+            (tb(3 * p + 2) & 0xff)).toLong)
+        // run lengths of the gray sequence via a simple fold
+        val runs = g.foldLeft(List.empty[(Long, Long)]) {
+          case ((v, len) :: tl, x) if v == x => (v, len + 1) :: tl
+          case (acc, x) => (x, 1L) :: acc
+        }
+        r.getString(0) ->
+          (runs.size.toLong, runs.map(_._2).max, g.distinct.size.toLong)
+      }.toMap
+    assert(got === truth)
+    // structural bounds: 1 <= n_vals <= n_runs <= 64, max_run <= 64
+    assert(got.values.forall { case (nr, mx, nv) =>
+      nv >= 1 && nv <= nr && nr <= 64 && mx >= 1 && mx <= 64 })
+  }
 }
