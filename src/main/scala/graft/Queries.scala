@@ -340,6 +340,29 @@ object Queries {
     (s, dir) => knnRanked(s, dir),
     Some(knnBruteOracle("SELECT * FROM ranked")))
 
+  /** REVERSE kNN — the influence-set operator (RkNN: for each corpus
+    * image, WHICH queries rank it among their k nearest, inverted to
+    * per-image facts): influence size |{q : i ∈ kNN(q)}|, the best rank
+    * it achieves, and its closest query distance. The classic
+    * facility-location / cache-placement analytic — an image with a large
+    * influence set is a hot representative worth pinning. Pure inversion
+    * of the SHARED ranked set ([[knnRanked]] — candidate-bounded ring
+    * expansion, never a theta join): one image-keyed groupBy on an
+    * already-materialized frame, so the marginal cost at 100 TB is a
+    * single keyed shuffle of k·|queries| rows. */
+  private val qReverseKnn = Q(
+    "q_reverse_knn",
+    (s, dir) => knnRanked(s, dir)
+      .groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n_rknn"),
+        min(col("rnk")).as("best_rnk"),
+        min(col("dist_sq")).as("min_dist_sq")),
+    Some(knnBruteOracle(
+      """SELECT image_id, CAST(count(*) AS BIGINT) AS n_rknn,
+        |  CAST(min(rnk) AS BIGINT) AS best_rnk,
+        |  min(dist_sq) AS min_dist_sq
+        |FROM ranked GROUP BY 1""".stripMargin)))
+
   /** kNN CLASSIFICATION — majority vote over the shared ranked set: each
     * query point labeled by the most common `fmt` among its k nearest
     * images (tie-break: label order — deterministic). The classic
@@ -4994,6 +5017,7 @@ object Queries {
     qRasterUpsample,
     qGeofenceDwell,
     qKnnClassify,
+    qReverseKnn,
     qKnnBudget,
     qKnnBudgetIncl,
     qHotCells,

@@ -49,4 +49,22 @@ class KnnScaleSpec extends SparkFunSuite {
       }
     }
   }
+
+  test("reverse kNN is an exact inversion of the ranked set") {
+    val ranked = Queries.knnRanked(spark, SparkSpec.Sf).collect()
+    val got = Queries.queryMap("q_reverse_knn")(spark, SparkSpec.Sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+      .toMap
+    val want = ranked.groupBy(_.getAs[String]("image_id")).map {
+      case (id, rows) => id -> (
+        rows.length.toLong,
+        rows.map(_.getAs[Int]("rnk").toLong).min,
+        rows.map(_.getAs[Double]("dist_sq")).min)
+    }
+    assert(got === want)
+    // influence sizes sum back to the ranked-set cardinality
+    assert(got.values.map(_._1).sum == ranked.length)
+  }
 }
