@@ -657,6 +657,71 @@ object Queries {
          |${half("v2", "")}""".stripMargin
     })
 
+  private val PeRoots = new ScratchRoots("graft-pe")
+
+  /** PARTITION EVOLUTION across snapshot versions — the Iceberg
+    * spec-change semantic (v2 of a table adds a partition column; v1's
+    * files are NOT rewritten; readers span both layouts): v1 of the tile
+    * store is laid out `snapshot_id/res`, v2 adds a coarse res-3 bucket
+    * `pcell` derived from `cell` ([[Snapshot.writeVersionedPartitioned]]).
+    * [[Snapshot.readEvolved]] reads each version under its own layout and
+    * unions by name; v1 rows re-derive `pcell` from the data (HIDDEN
+    * partitioning — the transform is a pure function of `cell`, so old
+    * versions answer the same partition predicate, just without pruning).
+    * The output rolls the union up per bucket with the per-version
+    * provenance count; the oracle recomputes both halves from the raw
+    * corpus, so a hash match proves no rows were lost, duplicated, or
+    * re-bucketed crossing the two layouts.
+    *
+    * Scale shape: one corpus pass builds both versions (extraKeys
+    * grouping); the store union is grid-bounded; at 10^12 rows the win
+    * this gate protects is exactly Iceberg's — evolving the layout of a
+    * petabyte table without rewriting history, while new queries prune on
+    * the new column for new data. */
+  private val qPartitionEvolve = Q(
+    "q_partition_evolve", {
+      val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
+      (s, dir) => {
+        import graft.geo.{functions => G}
+        val root = PeRoots.fresh()
+        val both = TilePyramid.withCell(Images.images(s, dir), 6)
+          .withColumn("half", expr(h))
+          .groupBy(col("cell"), col("half"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("res", lit(6))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Snapshot.writeVersioned(both.filter(col("half") === 0).drop("half"),
+          root, snapshotId = "v1", buildTs = 1L)
+        Snapshot.writeVersionedPartitioned(
+          both.filter(col("half") === 1).drop("half")
+            .withColumn("pcell", G.cell_parent_at(col("cell"), 3)),
+          root, snapshotId = "v2", buildTs = 2L, extraPartCols = Seq("pcell"))
+        both.unpersist(blocking = false)
+        Snapshot.readEvolved(s, root)
+          .withColumn("pcell",
+            coalesce(col("pcell"), G.cell_parent_at(col("cell"), 3)))
+          .groupBy(col("pcell"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_pts"),
+            countDistinct(col("snapshot_id")).as("n_snaps"))
+      }
+    },
+    Some {
+      val h = "(('0x' || substr(md5(image_id), 1, 8))::BIGINT) % 2"
+      s"""$cte, t AS (
+         |  SELECT ${cellSql(6)} AS cell, $h AS half FROM images
+         |), g AS (
+         |  SELECT cell, half, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t GROUP BY 1, 2
+         |)
+         |SELECT ((CAST(3 AS BIGINT) << 58)
+         |    | ((((cell >> 6) & 63) >> 3) << 3)
+         |    | ((cell & 63) >> 3)) AS pcell,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(cnt) AS BIGINT) AS n_pts,
+         |  CAST(count(DISTINCT half) AS BIGINT) AS n_snaps
+         |FROM g GROUP BY 1""".stripMargin
+    })
+
   /** Stats maintenance across snapshots (≙ `update_kmean_with_index`,
     * raptor/merge_distance&tree_exam.py:687-766): split the corpus into two
     * halves by md5(image_id) parity (spatially UNCORRELATED — a k-parity
@@ -5040,6 +5105,7 @@ object Queries {
     qMergeTree2,
     qResumeRes6,
     qTimeTravel,
+    qPartitionEvolve,
     qStatsTransfer,
     qReadMigrated,
     qBucketJoin,

@@ -101,7 +101,21 @@ object Snapshot {
     * The manifest counts ride the write job via the same single-pass
     * `observe` metrics as [[write]]. */
   def writeVersioned(pyramid: DataFrame, root: String, snapshotId: String,
-                     buildTs: Long): Map[Int, Long] = {
+                     buildTs: Long): Map[Int, Long] =
+    writeVersionedPartitioned(pyramid, root, snapshotId, buildTs, Nil)
+
+  /** [[writeVersioned]] with an EVOLVED partition layout — the Iceberg
+    * partition-evolution semantic: a NEW version may add partition columns
+    * (e.g. a coarse-cell bucket derived from `cell`) without rewriting any
+    * prior version; each version keeps its own directory layout under
+    * `tiles/snapshot_id=<id>/...`, and [[readEvolved]] spans them. The
+    * extra columns must be DERIVABLE from the data (hidden partitioning) so
+    * readers of old versions can recompute them — the contract Iceberg's
+    * spec-per-snapshot encodes in metadata, here carried by the
+    * deterministic derivation expression at the read site. */
+  def writeVersionedPartitioned(pyramid: DataFrame, root: String,
+                                snapshotId: String, buildTs: Long,
+                                extraPartCols: Seq[String]): Map[Int, Long] = {
     // Ids must survive Hive partition-path encoding verbatim: partitionBy
     // percent-escapes characters like ':' '=' '%' in the directory name,
     // so an id containing them would WRITE to `snapshot_id=a%3Ab` while
@@ -125,9 +139,22 @@ object Snapshot {
     val partDir = Paths.get(s"$root/tiles/snapshot_id=$snapshotId")
     if (Files.exists(partDir)) deleteRecursively(partDir)
     writeWith(pyramid, root, snapshotId, buildTs,
-      partCols = Seq("snapshot_id", "res"), mode = "append",
+      partCols = Seq("snapshot_id", "res") ++ extraPartCols, mode = "append",
       recountRoot = s"$root/tiles/snapshot_id=$snapshotId")
   }
+
+  /** Read ALL committed versions under a root whose partition layouts may
+    * DIFFER ([[writeVersionedPartitioned]] — partition evolution): a plain
+    * `read(root/tiles)` would fail on the inconsistent partition-directory
+    * depths, so each version is listed and read under its OWN layout and
+    * the union is by name, old versions carrying NULL for partition
+    * columns they predate (callers re-derive them from the data — hidden
+    * partitioning). Per-version partition PRUNING still applies before the
+    * union: a filter on an evolved column prunes the versions that have
+    * it and only scans (then filters) the ones that don't. */
+  def readEvolved(spark: SparkSession, root: String): DataFrame =
+    snapshots(root).map { case (id, _) => readAsOf(spark, root, id) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

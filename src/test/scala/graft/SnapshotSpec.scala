@@ -282,4 +282,51 @@ class SnapshotSpec extends SparkFunSuite {
     assert(perRes.values.forall(_ == total),
       "every level must account for every image")
   }
+
+  test("partition evolution: v2 adds a partition column without rewriting " +
+    "v1; readEvolved spans both layouts; the new column prunes v2") {
+    import graft.geo.{functions => G}
+    val root = Files.createTempDirectory("graft-snap-pe").toString
+    val leaves = TilePyramid.leafTiles(images, 6)
+      .select("cell", "cnt", "res")
+      .persist()
+    Snapshot.writeVersioned(leaves, root, "v1", buildTs = 1L)
+    Snapshot.writeVersionedPartitioned(
+      leaves.withColumn("pcell", G.cell_parent_at(col("cell"), 3)),
+      root, "v2", buildTs = 2L, extraPartCols = Seq("pcell"))
+    // on-disk layouts really differ: v2 has pcell= dirs, v1 does not
+    import scala.jdk.CollectionConverters._
+    def dirs(id: String) = {
+      val res6 = java.nio.file.Paths.get(s"$root/tiles/snapshot_id=$id/res=6")
+      scala.util.Using.resource(Files.list(res6))(
+        _.iterator().asScala.map(_.getFileName.toString).toList)
+    }
+    assert(dirs("v2").exists(_.startsWith("pcell=")))
+    assert(!dirs("v1").exists(_.startsWith("pcell=")))
+    // spanning read: all rows of both versions, v1's pcell NULL then
+    // re-derived (hidden partitioning)
+    val ev = Snapshot.readEvolved(spark, root)
+    val n = leaves.count()
+    assert(ev.count() == 2 * n)
+    assert(ev.filter(col("snapshot_id") === "v1" &&
+      col("pcell").isNotNull).count() == 0)
+    val derived = ev.withColumn("pcell",
+      coalesce(col("pcell"), G.cell_parent_at(col("cell"), 3)))
+    assert(derived.filter(col("pcell").isNull).count() == 0)
+    // per-version pruning: a pcell filter on v2 scans strictly fewer
+    // partition directories than the whole version
+    val v2 = Snapshot.readAsOf(spark, root, "v2")
+    val nPcells = v2.select("pcell").distinct().count()
+    assert(nPcells > 1, "fixture must span several pcell buckets")
+    val onePcell = v2.select("pcell").distinct().head().getLong(0)
+    val filtered = v2.filter(col("pcell") === onePcell)
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.headOption.getOrElse(fail("no file scan in the filtered plan"))
+    assert(scan.toString.contains("PartitionFilters"))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 1,
+      s"pcell filter selected $selected of $nPcells partition dirs")
+    leaves.unpersist(blocking = false)
+  }
 }
