@@ -3265,6 +3265,66 @@ object Queries {
          |FROM cand c LEFT JOIN blk k
          |  ON k.ocell = c.ocell AND k.tcell = c.tcell""".stripMargin
 
+  /** D8 FLOW ROUTING + WATERSHED BASINS over the density raster — the
+    * hydrology family (flow direction → pit detection → basin labels)
+    * on the binned grid: each occupied res-7 cell drains to its
+    * steepest-descent lower occupied queen neighbor (max integer drop,
+    * ties to the smallest cell id), pits drain nowhere, and every cell is
+    * labeled with the PIT its flow path reaches (the watershed basin)
+    * plus the hop count. [[graft.operators.FlowRouting]]: the downstream
+    * forest is resolved by POINTER DOUBLING with a distance accumulator —
+    * O(log depth) keyed self-joins, the connected-components device —
+    * while the oracle walks the same pointers one hop at a time through a
+    * recursive CTE; a hash match therefore proves the doubled composition
+    * equals the sequential walk on every cell. All integer end-to-end. */
+  private val qFlowWatershed = Q(
+    "q_flow_watershed",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      FlowRouting.watershed(
+        Images.images(s, dir)
+          .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+          .groupBy("cell").agg(count(lit(1)).as("cnt")))
+    },
+    Some(
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, g AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), contrib AS (
+         |  SELECT cell AS src, cnt,
+         |    ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell
+         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), dn AS (
+         |  SELECT src AS cell, ocell AS down, drop FROM (
+         |    SELECT c.src, c.ocell, c.cnt - n.cnt AS drop,
+         |      row_number() OVER (PARTITION BY c.src
+         |        ORDER BY c.cnt - n.cnt DESC, c.ocell) AS rk
+         |    FROM contrib c JOIN g n ON n.cell = c.ocell
+         |    WHERE n.cnt < c.cnt
+         |  ) WHERE rk = 1
+         |), d2 AS (
+         |  SELECT g.cell, coalesce(dn.down, -1) AS down,
+         |    CAST(coalesce(dn.drop, 0) AS BIGINT) AS drop
+         |  FROM g LEFT JOIN dn ON dn.cell = g.cell
+         |), walk AS (
+         |  SELECT cell AS start, cell AS cur, 0 AS steps FROM d2
+         |  UNION ALL
+         |  SELECT w.start, d.down, w.steps + 1
+         |  FROM walk w JOIN d2 d ON d.cell = w.cur AND d.down != -1
+         |)
+         |SELECT s.cell, s.down, s.drop, w.cur AS pit,
+         |  CAST(w.steps AS BIGINT) AS path_len
+         |FROM walk w
+         |JOIN d2 p ON p.cell = w.cur AND p.down = -1
+         |JOIN d2 s ON s.cell = w.start""".stripMargin))
+
   /** Global MORAN'S I — spatial autocorrelation over the binned grid (the
     * ESDA statistic behind "is the density clustered, dispersed, or
     * random?"), with queen (3x3 Chebyshev) binary weights over OCCUPIED
@@ -5094,6 +5154,7 @@ object Queries {
     qVariogram,
     qJoinCounts,
     qLineOfSight,
+    qFlowWatershed,
     qLisaQuadrants,
     qGetisOrd,
     qIsolated,
