@@ -3277,53 +3277,116 @@ object Queries {
     * while the oracle walks the same pointers one hop at a time through a
     * recursive CTE; a hash match therefore proves the doubled composition
     * equals the sequential walk on every cell. All integer end-to-end. */
+  /** One routing pass serves the THREE hydrology queries (q_flow_watershed,
+    * q_flow_accum, q_basin_stats) — the [[knnRanked]] memo contract:
+    * resolved pointers + the cell counts, localCheckpoint'ed per
+    * (session, dir). */
+  private val watershedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def watershedMemo(s: SparkSession, dir: String): DataFrame = {
+    if (watershedCache.size > 8) watershedCache.clear()
+    watershedCache.getOrElseUpdate((s, dir), {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      FlowRouting.watershed(g).join(g, Seq("cell")).localCheckpoint(true)
+    })
+  }
+
   private val qFlowWatershed = Q(
     "q_flow_watershed",
-    (s, dir) => {
-      import graft.geo.{functions => G}
-      FlowRouting.watershed(
-        Images.images(s, dir)
-          .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
-          .groupBy("cell").agg(count(lit(1)).as("cnt")))
-    },
-    Some(
-      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, g AS (
-         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM images GROUP BY 1
-         |), xy AS (
-         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
-         |  FROM g
-         |), contrib AS (
-         |  SELECT cell AS src, cnt,
-         |    ((CAST(7 AS BIGINT) << 58)
-         |      | (CAST(y + dy.r AS BIGINT) << 7)
-         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell
-         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
-         |  WHERE y + dy.r BETWEEN 0 AND 127
-         |    AND (dx.r != 0 OR dy.r != 0)
-         |), dn AS (
-         |  SELECT src AS cell, ocell AS down, drop FROM (
-         |    SELECT c.src, c.ocell, c.cnt - n.cnt AS drop,
-         |      row_number() OVER (PARTITION BY c.src
-         |        ORDER BY c.cnt - n.cnt DESC, c.ocell) AS rk
-         |    FROM contrib c JOIN g n ON n.cell = c.ocell
-         |    WHERE n.cnt < c.cnt
-         |  ) WHERE rk = 1
-         |), d2 AS (
-         |  SELECT g.cell, coalesce(dn.down, -1) AS down,
-         |    CAST(coalesce(dn.drop, 0) AS BIGINT) AS drop
-         |  FROM g LEFT JOIN dn ON dn.cell = g.cell
-         |), walk AS (
-         |  SELECT cell AS start, cell AS cur, 0 AS steps FROM d2
-         |  UNION ALL
-         |  SELECT w.start, d.down, w.steps + 1
-         |  FROM walk w JOIN d2 d ON d.cell = w.cur AND d.down != -1
-         |)
-         |SELECT s.cell, s.down, s.drop, w.cur AS pit,
-         |  CAST(w.steps AS BIGINT) AS path_len
-         |FROM walk w
-         |JOIN d2 p ON p.cell = w.cur AND p.down = -1
-         |JOIN d2 s ON s.cell = w.start""".stripMargin))
+    (s, dir) => watershedMemo(s, dir)
+      .select("cell", "down", "drop", "pit", "path_len"),
+    // NB: concatenation, not interpolation into a stripMargin literal —
+    // flowOracleCtes contains bitwise-OR pipes at line starts that a
+    // second stripMargin pass would eat.
+    Some(flowOracleCtes + "\n" +
+      """SELECT s.cell, s.down, s.drop, w.cur AS pit,
+        |  CAST(w.steps AS BIGINT) AS path_len
+        |FROM walk w
+        |JOIN d2 p ON p.cell = w.cur AND p.down = -1
+        |JOIN d2 s ON s.cell = w.start""".stripMargin))
+
+  /** Shared oracle chain of the hydrology family: pointers `d2(cell, down,
+    * drop)` and the sequential `walk(start, cur, steps)` recursion. */
+  private def flowOracleCtes: String =
+    s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, g AS (
+       |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM images GROUP BY 1
+       |), xy AS (
+       |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+       |  FROM g
+       |), contrib AS (
+       |  SELECT cell AS src, cnt,
+       |    ((CAST(7 AS BIGINT) << 58)
+       |      | (CAST(y + dy.r AS BIGINT) << 7)
+       |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell
+       |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+       |  WHERE y + dy.r BETWEEN 0 AND 127
+       |    AND (dx.r != 0 OR dy.r != 0)
+       |), dn AS (
+       |  SELECT src AS cell, ocell AS down, drop FROM (
+       |    SELECT c.src, c.ocell, c.cnt - n.cnt AS drop,
+       |      row_number() OVER (PARTITION BY c.src
+       |        ORDER BY c.cnt - n.cnt DESC, c.ocell) AS rk
+       |    FROM contrib c JOIN g n ON n.cell = c.ocell
+       |    WHERE n.cnt < c.cnt
+       |  ) WHERE rk = 1
+       |), d2 AS (
+       |  SELECT g.cell, coalesce(dn.down, -1) AS down,
+       |    CAST(coalesce(dn.drop, 0) AS BIGINT) AS drop
+       |  FROM g LEFT JOIN dn ON dn.cell = g.cell
+       |), walk AS (
+       |  SELECT cell AS start, cell AS cur, 0 AS steps FROM d2
+       |  UNION ALL
+       |  SELECT w.start, d.down, w.steps + 1
+       |  FROM walk w JOIN d2 d ON d.cell = w.cur AND d.down != -1
+       |)""".stripMargin
+
+  /** FLOW ACCUMULATION — stream-network extraction over the routed grid:
+    * per cell, how many cells' flow paths pass through it (itself
+    * included; high accumulation = a channel, 1 = a ridge crest). The
+    * engine pushes counts down the forest bottom-up for exactly
+    * max(path_len) rounds ([[FlowRouting.accumulationFrom]], riding the
+    * memoized routing pass); the oracle counts path VISITS from the
+    * sequential walk — a hash match proves the O(depth) keyed push equals
+    * exhaustive path enumeration on every cell. */
+  private val qFlowAccum = Q(
+    "q_flow_accum",
+    (s, dir) => FlowRouting.accumulationFrom(watershedMemo(s, dir))
+      .select("cell", "pit", "acc"),
+    Some(flowOracleCtes +
+      """, acc AS (
+        |  SELECT cur AS cell, CAST(count(*) AS BIGINT) AS acc
+        |  FROM walk GROUP BY 1
+        |), fin AS (
+        |  SELECT w.start AS cell, w.cur AS pit
+        |  FROM walk w JOIN d2 p ON p.cell = w.cur AND p.down = -1
+        |)
+        |SELECT f.cell, f.pit, a.acc
+        |FROM fin f JOIN acc a ON a.cell = f.cell""".stripMargin))
+
+  /** WATERSHED BASIN ROLLUP — per-basin summaries (the zonal statistics of
+    * the hydrology family, zones = basins instead of polygons): member
+    * cells, point mass, and the deepest flow path draining into the pit.
+    * One pit-keyed groupBy over the memoized routing. */
+  private val qBasinStats = Q(
+    "q_basin_stats",
+    (s, dir) => watershedMemo(s, dir)
+      .groupBy(col("pit"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("mass"),
+        max(col("path_len")).as("max_depth")),
+    Some(flowOracleCtes +
+      """, fin AS (
+        |  SELECT w.start, w.cur AS pit, w.steps
+        |  FROM walk w JOIN d2 p ON p.cell = w.cur AND p.down = -1
+        |)
+        |SELECT pit, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(g.cnt) AS BIGINT) AS mass,
+        |  CAST(max(steps) AS BIGINT) AS max_depth
+        |FROM fin JOIN g ON g.cell = fin.start
+        |GROUP BY pit""".stripMargin))
 
   /** Global MORAN'S I — spatial autocorrelation over the binned grid (the
     * ESDA statistic behind "is the density clustered, dispersed, or
@@ -5155,6 +5218,8 @@ object Queries {
     qJoinCounts,
     qLineOfSight,
     qFlowWatershed,
+    qFlowAccum,
+    qBasinStats,
     qLisaQuadrants,
     qGetisOrd,
     qIsolated,

@@ -97,4 +97,42 @@ object FlowRouting {
       .select(col("cell"), col("down"), col("drop"),
         col("nxt").as("pit"), col("steps").as("path_len"))
   }
+
+  /** FLOW ACCUMULATION: per cell, the number of cells whose flow path
+    * passes through it (itself included) — the stream-network extraction
+    * statistic (high accumulation = channel, 1 = ridge). Exact bottom-up
+    * push over the downstream forest: acc ← 1 + Σ_{u: down(u)=c} acc(u),
+    * iterated DEPTH rounds where depth = max path length — read from the
+    * already-resolved [[watershed]] (one scalar collect), so the loop
+    * runs exactly as many keyed agg+join rounds as the terrain needs.
+    * Each round localCheckpoints to truncate lineage. O(depth · |cells|)
+    * keyed work, grid-bounded — never point-sized. */
+  def accumulation(g: DataFrame): DataFrame =
+    accumulationFrom(watershed(g).localCheckpoint(true))
+
+  /** [[accumulation]] over an already-resolved (and materialized)
+    * [[watershed]] frame — the sharing point when several queries ride one
+    * routing pass. */
+  def accumulationFrom(ws: DataFrame): DataFrame = {
+    val depth = ws.agg(max(col("path_len"))).head().getLong(0)
+    val down = ws.select(col("cell"), col("down"))
+    var acc = ws.select(col("cell"), lit(1L).as("acc"))
+      .localCheckpoint(true)
+    var i = 0L
+    while (i < depth) {
+      val pushed = down.join(acc, Seq("cell"))
+        .where(col("down") =!= -1L)
+        .groupBy(col("down").as("cell"))
+        .agg(sum(col("acc")).as("up"))
+      acc = down.select(col("cell"))
+        .join(pushed, Seq("cell"), "left_outer")
+        .select(col("cell"), (lit(1L) + coalesce(col("up"), lit(0L)))
+          .as("acc"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ws.join(acc, Seq("cell"))
+      .select(col("cell"), col("down"), col("pit"), col("path_len"),
+        col("acc"))
+  }
 }

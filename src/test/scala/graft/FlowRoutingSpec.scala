@@ -31,6 +31,19 @@ class FlowRoutingSpec extends SparkFunSuite {
     }
   }
 
+  test("accumulation on the ridge: cell i carries exactly its i+1 " +
+    "upstream cells (crest 1, pit 16)") {
+    import spark.implicits._
+    val cells = (0 until 16).map(i => (pack(30 + i, 10), (160 - 10 * i).toLong))
+    val got = FlowRouting.accumulation(cells.toDF("cell", "cnt"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("acc"))
+      .toMap
+    (0 until 16).foreach { i =>
+      assert(got(pack(30 + i, 10)) == i + 1L, s"acc at ridge position $i")
+    }
+  }
+
   test("equal-drop tie breaks to the smaller cell id; pits label themselves") {
     import spark.implicits._
     val g = Seq(
