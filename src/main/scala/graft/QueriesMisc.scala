@@ -551,6 +551,93 @@ object QueriesMisc {
          |SELECT image_id, CAST(SUM(abs(gx) + abs(gy)) AS BIGINT) AS sharpness
          |FROM sob GROUP BY image_id""".stripMargin))
 
+  /** EDGE-ORIENTATION HISTOGRAM (HOG-lite) — the orientation half of the
+    * HOG descriptor family, integer-exact: the 36 interior Sobel
+    * gradients per image ([[graft.multimodal.Raster.sobelSectors]] — same
+    * gray grid as sharpness/dHash), each quantized to a compass sector by
+    * sign/dominance tests alone (the q_traj_headings decision tree; no
+    * atan2, so the descriptor replays digit-for-digit in SQL). Per image:
+    * flat mass, edge mass, and the DOMINANT edge orientation (ties →
+    * smaller sector; −1 when the image has no gradient anywhere) — the
+    * cheap pose/texture facet a curation pipeline stratifies on.
+    * Map-side decode → one (image, sector)-keyed groupBy with ≤9 rows
+    * per image; windows image-keyed. Same 10^12 contract as the dHash
+    * family. */
+  private val qEdgeOrient = Q(
+    "q_edge_orient",
+    (s, dir) => {
+      val hist = Images.imagesWithBytes(s, dir)
+        .select(col("image_id"),
+          explode(M.sobel_sectors(M.raster_decode(col("bytes"), col("fmt")),
+            col("w"), col("h"))).as("sector"))
+        .groupBy(col("image_id"), col("sector"))
+        .agg(count(lit(1)).as("cnt"))
+      val base = hist.groupBy("image_id")
+        .agg(sum(when(col("sector") === 8, col("cnt")).otherwise(0L))
+          .as("flat_cnt"),
+          sum(when(col("sector") < 8, col("cnt")).otherwise(0L))
+            .as("edge_cnt"))
+      val w = Window.partitionBy("image_id")
+        .orderBy(col("cnt").desc, col("sector"))
+      val dom = hist.where(col("sector") < 8)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("image_id"), col("sector").as("dom_sector"),
+          col("cnt").as("dom_cnt"))
+      base.join(dom, Seq("image_id"), "left_outer")
+        .select(col("image_id"), col("flat_cnt"), col("edge_cnt"),
+          coalesce(col("dom_sector"), lit(-1)).as("dom_sector"),
+          coalesce(col("dom_cnt"), lit(0L)).as("dom_cnt"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), sob AS (
+         |  SELECT gr.image_id, cy.r AS cy, cx.r AS cx,
+         |    SUM(gr.g * (CASE gr.ox - cx.r WHEN 1 THEN 1 WHEN -1 THEN -1 ELSE 0 END)
+         |             * (CASE gr.oy - cy.r WHEN 0 THEN 2 ELSE 1 END)) AS gx,
+         |    SUM(gr.g * (CASE gr.oy - cy.r WHEN 1 THEN 1 WHEN -1 THEN -1 ELSE 0 END)
+         |             * (CASE gr.ox - cx.r WHEN 0 THEN 2 ELSE 1 END)) AS gy
+         |  FROM gray gr, range(1,7) cy(r), range(1,7) cx(r)
+         |  WHERE abs(gr.oy - cy.r) <= 1 AND abs(gr.ox - cx.r) <= 1
+         |  GROUP BY 1, 2, 3
+         |), sec AS (
+         |  SELECT image_id, CASE
+         |    WHEN gx = 0 AND gy = 0 THEN 8
+         |    WHEN abs(gx) > abs(gy) AND gx > 0 THEN 0
+         |    WHEN abs(gx) > abs(gy) THEN 4
+         |    WHEN abs(gy) > abs(gx) AND gy > 0 THEN 2
+         |    WHEN abs(gy) > abs(gx) THEN 6
+         |    WHEN gx > 0 AND gy > 0 THEN 1
+         |    WHEN gx > 0 THEN 7
+         |    WHEN gy > 0 THEN 3
+         |    ELSE 5 END AS sector
+         |  FROM sob
+         |), hist AS (
+         |  SELECT image_id, sector, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM sec GROUP BY 1, 2
+         |), base AS (
+         |  SELECT image_id,
+         |    CAST(sum(CASE WHEN sector = 8 THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS flat_cnt,
+         |    CAST(sum(CASE WHEN sector < 8 THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS edge_cnt
+         |  FROM hist GROUP BY 1
+         |), dom AS (
+         |  SELECT image_id, sector AS dom_sector, cnt AS dom_cnt FROM (
+         |    SELECT image_id, sector, cnt, row_number() OVER (
+         |      PARTITION BY image_id ORDER BY cnt DESC, sector) AS rk
+         |    FROM hist WHERE sector < 8
+         |  ) WHERE rk = 1
+         |)
+         |SELECT b.image_id, b.flat_cnt, b.edge_cnt,
+         |  CAST(coalesce(d.dom_sector, -1) AS INTEGER) AS dom_sector,
+         |  coalesce(d.dom_cnt, 0) AS dom_cnt
+         |FROM base b LEFT JOIN dom d ON d.image_id = b.image_id""".stripMargin))
+
   /** IMAGE NEAR-DUP DETECTION — the image-modality dedup operator of a
     * training-data pipeline: plant a perturbed re-encode (forced-lossy
     * variant, same ground truth) of 5% of the corpus, then find each
@@ -1438,7 +1525,8 @@ object QueriesMisc {
     qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qZonalStats,
     qRasterPyramid,
     qFrameSample,
-    qImageDhash, qLbpTexture, qImageSharpness, qAugmentFlip, qImageNeardup,
+    qImageDhash, qLbpTexture, qImageSharpness, qEdgeOrient, qAugmentFlip,
+    qImageNeardup,
     qTileDiversity,
     qTileLuma, qSceneCuts, qGrayWorld, qAffineWarp, qHistEqualize,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,

@@ -258,6 +258,56 @@ object Raster {
     total
   }
 
+  /** EDGE-ORIENTATION sectors of a decoded raster (HOG-lite): the 36
+    * interior Sobel gradients of the same 8x8 gray grid as
+    * [[sobelEnergy]], each quantized to a compass sector by PURE INTEGER
+    * sign/dominance tests — 0..7 = E NE N NW W SW S SE, 8 = flat
+    * (gx = gy = 0) — the q_traj_headings decision tree applied to image
+    * gradients (no atan2, so the descriptor replays exactly in ANSI
+    * SQL). Row-major over the interior. */
+  def sobelSectors(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val g = Array.ofDim[Int](8, 8)
+    var oy = 0
+    while (oy < 8) {
+      val sy = oy * h / 8
+      var ox = 0
+      while (ox < 8) {
+        val base = (sy * w + ox * w / 8) * 3
+        g(oy)(ox) = (bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+          (bytes(base + 2) & 0xff)
+        ox += 1
+      }
+      oy += 1
+    }
+    val out = new Array[Int](36)
+    var i = 0
+    var cy = 1
+    while (cy < 7) {
+      var cx = 1
+      while (cx < 7) {
+        val gx = (g(cy - 1)(cx + 1) + 2 * g(cy)(cx + 1) + g(cy + 1)(cx + 1)) -
+          (g(cy - 1)(cx - 1) + 2 * g(cy)(cx - 1) + g(cy + 1)(cx - 1))
+        val gy = (g(cy + 1)(cx - 1) + 2 * g(cy + 1)(cx) + g(cy + 1)(cx + 1)) -
+          (g(cy - 1)(cx - 1) + 2 * g(cy - 1)(cx) + g(cy - 1)(cx + 1))
+        val ax = math.abs(gx); val ay = math.abs(gy)
+        out(i) =
+          if (gx == 0 && gy == 0) 8
+          else if (ax > ay && gx > 0) 0
+          else if (ax > ay) 4
+          else if (ay > ax && gy > 0) 2
+          else if (ay > ax) 6
+          else if (gx > 0 && gy > 0) 1
+          else if (gx > 0) 7
+          else if (gy > 0) 3
+          else 5
+        i += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
   /** Offsets of the 8-neighborhood in CLOCKWISE order from NW — the LBP
     * bit order (bit i set ⟺ neighbor i ≥ center). Shared with the oracle
     * SQL, which enumerates the same (dy, dx, bit) triples literally. */

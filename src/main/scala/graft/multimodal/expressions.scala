@@ -276,6 +276,25 @@ case class SobelEnergy(bytes: Expression, w: Expression, h: Expression)
   override def prettyName: String = "sobel_energy"
 }
 
+/** `SOBEL_SECTORS(bytes, w, h) -> array<int>` the 36 interior edge-
+  * orientation sectors ([[Raster.sobelSectors]] — the HOG-lite
+  * descriptor; explode + histogram downstream). */
+case class SobelSectors(bytes: Expression, w: Expression, h: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = bytes
+  override def second: Expression = w
+  override def third: Expression = h
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, ww: Any, hh: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Raster.sobelSectors(b.asInstanceOf[Array[Byte]],
+        ww.asInstanceOf[Int], hh.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "sobel_sectors"
+}
+
 /** `LBP_CODES(bytes, w, h) -> array<int>` the 36 interior local-binary-
   * pattern codes of a decoded raster ([[Raster.lbpCodes]] — the texture
   * descriptor; explode + histogram downstream). */
@@ -347,6 +366,9 @@ object functions {
 
   def lbp_codes(bytes: Column, w: Column, h: Column): Column =
     col(LbpCodes(expr(bytes), expr(w), expr(h)))
+
+  def sobel_sectors(bytes: Column, w: Column, h: Column): Column =
+    col(SobelSectors(expr(bytes), expr(w), expr(h)))
 
   def raster_hflip(bytes: Column, w: Column, h: Column): Column =
     col(RasterHFlip(expr(bytes), expr(w), expr(h)))

@@ -213,4 +213,34 @@ class RasterSpec extends AnyFunSuite {
     }
     assert(Raster.lbpCodes(img, 8, 8)(0) == (1 << 3))
   }
+
+  test("sobelSectors: flat -> 8 everywhere; x-ramp -> all sector 0 (E); " +
+    "y-ramp -> all sector 2; agrees with sobelEnergy's zero set") {
+    val flat = Array.fill[Byte](8 * 8 * 3)(99)
+    assert(Raster.sobelSectors(flat, 8, 8).forall(_ == 8))
+    def ramp(f: (Int, Int) => Int): Array[Byte] = {
+      val b = new Array[Byte](8 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+        b((y * 8 + x) * 3 + c) = f(x, y).toByte
+      b
+    }
+    assert(Raster.sobelSectors(ramp((x, _) => 10 * x), 8, 8).forall(_ == 0))
+    assert(Raster.sobelSectors(ramp((_, y) => 10 * y), 8, 8).forall(_ == 2))
+    // a real raster: sector 8 exactly where the Sobel pair is (0, 0)
+    val bytes = Raster.decode(Raster.storedBytes(7L, 8, 8, "lossy"), "lossy")
+    val secs = Raster.sobelSectors(bytes, 8, 8)
+    val g = Array.tabulate(8, 8) { (y, x) =>
+      val b = (y * 8 + x) * 3
+      (bytes(b) & 0xff) + (bytes(b + 1) & 0xff) + (bytes(b + 2) & 0xff)
+    }
+    var i = 0
+    for (cy <- 1 to 6; cx <- 1 to 6) {
+      val gx = (g(cy - 1)(cx + 1) + 2 * g(cy)(cx + 1) + g(cy + 1)(cx + 1)) -
+        (g(cy - 1)(cx - 1) + 2 * g(cy)(cx - 1) + g(cy + 1)(cx - 1))
+      val gy = (g(cy + 1)(cx - 1) + 2 * g(cy + 1)(cx) + g(cy + 1)(cx + 1)) -
+        (g(cy - 1)(cx - 1) + 2 * g(cy - 1)(cx) + g(cy - 1)(cx + 1))
+      assert((secs(i) == 8) == (gx == 0 && gy == 0))
+      i += 1
+    }
+  }
 }
