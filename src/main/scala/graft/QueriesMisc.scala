@@ -179,19 +179,19 @@ object QueriesMisc {
       val px = thumb.select(col("image_id"),
         posexplode(grays).as(Seq("pos", "g")))
       val w = Window.partitionBy("image_id").orderBy("pos")
-      val runs = px
-        .withColumn("prev", lag(col("g"), 1).over(w))
+      // single chain: carrying g through the run aggregate (constant
+      // within a run) lets ONE pipeline produce runs AND the distinct-
+      // value count — a runs ⋈ vals join would replan the decode twice
+      px.withColumn("prev", lag(col("g"), 1).over(w))
         .withColumn("chg",
           when(col("prev").isNull || col("prev") =!= col("g"), 1L)
             .otherwise(0L))
         .withColumn("run_id", sum(col("chg")).over(w))
         .groupBy(col("image_id"), col("run_id"))
-        .agg(count(lit(1)).as("len"))
+        .agg(count(lit(1)).as("len"), max(col("g")).as("g"))
         .groupBy("image_id")
-        .agg(count(lit(1)).as("n_runs"), max("len").as("max_run"))
-      val vals = px.groupBy("image_id")
-        .agg(countDistinct(col("g")).as("n_vals"))
-      runs.join(vals, Seq("image_id"))
+        .agg(count(lit(1)).as("n_runs"), max("len").as("max_run"),
+          countDistinct(col("g")).as("n_vals"))
     },
     Some(
       s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
@@ -572,22 +572,25 @@ object QueriesMisc {
             col("w"), col("h"))).as("sector"))
         .groupBy(col("image_id"), col("sector"))
         .agg(count(lit(1)).as("cnt"))
-      val base = hist.groupBy("image_id")
-        .agg(sum(when(col("sector") === 8, col("cnt")).otherwise(0L))
-          .as("flat_cnt"),
-          sum(when(col("sector") < 8, col("cnt")).otherwise(0L))
-            .as("edge_cnt"))
-      val w = Window.partitionBy("image_id")
-        .orderBy(col("cnt").desc, col("sector"))
-      val dom = hist.where(col("sector") < 8)
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("image_id"), col("sector").as("dom_sector"),
-          col("cnt").as("dom_cnt"))
-      base.join(dom, Seq("image_id"), "left_outer")
+      // ONE pass: a base-aggregate + dominant-pick LEFT JOIN would replan
+      // the decode + Sobel kernel once per branch (the q_image_neardup
+      // double-evaluation trap, caught in the plan audit) — image-keyed
+      // windows over the ≤9-row histogram read it once. Edge rows sort
+      // before flat, so rn=1 IS the dominant edge when any edge exists.
+      val wi = Window.partitionBy("image_id")
+      val wr = wi.orderBy(when(col("sector") < 8, 0).otherwise(1),
+        col("cnt").desc, col("sector"))
+      hist
+        .withColumn("flat_cnt",
+          sum(when(col("sector") === 8, col("cnt")).otherwise(0L)).over(wi))
+        .withColumn("edge_cnt",
+          sum(when(col("sector") < 8, col("cnt")).otherwise(0L)).over(wi))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
         .select(col("image_id"), col("flat_cnt"), col("edge_cnt"),
-          coalesce(col("dom_sector"), lit(-1)).as("dom_sector"),
-          coalesce(col("dom_cnt"), lit(0L)).as("dom_cnt"))
+          when(col("sector") < 8, col("sector")).otherwise(-1)
+            .as("dom_sector"),
+          when(col("sector") < 8, col("cnt")).otherwise(0L).as("dom_cnt"))
     },
     Some(
       s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (

@@ -345,7 +345,41 @@ object PlanDump {
           " WholeStageCodegen span; the ONLY exchange is the V-bounded" +
           " per-vertex rollup, so 10^12 events shuffle 48 rows per" +
           " partition after partial aggregation",
-        graft.Queries.queryMap("q_map_match")(spark, dir)))
+        graft.Queries.queryMap("q_map_match")(spark, dir)),
+      ("Line-of-sight viewshed (round 5)",
+        "observers are a broadcast-thresholded slice of the OCCUPIED" +
+          " grid; targets come from a 48x ring fanout + keyed equi-join;" +
+          " the DDA sight-line samples (<= 2 per pair) look their" +
+          " elevation up by another keyed join — every stage after the" +
+          " res-7 groupBy is bounded by hot-cells x 48, never the points",
+        graft.Queries.queryMap("q_line_of_sight")(spark, dir)),
+      ("D8 watershed routing (round 5)",
+        "downstream pointers from one ring scatter + keyed argmin window;" +
+          " pit resolution is pointer DOUBLING — the plan below is the" +
+          " final join of the log-depth loop whose rounds are two keyed" +
+          " shuffles each over |occupied| rows, each round" +
+          " localCheckpointed so lineage stays flat",
+        graft.Queries.queryMap("q_flow_watershed")(spark, dir)),
+      ("LBP texture fingerprint (round 5)",
+        "decode -> 36 codes is map-side in the scan stage (Generate over" +
+          " the codegen'd kernel); ONE (image, code)-keyed aggregation" +
+          " with map-side combine, then image-keyed windows over <= 36" +
+          " rows per key — never partitionless; the dHash-family 10^12" +
+          " contract",
+        graft.Queries.queryMap("q_lbp_texture")(spark, dir)),
+      ("Directed Hausdorff trajectory join (round 5)",
+        "footprints dedup keyed; candidates from the 25x ring scatter +" +
+          " ONE keyed equi-join (never |users|^2); per-cell min and" +
+          " per-pair max/count aggregations all keyed by (ua, ub[," +
+          " acell]) — work scales with co-located pairs x footprint",
+        graft.Queries.queryMap("q_traj_hausdorff")(spark, dir)),
+      ("Partition-evolved spanning read (round 5)",
+        "two versions with DIFFERENT partition layouts under one root:" +
+          " each version scans under its own layout (v2 carries the" +
+          " pcell partition column from directories, v1 re-derives it" +
+          " from data post-union) — the union is by name, and a pcell" +
+          " filter partition-prunes v2 while only filtering v1",
+        graft.Queries.queryMap("q_partition_evolve")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
