@@ -223,6 +223,132 @@ object QueriesMisc {
          |SELECT a.image_id, n_runs, max_run, n_vals
          |FROM a JOIN v ON v.image_id = a.image_id""".stripMargin))
 
+  /** PER-IMAGE GLCM TEXTURE (Haralick gray-level co-occurrence) — the
+    * texture leg of the image-quality family ([[qImageSharpness]] = edge
+    * energy, [[qLbpTexture]] = local patterns; this = second-order
+    * statistics of the gray distribution): quantize the 64 gray values of
+    * the 8×8 thumb to 6 levels (g >> 7, g ∈ 0..765 — a pure bit shift, no
+    * division), count horizontally-adjacent ordered level pairs (8 rows ×
+    * 7 = 56 pairs), and emit the two classic integer Haralick features:
+    * `contrast = Σ cnt·(qa−qb)²` and `energy = Σ cnt²`, plus the occupied
+    * co-occurrence-cell count. All BIGINT end-to-end — no float ever
+    * touches the hashed output.
+    *
+    * Scale shape: the 56 (qa, qb) pairs are built IN ONE PROJECTION from
+    * the thumb bytes (a 56-element array of structs over byte_at — a
+    * raster self-join on (oy, ox+1) would replan the decode+resize kernel
+    * twice, the q_image_neardup trap; the oracle, which has the gray CTE
+    * materialized, uses the join form), then two IMAGE-keyed groupBys of
+    * ≤56/≤36 rows per key. At 10^12 images: scan-stage decode + one keyed
+    * shuffle of tiny histograms — the dHash family's contract. */
+  private val qGlcmTexture = Q(
+    "q_glcm_texture",
+    (s, dir) => {
+      val thumb = Images.imagesWithBytes(s, dir)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(8), lit(8)))
+      def lvl(p: Int) = shiftright(
+        (M.byte_at(col("thumb"), lit(3 * p)) +
+          M.byte_at(col("thumb"), lit(3 * p + 1)) +
+          M.byte_at(col("thumb"), lit(3 * p + 2))).cast("long"), 7)
+      val pairs = array((for { y <- 0 until 8; x <- 0 until 7 } yield
+        struct(lvl(y * 8 + x).as("qa"), lvl(y * 8 + x + 1).as("qb"))): _*)
+      thumb.select(col("image_id"), explode(pairs).as("pr"))
+        .groupBy(col("image_id"), col("pr.qa").as("qa"),
+          col("pr.qb").as("qb"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("image_id")
+        .agg(
+          sum(col("cnt") * (col("qa") - col("qb")) * (col("qa") - col("qb")))
+            .as("contrast"),
+          sum(col("cnt") * col("cnt")).as("energy"),
+          count(lit(1)).as("n_cells"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS BIGINT)
+         |      >> 7 AS q
+         |  FROM px GROUP BY 1, 2, 3
+         |), co AS (
+         |  SELECT a.image_id, a.q AS qa, b.q AS qb,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM gray a JOIN gray b
+         |    ON b.image_id = a.image_id AND b.oy = a.oy AND b.ox = a.ox + 1
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT image_id,
+         |  CAST(sum(cnt * (qa - qb) * (qa - qb)) AS BIGINT) AS contrast,
+         |  CAST(sum(cnt * cnt) AS BIGINT) AS energy,
+         |  CAST(count(*) AS BIGINT) AS n_cells
+         |FROM co GROUP BY 1""".stripMargin))
+
+  /** SYMSPELL EDIT-DISTANCE DEDUP — the spelling-variant near-dup family
+    * member the Jaccard/MinHash/SimHash text operators can't see (they
+    * shingle on tokens; a one-character typo is invisible below the
+    * shingle width): find all caption pairs at Levenshtein distance
+    * exactly 1 via the SymSpell deletion neighborhood (Garbe's symmetric
+    * delete: if lev(a,b) ≤ 1 then {a} ∪ deletes₁(a) intersects
+    * {b} ∪ deletes₁(b)) — each caption emits its 27 single-deletion
+    * variants plus itself, candidates come from a variant EQUI-join
+    * (never a theta join; group sizes are bounded by alphabet ×
+    * repeated-run multiplicity), an exact `levenshtein` refine keeps true
+    * pairs, and a keyed groupBy dedups multi-variant collisions
+    * (repeated-character runs make one pair collide on several deletion
+    * indices). Emitted as the differing-position histogram: every
+    * distance-1 pair over the fixed-length captions is a single-character
+    * substitution, so each pair contributes exactly one (pos, 1) — any
+    * missing or phantom pair shifts a count. All integer.
+    *
+    * Scale shape: variants are a 28× map-side fanout of the (id, caption)
+    * projection (no decode, no bytes); the join is an equi-join on the
+    * variant string — AQE-splittable, pairs-output-bounded; the refine and
+    * dedup are keyed. At 10^12 captions this is the LSH-banding contract
+    * with the deletion variant as the band key. */
+  private val qSymspellPairs = Q(
+    "q_symspell_pairs",
+    (s, dir) => {
+      val vexpr = "transform(sequence(0, length(caption)), i -> " +
+        "CASE WHEN i = 0 THEN caption ELSE concat(" +
+        "substring(caption, 1, i - 1), substring(caption, i + 1)) END)"
+      val vs = Images.images(s, dir)
+        .select(col("image_id"), col("caption"), explode(expr(vexpr)).as("v"))
+      val pairs = vs.as("a").join(vs.as("b"),
+          col("a.v") === col("b.v") &&
+            col("a.image_id") < col("b.image_id"))
+        .where(levenshtein(col("a.caption"), col("b.caption")) === 1)
+        .groupBy(col("a.image_id").as("id_a"), col("b.image_id").as("id_b"),
+          col("a.caption").as("ca"), col("b.caption").as("cb"))
+        .agg(count(lit(1)).as("n_hits"))
+      pairs
+        .select(col("ca"), col("cb"),
+          explode(sequence(lit(1), length(col("ca")))).as("pos"))
+        .where(expr("substring(ca, pos, 1) <> substring(cb, pos, 1)"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some(
+      s"""$cte, vs AS (
+         |  SELECT image_id, caption, CASE WHEN i.r = 0 THEN caption
+         |    ELSE substring(caption, 1, CAST(i.r AS INTEGER) - 1)
+         |      || substring(caption, CAST(i.r AS INTEGER) + 1) END AS v
+         |  FROM images, range(0, 28) i(r)
+         |), pr AS (
+         |  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+         |    a.caption AS ca, b.caption AS cb
+         |  FROM vs a JOIN vs b
+         |    ON b.v = a.v AND a.image_id < b.image_id
+         |  WHERE levenshtein(a.caption, b.caption) = 1
+         |)
+         |SELECT CAST(p.r AS INTEGER) AS pos,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr, range(1, 28) p(r)
+         |WHERE substring(ca, CAST(p.r AS INTEGER), 1)
+         |  <> substring(cb, CAST(p.r AS INTEGER), 1)
+         |GROUP BY 1""".stripMargin))
+
   /** Raster ZONAL STATISTICS — the classic raster↔vector operator (zone
     * layer × raster layer → per-zone aggregates of decoded pixel content;
     * the north star's "raster↔vector" axis beyond pure assignment).
@@ -1525,7 +1651,8 @@ object QueriesMisc {
          |FROM w GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qZonalStats,
+    qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qGlcmTexture,
+    qSymspellPairs, qZonalStats,
     qRasterPyramid,
     qFrameSample,
     qImageDhash, qLbpTexture, qImageSharpness, qEdgeOrient, qAugmentFlip,
