@@ -1342,6 +1342,62 @@ object Queries {
          |FROM seg WHERE prev IS NOT NULL
          |GROUP BY 1, 2""".stripMargin))
 
+  /** FIRST-ORDER MARKOV NEXT-CELL MODEL — the predictive leg of the
+    * trajectory family ([[qOdFlows]] = the flow MATRIX; this = the
+    * per-state transition MODE, the "where does traffic from this cell
+    * go next" model a mobility pipeline trains): per-user consecutive
+    * res-5 cell transitions (the same keyed lead/lag window as OD flows,
+    * self-transitions included — the chain's diagonal), rolled to per
+    * from_cell: total outgoing mass, the argmax next cell (ties break to
+    * the smaller cell id — deterministic on both engines), its count,
+    * and the transition probability as EXACT integer permille
+    * `(top_cnt·1000) div n_trans` (positive truncating division, pinned
+    * identical in Spark `div` / DuckDB `//` — no float in the hashed
+    * output).
+    *
+    * Scale shape: one USER-keyed window (per-user event sequences), one
+    * partial-aggregated groupBy on the (from, to) composite, then
+    * FROM_CELL-keyed windows over ≤|occupied| rows. At 10^12 events the
+    * event-sized stages are the window + first groupBy, both keyed. */
+  private val qMarkovNext = Q(
+    "q_markov_next",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 5)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = ev.withColumn("next_cell", lead(col("cell"), 1).over(w))
+        .where(col("next_cell").isNotNull)
+        .groupBy(col("cell").as("from_cell"), col("next_cell").as("to_cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val wf = Window.partitionBy("from_cell")
+      val wr = wf.orderBy(col("cnt").desc, col("to_cell"))
+      trans.withColumn("n_trans", sum(col("cnt")).over(wf))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("from_cell"), col("n_trans"),
+          col("to_cell").as("top_to"), col("cnt").as("top_cnt"),
+          expr("(cnt * 1000) div n_trans").as("p_permille"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, tr AS (
+         |  SELECT cell AS from_cell,
+         |    lead(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_cell
+         |  FROM pc
+         |), tc AS (
+         |  SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tr WHERE to_cell IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT from_cell, n_trans, to_cell AS top_to, cnt AS top_cnt,
+         |  (cnt * 1000) // n_trans AS p_permille
+         |FROM (
+         |  SELECT from_cell, to_cell, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY from_cell) AS BIGINT)
+         |      AS n_trans,
+         |    row_number() OVER
+         |      (PARTITION BY from_cell ORDER BY cnt DESC, to_cell) AS rn
+         |  FROM tc
+         |) WHERE rn = 1""".stripMargin))
+
   /** TRAJECTORY HEADING HISTOGRAM — per-segment compass sector from PURE
     * INTEGER grid displacement (no atan2 — the transcendental-hash
     * lesson): sector 0..7 = E NE N NW W SW S SE decided by the signs of
@@ -2923,6 +2979,64 @@ object Queries {
          |    AS center_cnt
          |FROM contrib GROUP BY 1""".stripMargin))
 
+  /** 3×3 MEDIAN FILTER over the res-7 density raster — the despeckle /
+    * salt-and-pepper smoother of the focal family ([[qFocalStats]] = the
+    * linear kernel; this = the ORDER-STATISTIC kernel, robust to single
+    * hot-pixel outliers a mean happily absorbs). Sparse convention shared
+    * with q_focal_stats: neighborhoods are the OCCUPIED cells of the 3×3
+    * ring (missing cells absent, not zero — documented; the dense-zero
+    * variant is one densify join away), the median is the LOWER median
+    * (rank ⌈n/2⌉ by (cnt, src) — the deterministic integer pick; an
+    * even-count mean-of-middle-two would put a .5 float in the hashed
+    * output). Emits per output cell the occupied-neighbor count and the
+    * median count — all BIGINT.
+    *
+    * Scale shape: identical to q_focal_stats — one event-sized keyed
+    * groupBy to the occupied grid, a 9× ring scatter bounded by the
+    * OCCUPIED grid (never the point count), then CELL-keyed windows over
+    * ≤9 rows. At 10^12 points the dominant cost stays the first groupBy
+    * with map-side combine. */
+  private val qMedianFilter = Q(
+    "q_median_filter",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val contrib = g.select(col("cell").as("src"), col("cnt"),
+        explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+      val w = Window.partitionBy("cell")
+      val wr = w.orderBy(col("cnt"), col("src"))
+      contrib
+        .withColumn("n_nbrs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === expr("(n_nbrs + 1) div 2"))
+        .select(col("cell"), col("n_nbrs"), col("cnt").as("med_cnt"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt,
+         |    cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |), contrib AS (
+         |  SELECT ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 7)
+         |      | CAST(((x + dx.r) % 128 + 128) % 128 AS BIGINT)) AS ocell,
+         |    cell AS src, cnt
+         |  FROM xy, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 127
+         |)
+         |SELECT cell, n_nbrs, cnt AS med_cnt FROM (
+         |  SELECT ocell AS cell, cnt, src,
+         |    CAST(count(*) OVER (PARTITION BY ocell) AS BIGINT) AS n_nbrs,
+         |    row_number() OVER
+         |      (PARTITION BY ocell ORDER BY cnt, src) AS rn
+         |  FROM contrib
+         |) WHERE rn = (n_nbrs + 1) // 2""".stripMargin))
+
   /** BILINEAR RASTER UPSAMPLE — 2x magnification of the res-5 density
     * raster to the res-6 grid (gdal `-r bilinear` / image-pyramid
     * magnification: the missing RESAMPLING member of the raster family —
@@ -4373,6 +4487,58 @@ object Queries {
          |    ELSE 'stable' END AS trend
          |FROM sp CROSS JOIN tg""".stripMargin))
 
+  /** THEIL–SEN TREND SLOPE PER CELL — the robust ESTIMATOR companion of
+    * [[qMannKendall]] (MK answers IS there a monotone trend; Theil–Sen
+    * answers HOW STEEP — the median of all pairwise slopes, the classic
+    * robust regression with 29% breakdown): over the same dense daily
+    * panel, every day pair (i < j) yields the quantized slope
+    * `slope_q = (10⁶·(c_j − c_i)) div (d_j − d_i)` — EXACT BIGINT
+    * truncating division, pinned identical on both engines (Spark `div`
+    * and DuckDB `//` both truncate toward zero; verified, and unlike a
+    * floor-of-double this cannot flip with libm/FMA — the q_bic_k
+    * lesson), and the reported trend is the LOWER median of the quantized
+    * slopes (rank ⌈n/2⌉ by (slope_q, d0, d1) — fully deterministic; the
+    * operator is DEFINED over the micro-slope lattice, so no float exists
+    * between input and hash).
+    *
+    * Scale shape: identical to Mann-Kendall — the day-pair fanout is
+    * T(T−1)/2 per cell with T the configured horizon (a constant), keyed
+    * by cell; the median windows are CELL-keyed over ≤T(T−1)/2 rows. The
+    * event-sized cost stays the one (cell, day) groupBy. */
+  private val qTheilSen = Q(
+    "q_theil_sen",
+    (s, dir) => {
+      val dd = denseDailyCells(s, dir)
+      val sl = dd.as("a")
+        .join(dd.as("b"),
+          col("a.cell") === col("b.cell") && col("b.day") > col("a.day"))
+        .select(col("a.cell").as("cell"),
+          expr("(1000000 * (b.cnt - a.cnt)) div (b.day - a.day)")
+            .as("slope_q"),
+          col("a.day").as("d0"), col("b.day").as("d1"))
+      val w = Window.partitionBy("cell")
+      val wr = w.orderBy(col("slope_q"), col("d0"), col("d1"))
+      sl.withColumn("n_pairs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("cell"), col("n_pairs"),
+          col("slope_q").as("med_slope_q"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, $denseDailyCtes, sl AS (
+         |  SELECT a.cell,
+         |    (1000000 * (b.cnt - a.cnt)) // (b.day - a.day) AS slope_q,
+         |    a.day AS d0, b.day AS d1
+         |  FROM dd a JOIN dd b ON b.cell = a.cell AND b.day > a.day
+         |)
+         |SELECT cell, n_pairs, slope_q AS med_slope_q FROM (
+         |  SELECT cell, slope_q,
+         |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_pairs,
+         |    row_number() OVER
+         |      (PARTITION BY cell ORDER BY slope_q, d0, d1) AS rn
+         |  FROM sl
+         |) WHERE rn = (n_pairs + 1) // 2""".stripMargin))
+
   /** DAILY ANOMALY SPIKES — the outlier leg of the temporal family
     * ([[qMannKendall]] = monotone trend; this = single-day departures from
     * a cell's own history): a (res-3 cell, day) is a spike when its count
@@ -5175,6 +5341,7 @@ object Queries {
     qGeohashRollup,
     qMapMatch,
     qMannKendall,
+    qTheilSen,
     qEmergingHot,
     qAnomalyCells,
     qIntegralImage,
@@ -5211,6 +5378,7 @@ object Queries {
     qHotCells,
     qDensityRaster,
     qFocalStats,
+    qMedianFilter,
     qIdwSurface,
     qSlopeAspect,
     qMoransI,
@@ -5243,6 +5411,7 @@ object Queries {
     qColoc,
     qStHotspots,
     qOdFlows,
+    qMarkovNext,
     qTrajHeadings,
     qTrajHausdorff,
     qStayPoints,
