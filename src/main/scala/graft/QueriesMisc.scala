@@ -285,6 +285,67 @@ object QueriesMisc {
          |  CAST(count(*) AS BIGINT) AS n_cells
          |FROM co GROUP BY 1""".stripMargin))
 
+  /** MIN-ENERGY VERTICAL SEAM (seam carving, Avidan–Shamir) — the
+    * content-aware-resize primitive: over each image's 8×8 gray grid, the
+    * cheapest top-to-bottom 8-connected path
+    * `dp(r,x) = g(r,x) + min(dp(r−1, x−1..x+1))`, emitted as the exact
+    * integer seam cost (≤ 8·765 — pure BIGINT) and the argmin end column
+    * (ties → smallest x, deterministic on both engines). The DP is
+    * STATICALLY UNROLLED — 8 chained array `transform`s over the 64-gray
+    * array in ONE map-side projection (no per-row iteration, no joins;
+    * the oracle, which has the gray CTE materialized, unrolls the same 8
+    * steps as chained grouped joins).
+    *
+    * Scale shape: decode → grays → 8 transforms all live in the scan
+    * stage; the query is map-only until the final dump. At 10^12 images
+    * this is pure scan throughput — no shuffle at all. */
+  private val qSeamCarve = Q(
+    "q_seam_carve",
+    (s, dir) => {
+      val thumb = Images.imagesWithBytes(s, dir)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(8), lit(8)))
+      val grays = array((0 until 64).map { p =>
+        (M.byte_at(col("thumb"), lit(3 * p)) +
+          M.byte_at(col("thumb"), lit(3 * p + 1)) +
+          M.byte_at(col("thumb"), lit(3 * p + 2))).cast("long")
+      }: _*)
+      var df = thumb.select(col("image_id"), grays.as("ga"))
+        .withColumn("dp0", expr("slice(ga, 1, 8)"))
+      for (r <- 1 to 7) df = df.withColumn(s"dp$r", expr(
+        s"""transform(sequence(0, 7), x ->
+           |  element_at(ga, ${r * 8} + x + 1) + least(
+           |    element_at(dp${r - 1}, greatest(x, 1)),
+           |    element_at(dp${r - 1}, x + 1),
+           |    element_at(dp${r - 1}, least(x + 2, 8))))""".stripMargin))
+      df.select(col("image_id"),
+        expr("array_min(dp7)").as("seam_cost"),
+        (expr("array_position(dp7, array_min(dp7))") - 1L).as("end_x"))
+    },
+    Some {
+      val steps = (1 to 7).map { r =>
+        s"""dp$r AS (
+           |  SELECT g.image_id, g.ox, g.g + min(d.c) AS c
+           |  FROM gray g JOIN dp${r - 1} d
+           |    ON d.image_id = g.image_id AND abs(d.ox - g.ox) <= 1
+           |  WHERE g.oy = $r GROUP BY g.image_id, g.ox, g.g
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS BIGINT) AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), dp0 AS (
+         |  SELECT image_id, ox, g AS c FROM gray WHERE oy = 0
+         |), $steps
+         |SELECT image_id, c AS seam_cost, CAST(ox AS BIGINT) AS end_x
+         |FROM dp7
+         |QUALIFY row_number() OVER
+         |  (PARTITION BY image_id ORDER BY c, ox) = 1""".stripMargin
+    })
+
   /** SYMSPELL EDIT-DISTANCE DEDUP — the spelling-variant near-dup family
     * member the Jaccard/MinHash/SimHash text operators can't see (they
     * shingle on tokens; a one-character typo is invisible below the
@@ -1652,7 +1713,7 @@ object QueriesMisc {
 
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qGlcmTexture,
-    qSymspellPairs, qZonalStats,
+    qSeamCarve, qSymspellPairs, qZonalStats,
     qRasterPyramid,
     qFrameSample,
     qImageDhash, qLbpTexture, qImageSharpness, qEdgeOrient, qAugmentFlip,
