@@ -1767,6 +1767,164 @@ object Queries {
          |    ELSE 0 END AS INTEGER) AS chg
          |FROM a FULL OUTER JOIN b ON a.cell = b.cell""".stripMargin))
 
+  /** TRIANGLE COUNTING + local clustering factors over the occupied-grid
+    * QUEEN adjacency at res 6 — the graph-analytics staple (the rook
+    * grid graph is BIPARTITE and trivially triangle-free; queen
+    * adjacency's diagonals make triangles real). Canonical-order edge
+    * enumeration (a < b < c): wedges from E⋈E on the middle vertex,
+    * closed by an equi-join back to E — each triangle found EXACTLY once,
+    * then credited to all 3 corners. Emitted per occupied cell: queen
+    * degree among occupied cells, incident-triangle count (0 included),
+    * and the wedge count `deg·(deg−1) div 2` (exact — consecutive-integer
+    * product is even), the local-clustering denominator, so the consumer
+    * forms 2·n_tri/wedges without a float ever touching the hash.
+    *
+    * Scale shape: adjacency is the stats family's grid-bounded ring
+    * scatter (degree ≤ 8, so the wedge join fans out ≤ 8× per edge and
+    * the closing join is keyed on (a, c)); everything after the one
+    * event-sized groupBy is occupied-grid-bounded. */
+  private val qTriangles = Q(
+    "q_triangles",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val occ = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select("cell")
+      val adj = occ.select(col("cell").as("a"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("b"))
+        .where(col("b") =!= col("a"))
+        .join(occ.select(col("cell").as("b")), Seq("b"))
+      val deg = adj.groupBy(col("a").as("cell"))
+        .agg(count(lit(1)).as("deg"))
+      val e = adj.where(col("a") < col("b")).select("a", "b")
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"),
+          col("e2.b").as("c"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      val corners = tri.select(col("a").as("cell"))
+        .unionAll(tri.select(col("b").as("cell")))
+        .unionAll(tri.select(col("c").as("cell")))
+        .groupBy("cell").agg(count(lit(1)).as("n_tri"))
+      deg.join(corners, Seq("cell"), "left_outer")
+        .select(col("cell"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("(deg * (deg - 1)) div 2").as("wedges"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), sc AS (
+         |  SELECT cell AS src, ((CAST(6 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 6)
+         |      | CAST(((x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell
+         |  FROM (SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
+         |        FROM g) c,
+         |    range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 63
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), adj AS (
+         |  SELECT sc.src AS a, sc.ocell AS b
+         |  FROM sc JOIN g ON g.cell = sc.ocell
+         |), deg AS (
+         |  SELECT a AS cell, CAST(count(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY 1
+         |), e AS (
+         |  SELECT a, b FROM adj WHERE a < b
+         |), tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |), corners AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT a AS cell FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri
+         |  ) GROUP BY 1
+         |)
+         |SELECT deg.cell, deg.deg, coalesce(corners.n_tri, 0) AS n_tri,
+         |  (deg.deg * (deg.deg - 1)) // 2 AS wedges
+         |FROM deg LEFT JOIN corners ON corners.cell = deg.cell""".stripMargin))
+
+  /** K-CORE DECOMPOSITION (bounded peel) — the cohesion filter of the
+    * graph family ([[qTriangles]] = local density; this = the maximal
+    * subgraph where EVERY member keeps ≥ k neighbors after all weaker
+    * nodes are peeled — community cores, not just dense spots): the
+    * 6-CORE of the same res-6 queen-adjacency occupied grid (k = 6 is
+    * where the peel bites on this corpus — at k ≤ 5 the dense occupied
+    * grid survives intact; measured 2816 → 1280 cells at sf0.01), as a
+    * BOUNDED K-round peel (K = 12, a configuration constant — both
+    * engines run EXACTLY K rounds, so the operator is deterministic at
+    * every scale; KcoreSpec asserts the peel has converged well before
+    * round K at test scale, and a non-converged run differs from the
+    * fixpoint only by nodes still peeling — detectable, never silent).
+    * Emitted: surviving cells with their degree INSIDE the core.
+    *
+    * Scale shape: each round is one grid-bounded ring scatter + keyed
+    * semi-join + HAVING-filtered groupBy over ≤|occupied| rows; K is
+    * constant, so the whole peel is O(K · occupied · 9) after the one
+    * event-sized groupBy. The iterated plan is cut per round with
+    * localCheckpoint (the Components.scala pointer-jump device) so
+    * lineage stays flat. */
+  private val qKcore = Q(
+    "q_kcore",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val occ = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select("cell")
+      var alive = occ.localCheckpoint(true)
+      for (_ <- 1 to 12) {
+        alive = alive.select(col("cell").as("src"),
+            explode(G.cell_ring(col("cell"), lit(1))).as("dst"))
+          .where(col("dst") =!= col("src"))
+          .join(alive.select(col("cell").as("dst")), Seq("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 6)
+          .select(col("src").as("cell"))
+          .localCheckpoint(true)
+      }
+      alive.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("dst"))
+        .where(col("dst") =!= col("src"))
+        .join(alive.select(col("cell").as("dst")), Seq("dst"))
+        .groupBy(col("src").as("cell"))
+        .agg(count(lit(1)).as("core_deg"))
+    },
+    Some {
+      val rounds = (1 to 12).map { r =>
+        s"""alive$r AS MATERIALIZED (
+           |  SELECT sc.src AS cell
+           |  FROM sc
+           |  JOIN alive${r - 1} a ON a.cell = sc.src
+           |  JOIN alive${r - 1} b ON b.cell = sc.ocell
+           |  GROUP BY 1 HAVING count(*) >= 6
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), sc AS MATERIALIZED (
+         |  SELECT cell AS src, ((CAST(6 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 6)
+         |      | CAST(((x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell
+         |  FROM (SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
+         |        FROM g) c,
+         |    range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 63
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), alive0 AS MATERIALIZED (SELECT cell FROM g), $rounds
+         |SELECT sc.src AS cell, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM sc
+         |JOIN alive12 a ON a.cell = sc.src
+         |JOIN alive12 b ON b.cell = sc.ocell
+         |GROUP BY 1""".stripMargin
+    })
+
   /** REGION BOUNDARY EXTRACTION — the perimeter of the dense-cell mask
     * (the raster step toward vectorizing [[qHotspotRegions]]'s regions):
     * a dense res-7 cell (cnt >= 6, the DBSCAN core predicate) is a
@@ -5419,6 +5577,8 @@ object Queries {
     qBboxWrap,
     qRasterDiff,
     qRegionEdges,
+    qTriangles,
+    qKcore,
     qBivarMoran,
     qEvenness,
     qRouteCorridor,
