@@ -346,6 +346,98 @@ object QueriesMisc {
          |  (PARTITION BY image_id ORDER BY c, ox) = 1""".stripMargin
     })
 
+  /** PER-IMAGE BLOB LABELING — connected-component analysis INSIDE the
+    * raster (the object-counting / lesion-counting primitive; the missing
+    * composition between the raster family and the graph family): over a
+    * 1-in-50 deterministic image sample, threshold the 8×8 gray grid at
+    * 384 (the mid-gray binarization), build the rook-adjacency graph of
+    * mask cells with GLOBALLY DISJOINT node ids (`k·64 + pos` — every
+    * image's blob graph lives in its own id range, so ONE distributed CC
+    * pass labels every image's blobs simultaneously), and run the
+    * existing [[graft.dedup.Components]] pointer-jumping CC. Emitted per
+    * sampled image with a non-empty mask: mask size, blob count, largest
+    * blob — the percolation profile of the noise raster.
+    *
+    * The mask is localCheckpoint'ed before use: it feeds the node set,
+    * BOTH edge sides, and the final id→image join, and each reference
+    * would otherwise replan the decode+resize kernel (the audited
+    * double-evaluation trap). Scale shape: decode is map-side in the
+    * scan stage; edges come from keyed (k, pos) equi-joins of the tiny
+    * checkpointed mask; CC is O(log d) keyed rounds (Components'
+    * contract); rollups are image-keyed. The 1-in-50 sample is a
+    * configuration constant — the operator itself is corpus-sized. */
+  private val qBlobLabels = Q(
+    "q_blob_labels",
+    (s, dir) => {
+      val base = Images.imagesWithBytes(s, dir)
+        .where(col("k") % 50 === 0)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(8), lit(8)))
+      val grays = array((0 until 64).map { p =>
+        (M.byte_at(col("thumb"), lit(3 * p)) +
+          M.byte_at(col("thumb"), lit(3 * p + 1)) +
+          M.byte_at(col("thumb"), lit(3 * p + 2))).cast("long")
+      }: _*)
+      val mask = base
+        .select(col("k"), col("image_id"), posexplode(grays).as(Seq("pos", "g")))
+        .where(col("g") >= 384)
+        .select(col("k"), col("image_id"), col("pos"),
+          (col("k") * 64 + col("pos")).as("id"))
+        .localCheckpoint(true)
+      val right = mask.where(col("pos") % 8 =!= 7)
+        .select(col("k"), (col("pos") + 1).as("pos"), col("id").as("a"))
+      val down = mask.where(col("pos") < 56)
+        .select(col("k"), (col("pos") + 8).as("pos"), col("id").as("a"))
+      val edges = right.unionAll(down)
+        .join(mask.select(col("k"), col("pos"), col("id").as("b")),
+          Seq("k", "pos"))
+        .select("a", "b")
+      val lab = graft.dedup.Components
+        .connectedComponents(mask.select("id"), edges)
+      val sz = lab.groupBy("rep").agg(count(lit(1)).as("sz"))
+      lab.join(sz, "rep")
+        .join(mask.select("id", "image_id"), "id")
+        .groupBy("image_id")
+        .agg(count(lit(1)).as("n_mask"),
+          countDistinct(col("rep")).as("n_blobs"),
+          max(col("sz")).as("max_blob"))
+    },
+    Some(
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS MATERIALIZED (
+         |  SELECT image_id, k, oy, ox,
+         |    CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS BIGINT) AS g
+         |  FROM px GROUP BY 1, 2, 3, 4
+         |), mask AS MATERIALIZED (
+         |  SELECT image_id, k, oy, ox,
+         |    CAST(k * 64 + oy * 8 + ox AS BIGINT) AS id
+         |  FROM gray WHERE g >= 384 AND k % 50 = 0
+         |), ed AS MATERIALIZED (
+         |  SELECT m.id AS a, n.id AS b
+         |  FROM mask m JOIN mask n ON n.k = m.k
+         |    AND ((n.oy = m.oy AND n.ox = m.ox + 1)
+         |      OR (n.ox = m.ox AND n.oy = m.oy + 1))
+         |), ed2 AS MATERIALIZED (
+         |  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed
+         |), r AS (
+         |  SELECT id, id AS rep FROM mask
+         |  UNION
+         |  SELECT e.b AS id, r.rep FROM r JOIN ed2 e ON e.a = r.id
+         |), lab AS MATERIALIZED (
+         |  SELECT id, min(rep) AS rep FROM r GROUP BY 1
+         |), bsz AS (
+         |  SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1
+         |)
+         |SELECT m.image_id,
+         |  CAST(count(*) AS BIGINT) AS n_mask,
+         |  CAST(count(DISTINCT l.rep) AS BIGINT) AS n_blobs,
+         |  CAST(max(b.sz) AS BIGINT) AS max_blob
+         |FROM lab l
+         |JOIN bsz b ON b.rep = l.rep
+         |JOIN mask m ON m.id = l.id
+         |GROUP BY 1""".stripMargin))
+
   /** SYMSPELL EDIT-DISTANCE DEDUP — the spelling-variant near-dup family
     * member the Jaccard/MinHash/SimHash text operators can't see (they
     * shingle on tokens; a one-character typo is invisible below the
@@ -1713,7 +1805,7 @@ object QueriesMisc {
 
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qGlcmTexture,
-    qSeamCarve, qSymspellPairs, qZonalStats,
+    qSeamCarve, qBlobLabels, qSymspellPairs, qZonalStats,
     qRasterPyramid,
     qFrameSample,
     qImageDhash, qLbpTexture, qImageSharpness, qEdgeOrient, qAugmentFlip,
