@@ -657,6 +657,53 @@ object Queries {
          |${half("v2", "")}""".stripMargin
     })
 
+  private val EqRoots = new ScratchRoots("graft-eqd")
+
+  /** ROW-LEVEL DELETES, merge-on-read — the Iceberg v2 semantic the store
+    * was missing (S4/S5 so far cover append, time travel, compaction,
+    * retention, schema/partition evolution; this adds DELETE without
+    * rewriting data files): commit the res-7 leaf snapshot, then two
+    * EQUALITY-DELETE files against it ([[Snapshot.writeEqualityDeletes]]
+    * — a predicate's distinct keys, the delete file's schema being its
+    * equality key set per the Iceberg v2 contract): d1 = sparse cells
+    * (cnt ≤ 2), d2 = a lon band ((cell & 127) ∈ [40, 60]). The read path
+    * ([[Snapshot.readMergeOnRead]]) applies them in commit order as
+    * BROADCAST anti-joins. The oracle recomputes the surviving set from
+    * the raw corpus with the two predicates negated — a hash match
+    * proves the delete files removed EXACTLY the predicate rows and the
+    * anti-join chain lost nothing else.
+    *
+    * Scale shape: each delete commit is O(its key set) — data files
+    * untouched; the read adds map-side hash probes (broadcast, no
+    * shuffle of the base). Folding accumulated deletes into data files
+    * is the compaction job's business, exactly Iceberg's split. */
+  private val qEqualityDeletes = Q(
+    "q_equality_deletes",
+    (s, dir) => {
+      val root = EqRoots.fresh()
+      val leaves = TilePyramid.leafTiles(Images.images(s, dir), 7)
+        .select(col("cell"), col("cnt"), col("bytes_sum"))
+        .withColumn("res", lit(7))
+      Snapshot.writeVersioned(leaves, root, snapshotId = "v1", buildTs = 1L)
+      val base = Snapshot.readAsOf(s, root, "v1")
+      Snapshot.writeEqualityDeletes(
+        base.where(col("cnt") <= 2).select("cell"), root, "v1", "d1")
+      Snapshot.writeEqualityDeletes(
+        base.where(col("cell").bitwiseAND(lit(127L)).between(40, 60))
+          .select("cell"), root, "v1", "d2")
+      Snapshot.readMergeOnRead(s, root, "v1")
+        .select(col("cell"), col("cnt"), col("bytes_sum"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+         |  FROM images GROUP BY 1
+         |)
+         |SELECT cell, cnt, bytes_sum FROM g
+         |WHERE NOT (cnt <= 2)
+         |  AND NOT ((cell & 127) BETWEEN 40 AND 60)""".stripMargin))
+
   private val PeRoots = new ScratchRoots("graft-pe")
 
   /** PARTITION EVOLUTION across snapshot versions — the Iceberg
@@ -5557,6 +5604,7 @@ object Queries {
     qMergeTree2,
     qResumeRes6,
     qTimeTravel,
+    qEqualityDeletes,
     qPartitionEvolve,
     qStatsTransfer,
     qReadMigrated,

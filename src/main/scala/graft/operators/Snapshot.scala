@@ -648,6 +648,54 @@ object Snapshot {
     }
   }
 
+  /** EQUALITY-DELETE file (Iceberg v2 merge-on-read row-level deletes):
+    * commit a small parquet of delete KEYS against a committed snapshot —
+    * no data file is rewritten. The delete file's SCHEMA is its equality
+    * key set (the Iceberg v2 contract: an equality delete carries the
+    * columns it matches on), so readers discover the join key from the
+    * file itself. Delete files accumulate under
+    * `<root>/deletes/snapshot_id=<id>/del=<deleteId>/` and are applied in
+    * deleteId order by [[readMergeOnRead]]; folding them into the data
+    * files is the separate compaction maintenance job (same split Iceberg
+    * makes: cheap O(deleted-keys) commit now, amortized rewrite later —
+    * at a 10^12-row table a predicate delete that rewrote data files
+    * would be a full-table job). */
+  def writeEqualityDeletes(keys: DataFrame, root: String, snapshotId: String,
+                           deleteId: String): Unit = {
+    require(Files.exists(Paths.get(s"$root/MANIFEST-$snapshotId.json")),
+      s"snapshot '$snapshotId' is not committed under $root (no manifest)")
+    keys.repartition(1).write.mode("overwrite")
+      .parquet(s"$root/deletes/snapshot_id=$snapshotId/del=$deleteId")
+  }
+
+  /** Merge-on-read of a versioned snapshot: the base files of
+    * `snapshotId` minus every committed equality-delete file, applied in
+    * deleteId (commit) order as BROADCAST anti-joins — delete key sets
+    * are small by construction (they are the predicate's distinct keys),
+    * so at scale each delete costs one map-side hash probe per row, never
+    * a shuffle of the base table. With no delete files this IS
+    * [[readAsOf]]. */
+  def readMergeOnRead(spark: SparkSession, root: String,
+                      snapshotId: String): DataFrame = {
+    val base = readAsOf(spark, root, snapshotId)
+    val delRoot = Paths.get(s"$root/deletes/snapshot_id=$snapshotId")
+    if (!Files.exists(delRoot)) base
+    else {
+      val stream = Files.list(delRoot)
+      val dirs =
+        try {
+          val it = stream.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) buf += it.next().getFileName.toString
+          buf.filter(_.startsWith("del=")).sorted.toSeq
+        } finally stream.close()
+      dirs.foldLeft(base) { (df, d) =>
+        val keys = spark.read.parquet(s"$delRoot/$d")
+        df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+      }
+    }
+  }
+
   /** Per-partition lineage metrics of a snapshot: rows and cells produced
     * by each (level, source shuffle partition) — the metrics sink of the
     * north rule (≙ per-layer stats, raptor/utils.py:222-271). */
