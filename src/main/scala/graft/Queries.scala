@@ -1896,29 +1896,29 @@ object Queries {
          |  (deg.deg * (deg.deg - 1)) // 2 AS wedges
          |FROM deg LEFT JOIN corners ON corners.cell = deg.cell""".stripMargin))
 
-  /** K-CORE DECOMPOSITION (bounded peel) — the cohesion filter of the
-    * graph family ([[qTriangles]] = local density; this = the maximal
-    * subgraph where EVERY member keeps ≥ k neighbors after all weaker
-    * nodes are peeled — community cores, not just dense spots): the
-    * 6-CORE of the same res-6 queen-adjacency occupied grid (k = 6 is
-    * where the peel bites on this corpus — at k ≤ 5 the dense occupied
-    * grid survives intact; measured 2816 → 1280 cells at sf0.01), as a
-    * BOUNDED K-round peel (K = 12, a configuration constant — both
-    * engines run EXACTLY K rounds, so the operator is deterministic at
-    * every scale; at sf0.01 the peel converges by round 3 — measured
-    * survivor counts 2816 → 1280 stable — and a non-converged run
-    * differs from the fixpoint only by nodes still peeling, never
-    * silently).
-    * Emitted: surviving cells with their degree INSIDE the core.
+  /** ONION DECOMPOSITION (k-core peel rounds) — the degeneracy-ordering
+    * shell profile of the graph family ([[qTriangles]] = local density;
+    * this = GLOBAL cohesion structure): iterate the k = 6 degree-
+    * threshold peel on the res-6 queen-adjacency occupied grid and
+    * record, per cell, its ONION LAYER — the round in which it was
+    * peeled (1..K), or K+1 if it survives all K = 12 rounds. On this
+    * corpus the occupied region is a near-solid band, so the true 6-core
+    * fixpoint is EMPTY (boundary rows have ≤5 in-set neighbors; removing
+    * them exposes the next row — measured exactly 128 cells peel per
+    * round at sf0.01, a frontier eating inward) — which is precisely why
+    * the LAYER, not the survivor set, is the informative output: it is
+    * the erosion depth / distance-to-boundary profile under the
+    * degeneracy ordering. K is a configuration constant; both engines
+    * run EXACTLY K rounds, so the result is deterministic at any scale.
     *
     * Scale shape: each round is one grid-bounded ring scatter + keyed
-    * semi-join + HAVING-filtered groupBy over ≤|occupied| rows; K is
-    * constant, so the whole peel is O(K · occupied · 9) after the one
-    * event-sized groupBy. The iterated plan is cut per round with
-    * localCheckpoint (the Components.scala pointer-jump device) so
-    * lineage stays flat. */
-  private val qKcore = Q(
-    "q_kcore",
+    * semi-join + HAVING-filtered groupBy over ≤|occupied| rows, plus one
+    * anti-join to tag the round's peeled cells; K is constant, so the
+    * whole peel is O(K · occupied · 9) after the one event-sized
+    * groupBy. The iterated plan is cut per round with localCheckpoint
+    * (the Components.scala pointer-jump device) so lineage stays flat. */
+  private val qOnionLayers = Q(
+    "q_onion_layers",
     (s, dir) => {
       import graft.geo.{functions => G}
       val occ = Images.images(s, dir)
@@ -1926,8 +1926,9 @@ object Queries {
         .groupBy("cell").agg(count(lit(1)).as("cnt"))
         .select("cell")
       var alive = occ.localCheckpoint(true)
-      for (_ <- 1 to 12) {
-        alive = alive.select(col("cell").as("src"),
+      var layers: DataFrame = null
+      for (r <- 1 to 12) {
+        val next = alive.select(col("cell").as("src"),
             explode(G.cell_ring(col("cell"), lit(1))).as("dst"))
           .where(col("dst") =!= col("src"))
           .join(alive.select(col("cell").as("dst")), Seq("dst"))
@@ -1935,13 +1936,12 @@ object Queries {
           .where(col("deg") >= 6)
           .select(col("src").as("cell"))
           .localCheckpoint(true)
+        val peeled = alive.join(next, Seq("cell"), "left_anti")
+          .select(col("cell"), lit(r).as("layer"))
+        layers = if (layers == null) peeled else layers.unionAll(peeled)
+        alive = next
       }
-      alive.select(col("cell").as("src"),
-          explode(G.cell_ring(col("cell"), lit(1))).as("dst"))
-        .where(col("dst") =!= col("src"))
-        .join(alive.select(col("cell").as("dst")), Seq("dst"))
-        .groupBy(col("src").as("cell"))
-        .agg(count(lit(1)).as("core_deg"))
+      layers.unionAll(alive.select(col("cell"), lit(13).as("layer")))
     },
     Some {
       val rounds = (1 to 12).map { r =>
@@ -1953,6 +1953,8 @@ object Queries {
            |  GROUP BY 1 HAVING count(*) >= 6
            |)""".stripMargin
       }.mkString(", ")
+      val mem = (1 to 12).map(r => s"SELECT cell FROM alive$r")
+        .mkString(" UNION ALL ")
       s"""$cte, g AS (
          |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
          |  FROM images GROUP BY 1
@@ -1965,12 +1967,14 @@ object Queries {
          |    range(-1,2) dy(r), range(-1,2) dx(r)
          |  WHERE y + dy.r BETWEEN 0 AND 63
          |    AND (dx.r != 0 OR dy.r != 0)
-         |), alive0 AS MATERIALIZED (SELECT cell FROM g), $rounds
-         |SELECT sc.src AS cell, CAST(count(*) AS BIGINT) AS core_deg
-         |FROM sc
-         |JOIN alive12 a ON a.cell = sc.src
-         |JOIN alive12 b ON b.cell = sc.ocell
-         |GROUP BY 1""".stripMargin
+         |), alive0 AS MATERIALIZED (SELECT cell FROM g),
+         |$rounds, mem AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS rounds_in
+         |  FROM ($mem) GROUP BY 1
+         |)
+         |SELECT g.cell,
+         |  CAST(1 + coalesce(mem.rounds_in, 0) AS INTEGER) AS layer
+         |FROM g LEFT JOIN mem ON mem.cell = g.cell""".stripMargin
     })
 
   /** REGION BOUNDARY EXTRACTION — the perimeter of the dense-cell mask
@@ -5627,7 +5631,7 @@ object Queries {
     qRasterDiff,
     qRegionEdges,
     qTriangles,
-    qKcore,
+    qOnionLayers,
     qBivarMoran,
     qEvenness,
     qRouteCorridor,
