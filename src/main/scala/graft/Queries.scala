@@ -1977,6 +1977,84 @@ object Queries {
          |FROM g LEFT JOIN mem ON mem.cell = g.cell""".stripMargin
     })
 
+  /** WEIGHTED COST DISTANCE (bounded-hop Bellman–Ford) — the terrain-
+    * aware companion of the uniform-cost grid BFS (q_grid_bfs counts
+    * HOPS; this accumulates per-cell ENTRY COSTS — the GIS cost-distance
+    * / least-cost-path surface): from the single densest res-6 cell
+    * (argmax cnt, tie → smallest id), relax over queen adjacency for
+    * K = 12 rounds with integer friction `w(c) = 1 + min(cnt(c), 3)`
+    * (denser cells cost more to cross — the congestion model), emitting
+    * every cell's exact minimal cost over paths of ≤ K hops. K bounds
+    * BOTH engines identically, so the operator — "cost within a K-hop
+    * horizon" — is deterministic at any scale; the unbounded surface is
+    * K = diameter, the same loop.
+    *
+    * Scale shape: per round ONE grid-bounded ring scatter + two keyed
+    * joins + a min-groupBy over ≤|occupied| rows; the frontier frame is
+    * localCheckpoint'ed per round (flat lineage). The event-sized work
+    * remains the one density groupBy. */
+  private val qCostDistance = Q(
+    "q_cost_distance",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val occ = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select(col("cell"),
+          (lit(1L) + least(col("cnt"), lit(3L))).as("w"),
+          col("cnt"))
+        .localCheckpoint(true)
+      val wsrc = Window.orderBy(col("cnt").desc, col("cell"))
+      val src = occ.withColumn("rn", row_number().over(wsrc))
+        .where(col("rn") === 1)
+      var dist = src.select(col("cell"), lit(0L).as("cost"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 12) {
+        val cand = dist.select(col("cell").as("src"), col("cost"),
+            explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+          .where(col("cell") =!= col("src"))
+          .join(occ.select("cell", "w"), Seq("cell"))
+          .select(col("cell"), (col("cost") + col("w")).as("cost"))
+        dist = dist.select("cell", "cost").unionAll(cand)
+          .groupBy("cell").agg(min(col("cost")).as("cost"))
+          .localCheckpoint(true)
+      }
+      dist
+    },
+    Some {
+      val rounds = (1 to 12).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT cell, min(cost) AS cost FROM (
+           |    SELECT cell, cost FROM d${r - 1}
+           |    UNION ALL
+           |    SELECT wt.cell, d.cost + wt.w AS cost
+           |    FROM d${r - 1} d
+           |    JOIN sc ON sc.src = d.cell
+           |    JOIN wt ON wt.cell = sc.ocell
+           |  ) GROUP BY 1
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), wt AS MATERIALIZED (
+         |  SELECT cell, CAST(1 + least(cnt, 3) AS BIGINT) AS w FROM g
+         |), sc AS MATERIALIZED (
+         |  SELECT cell AS src, ((CAST(6 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 6)
+         |      | CAST(((x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell
+         |  FROM (SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
+         |        FROM g) c,
+         |    range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 63
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), d0 AS MATERIALIZED (
+         |  SELECT cell, CAST(0 AS BIGINT) AS cost FROM g
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, cell) = 1
+         |), $rounds
+         |SELECT cell, cost FROM d12""".stripMargin
+    })
+
   /** REGION BOUNDARY EXTRACTION — the perimeter of the dense-cell mask
     * (the raster step toward vectorizing [[qHotspotRegions]]'s regions):
     * a dense res-7 cell (cnt >= 6, the DBSCAN core predicate) is a
@@ -5632,6 +5710,7 @@ object Queries {
     qRegionEdges,
     qTriangles,
     qOnionLayers,
+    qCostDistance,
     qBivarMoran,
     qEvenness,
     qRouteCorridor,
