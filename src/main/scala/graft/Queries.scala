@@ -2055,6 +2055,200 @@ object Queries {
          |SELECT cell, cost FROM d12""".stripMargin
     })
 
+  /** DIURNAL PROFILE PER CELL — the periodicity leg of the temporal
+    * family (Mann-Kendall/Theil–Sen = day-over-day trend; this =
+    * WITHIN-day rhythm): per occupied res-4 cell the hour-of-day event
+    * histogram, rolled to total mass, peak hour (argmax, tie → smallest
+    * hour), peak count, and an integer concentration verdict
+    * `peak_cnt·24 > 2·n` (is the peak more than 2× the uniform share —
+    * exact cross-multiplication, no division). One event-sized
+    * (cell, hour) groupBy with map-side combine, then CELL-keyed ≤24-row
+    * windows — the dense-daily contract with hours as the panel. */
+  private val qDiurnalProfile = Q(
+    "q_diurnal_profile",
+    (s, dir) => {
+      val eh = eventPositions(s, dir, 4)
+        .groupBy(col("cell"),
+          (floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+            % 24).cast("long").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("cell")
+      val wr = wc.orderBy(col("cnt").desc, col("hour"))
+      eh.withColumn("n", sum(col("cnt")).over(wc))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("cell"), col("n"), col("hour").as("peak_hour"),
+          col("cnt").as("peak_cnt"),
+          (col("cnt") * 24 > col("n") * 2).as("concentrated"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(4)}, eh AS (
+         |  SELECT cell,
+         |    CAST(floor(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS hour,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pc GROUP BY 1, 2
+         |)
+         |SELECT cell, n, hour AS peak_hour, cnt AS peak_cnt,
+         |  cnt * 24 > n * 2 AS concentrated
+         |FROM (
+         |  SELECT cell, hour, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS n,
+         |    row_number() OVER
+         |      (PARTITION BY cell ORDER BY cnt DESC, hour) AS rn
+         |  FROM eh
+         |) WHERE rn = 1""".stripMargin))
+
+  /** RENDEZVOUS (HRW) HASH ASSIGNMENT — the consistent-placement
+    * operator of a distributed tile store (which worker owns which
+    * tile, stable under worker churn: removing one worker moves ONLY its
+    * own tiles — the property plain modulo hashing lacks): per occupied
+    * res-6 cell the argmax over 8 workers of the integer LCG score
+    * `((cell + w·1000003)·A + C) mod 2³¹` (the corpus's public LCG
+    * constants; exact BIGINT on both engines), tie → smaller worker.
+    * Emitted per cell with its winning score — a hash match proves every
+    * single placement, not just the load histogram.
+    *
+    * Scale shape: the 8-way candidate fanout is a literal explode,
+    * scored map-side; the argmax is a CELL-keyed 8-row window. Beyond
+    * the one density groupBy nothing is event-sized. */
+  private val qHrwAssign = Q(
+    "q_hrw_assign",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val occ = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val wr = Window.partitionBy("cell")
+        .orderBy(col("score").desc, col("wkr"))
+      occ.select(col("cell"),
+          explode(expr("sequence(0L, 7L)")).as("wkr"))
+        .withColumn("score",
+          expr("((cell % 2147483648 + wkr * 1000003) * 1103515245 + 12345)" +
+            " % 2147483648"))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("cell"), col("wkr"), col("score"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), cand AS (
+         |  SELECT cell, CAST(w.r AS BIGINT) AS wkr,
+         |    ((cell % 2147483648 + w.r * 1000003) * 1103515245 + 12345)
+         |      % 2147483648 AS score
+         |  FROM g, range(0, 8) w(r)
+         |)
+         |SELECT cell, wkr, CAST(score AS BIGINT) AS score
+         |FROM cand
+         |QUALIFY row_number() OVER
+         |  (PARTITION BY cell ORDER BY score DESC, wkr) = 1""".stripMargin))
+
+  /** EQUI-DEPTH RANGE BOUNDARIES — the range-partitioner PLANNING step
+    * (the 32 split keys that would balance a sort/range-shuffle of the
+    * corpus over its cell-key order; what Spark's RangePartitioner
+    * samples for, computed exactly): boundary i (1..32) = the smallest
+    * res-7 cell whose cumulative row count reaches ⌈i·N/32⌉. The
+    * cumulative distribution uses the q_token_dist device — a keyed
+    * histogram plus a BROADCAST range join over the grid-bounded cell
+    * set (PlanSpec forbids partitionless windows suite-wide, and none is
+    * used here). All integer: targets by ceil-division
+    * `(i·N + 31) div 32`, boundaries by min-cell-over-threshold.
+    *
+    * Scale shape: one event-sized keyed groupBy to the occupied grid;
+    * the cumulative join is |grid|² worst-case but BROADCAST and
+    * grid-bounded (never event-sized); the 32 targets are a literal. */
+  private val qEquidepthBounds = Q(
+    "q_equidepth_bounds",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      val cum = g.as("a")
+        .join(broadcast(g.select(col("cell").as("c2"), col("cnt").as("n2"))),
+          col("c2") <= col("a.cell"))
+        .groupBy(col("a.cell").as("cell"))
+        .agg(sum(col("n2")).as("cum"))
+      val tot = g.agg(sum(col("cnt")).as("n"))
+      val targets = tot.select(col("n"),
+        explode(expr("sequence(1L, 32L)")).as("i"))
+        .select(col("i"), col("n"),
+          expr("(i * n + 31) div 32").as("target"))
+      broadcast(targets).join(cum, col("cum") >= col("target"))
+        .groupBy(col("i"), col("n"), col("target"))
+        .agg(min(col("cell")).as("boundary"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM images GROUP BY 1
+         |), cum AS (
+         |  SELECT a.cell, CAST(sum(b.cnt) AS BIGINT) AS cum
+         |  FROM g a JOIN g b ON b.cell <= a.cell GROUP BY 1
+         |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+         |targets AS (
+         |  SELECT CAST(i.r AS BIGINT) AS i, n,
+         |    (i.r * n + 31) // 32 AS target
+         |  FROM tot, range(1, 33) i(r)
+         |)
+         |SELECT t.i, t.n, CAST(t.target AS BIGINT) AS target,
+         |  min(c.cell) AS boundary
+         |FROM targets t JOIN cum c ON c.cum >= t.target
+         |GROUP BY 1, 2, 3""".stripMargin))
+
+  /** HIERARCHICAL CHILD-OCCUPANCY BITMAP — the bitmap-index leg of the
+    * pyramid family (per res-4 parent, WHICH of its 64 res-7 descendants
+    * are occupied — the roaring-bitmap-style membership summary that
+    * answers "does this coarse tile have data in sub-region X" without
+    * touching leaves): child index `(y₇ & 7)·8 + (x₇ & 7)`, packed as
+    * two 32-bit halves (`mask_lo`, `mask_hi` — BIGINT shifts of 1<<63
+    * overflow differently across engines; two positive halves are
+    * portable), each the SUM of distinct one-hot bits (children are
+    * distinct after the grid groupBy, so sum ≡ bit_or), plus the
+    * popcount. Map-side bit math on the occupied grid + one parent-keyed
+    * groupBy — grid-bounded end to end after the density pass. */
+  private val qChildBitmap = Q(
+    "q_child_bitmap",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select(
+          expr("(cast(4 as bigint) << 58) | ((((cell >> 7) & 127) >> 3) << 4)" +
+            " | ((cell & 127) >> 3)").as("p4"),
+          expr("((cell >> 7) & 7) * 8 + (cell & 7)").as("idx"))
+        .groupBy("p4")
+        .agg(
+          sum(expr("case when idx < 32 then shiftleft(1L, cast(idx as int))" +
+            " else 0L end")).as("mask_lo"),
+          sum(expr("case when idx >= 32 then" +
+            " shiftleft(1L, cast(idx as int) - 32) else 0L end"))
+            .as("mask_hi"),
+          count(lit(1)).as("n_child"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), ch AS (
+         |  SELECT ((CAST(4 AS BIGINT) << 58)
+         |      | ((((cell >> 7) & 127) >> 3) << 4)
+         |      | ((cell & 127) >> 3)) AS p4,
+         |    ((cell >> 7) & 7) * 8 + (cell & 7) AS idx
+         |  FROM g
+         |)
+         |SELECT p4,
+         |  CAST(sum(CASE WHEN idx < 32
+         |    THEN (CAST(1 AS BIGINT) << CAST(idx AS INTEGER))
+         |    ELSE 0 END) AS BIGINT) AS mask_lo,
+         |  CAST(sum(CASE WHEN idx >= 32
+         |    THEN (CAST(1 AS BIGINT) << (CAST(idx AS INTEGER) - 32))
+         |    ELSE 0 END) AS BIGINT) AS mask_hi,
+         |  CAST(count(*) AS BIGINT) AS n_child
+         |FROM ch GROUP BY 1""".stripMargin))
+
   /** REGION BOUNDARY EXTRACTION — the perimeter of the dense-cell mask
     * (the raster step toward vectorizing [[qHotspotRegions]]'s regions):
     * a dense res-7 cell (cnt >= 6, the DBSCAN core predicate) is a
@@ -5711,6 +5905,10 @@ object Queries {
     qTriangles,
     qOnionLayers,
     qCostDistance,
+    qDiurnalProfile,
+    qHrwAssign,
+    qEquidepthBounds,
+    qChildBitmap,
     qBivarMoran,
     qEvenness,
     qRouteCorridor,
