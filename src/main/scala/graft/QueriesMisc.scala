@@ -438,6 +438,87 @@ object QueriesMisc {
          |JOIN mask m ON m.id = l.id
          |GROUP BY 1""".stripMargin))
 
+  /** BIT-PLANE COMPLEXITY (BPCS segmentation profile) — which bit planes
+    * of the gray raster carry STRUCTURE and which carry NOISE (the
+    * steganography/compression planning metric): for each of the 8 low
+    * bit planes of the 8×8 gray grid, the number of adjacent (horizontal
+    * + vertical = 112) cell pairs whose bits differ. The per-plane
+    * counts come from ONE pass via the XOR trick — plane b of a pair
+    * transitions iff bit b of `ga XOR gb` is set — so the 112 pairs are
+    * built in one map-side array projection (the GLCM device; no raster
+    * self-join, no 8× plane explode) and ONE image-keyed groupBy emits
+    * all 8 plane sums as separate aggregates. Output per image: the
+    * noisiest plane (argmax transitions, tie → lower plane), its count,
+    * and the total across planes — all BIGINT.
+    *
+    * Scale shape: decode → pair array → explode(112) → one keyed
+    * groupBy with 8 sum aggregates; the argmax is a plain 8-way CASE in
+    * the same projection (no window at all). The dHash family's
+    * contract at 10^12 images. */
+  private val qBitplaneComplexity = Q(
+    "q_bitplane_complexity",
+    (s, dir) => {
+      val thumb = Images.imagesWithBytes(s, dir)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(8), lit(8)))
+      def gray(p: Int) =
+        (M.byte_at(col("thumb"), lit(3 * p)) +
+          M.byte_at(col("thumb"), lit(3 * p + 1)) +
+          M.byte_at(col("thumb"), lit(3 * p + 2))).cast("long")
+      val hp = for { y <- 0 until 8; x <- 0 until 7 }
+        yield (y * 8 + x, y * 8 + x + 1)
+      val vp = for { y <- 0 until 7; x <- 0 until 8 }
+        yield (y * 8 + x, (y + 1) * 8 + x)
+      val pairs = array((hp ++ vp).map { case (a, b) =>
+        gray(a).bitwiseXOR(gray(b)).as("x")
+      }: _*)
+      val planeSums = (0 until 8).map(b =>
+        sum(expr(s"shiftright(x, $b) & 1")).as(s"t$b"))
+      val agged = thumb
+        .select(col("image_id"), explode(pairs).as("x"))
+        .groupBy("image_id")
+        .agg(planeSums.head, planeSums.tail: _*)
+      val best = (0 until 8).foldLeft((lit(-1L), lit(0))) {
+        case ((bt, bp), b) =>
+          val better = col(s"t$b") > bt
+          (when(better, col(s"t$b")).otherwise(bt),
+            when(better, lit(b)).otherwise(bp))
+      }
+      agged.select(col("image_id"),
+        best._2.as("best_plane"), best._1.as("best_trans"),
+        (0 until 8).map(b => col(s"t$b")).reduce(_ + _).as("total_trans"))
+    },
+    Some {
+      val planeCols = (0 until 8).map(b =>
+        s"CAST(sum((x >> $b) & 1) AS BIGINT) AS t$b").mkString(",\n  ")
+      val bestExpr = (1 until 8).foldLeft(("t0", "0")) {
+        case ((bt, bp), b) =>
+          (s"CASE WHEN t$b > $bt THEN t$b ELSE $bt END",
+            s"CASE WHEN t$b > $bt THEN $b ELSE $bp END")
+      }
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS BIGINT) AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), pr AS (
+         |  SELECT a.image_id, xor(a.g, b.g) AS x
+         |  FROM gray a JOIN gray b ON b.image_id = a.image_id
+         |    AND ((b.oy = a.oy AND b.ox = a.ox + 1)
+         |      OR (b.ox = a.ox AND b.oy = a.oy + 1))
+         |), pl AS (
+         |  SELECT image_id,
+         |  $planeCols
+         |  FROM pr GROUP BY 1
+         |)
+         |SELECT image_id,
+         |  CAST(${bestExpr._2} AS INTEGER) AS best_plane,
+         |  ${bestExpr._1} AS best_trans,
+         |  t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7 AS total_trans
+         |FROM pl""".stripMargin
+    })
+
   /** SYMSPELL EDIT-DISTANCE DEDUP — the spelling-variant near-dup family
     * member the Jaccard/MinHash/SimHash text operators can't see (they
     * shingle on tokens; a one-character typo is invisible below the
@@ -1805,7 +1886,7 @@ object QueriesMisc {
 
   val all: Seq[Q] = Seq(
     qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qGlcmTexture,
-    qSeamCarve, qBlobLabels, qSymspellPairs, qZonalStats,
+    qSeamCarve, qBlobLabels, qBitplaneComplexity, qSymspellPairs, qZonalStats,
     qRasterPyramid,
     qFrameSample,
     qImageDhash, qLbpTexture, qImageSharpness, qEdgeOrient, qAugmentFlip,
