@@ -2055,6 +2055,86 @@ object Queries {
          |SELECT cell, cost FROM d12""".stripMargin
     })
 
+  /** SHORTEST-PATH COUNTING (σ labels — the Brandes forward pass) — the
+    * centrality leg of the graph family ([[qCostDistance]] = HOW FAR;
+    * this = HOW MANY equally-short ways, the stress/betweenness
+    * precursor): from the densest res-6 cell, label every cell reached
+    * within K = 12 hops of queen adjacency with its BFS distance AND its
+    * exact shortest-path count `σ(v) = Σ σ(u)` over predecessors u at
+    * distance d(v)−1 — computed level-synchronously: round r scatters
+    * ONLY the (r−1)-frontier, so the keyed sum collects exactly the
+    * predecessor contributions, and an anti-join against the labeled set
+    * keeps first-touch distances. σ on a diagonal grid grows like
+    * lattice-path binomials (≤ C(24,12) ≈ 2.7e6 at K = 12) — exact in
+    * BIGINT with orders of magnitude to spare.
+    *
+    * Scale shape: per round one grid-bounded ring scatter + keyed sum +
+    * anti-join, frontier localCheckpoint'ed; K constant. The oracle
+    * unrolls the same 12 rounds as MATERIALIZED CTE pairs. */
+  private val qPathCounts = Q(
+    "q_path_counts",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val occ = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val wsrc = Window.orderBy(col("cnt").desc, col("cell"))
+      var lab = occ.withColumn("rn", row_number().over(wsrc))
+        .where(col("rn") === 1)
+        .select(col("cell"), lit(0L).as("dist"), lit(1L).as("sigma"))
+        .localCheckpoint(true)
+      var frontier = lab
+      for (r <- 1 to 12) {
+        val cand = frontier
+          .select(col("cell").as("src"), col("sigma"),
+            explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+          .where(col("cell") =!= col("src"))
+          .join(occ.select("cell"), Seq("cell"))
+          .groupBy("cell").agg(sum(col("sigma")).as("sigma"))
+        frontier = cand
+          .join(lab.select("cell"), Seq("cell"), "left_anti")
+          .select(col("cell"), lit(r.toLong).as("dist"), col("sigma"))
+          .localCheckpoint(true)
+        lab = lab.unionAll(frontier).localCheckpoint(true)
+      }
+      lab
+    },
+    Some {
+      val rounds = (1 to 12).map { r =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT cand.cell, CAST($r AS BIGINT) AS dist, cand.sigma
+           |  FROM (
+           |    SELECT sc.ocell AS cell, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |    FROM f${r - 1} f
+           |    JOIN sc ON sc.src = f.cell
+           |    JOIN g ON g.cell = sc.ocell
+           |    GROUP BY 1
+           |  ) cand
+           |  WHERE cand.cell NOT IN (SELECT cell FROM lab${r - 1})
+           |), lab$r AS MATERIALIZED (
+           |  SELECT * FROM lab${r - 1} UNION ALL SELECT * FROM f$r
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), sc AS MATERIALIZED (
+         |  SELECT cell AS src, ((CAST(6 AS BIGINT) << 58)
+         |      | (CAST(y + dy.r AS BIGINT) << 6)
+         |      | CAST(((x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell
+         |  FROM (SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
+         |        FROM g) c,
+         |    range(-1,2) dy(r), range(-1,2) dx(r)
+         |  WHERE y + dy.r BETWEEN 0 AND 63
+         |    AND (dx.r != 0 OR dy.r != 0)
+         |), f0 AS MATERIALIZED (
+         |  SELECT cell, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+         |  FROM g QUALIFY row_number() OVER (ORDER BY cnt DESC, cell) = 1
+         |), lab0 AS MATERIALIZED (SELECT * FROM f0), $rounds
+         |SELECT cell, dist, sigma FROM lab12""".stripMargin
+    })
+
   /** DIURNAL PROFILE PER CELL — the periodicity leg of the temporal
     * family (Mann-Kendall/Theil–Sen = day-over-day trend; this =
     * WITHIN-day rhythm): per occupied res-4 cell the hour-of-day event
@@ -5905,6 +5985,7 @@ object Queries {
     qTriangles,
     qOnionLayers,
     qCostDistance,
+    qPathCounts,
     qDiurnalProfile,
     qHrwAssign,
     qEquidepthBounds,
