@@ -2178,6 +2178,147 @@ object Queries {
          |  FROM eh
          |) WHERE rn = 1""".stripMargin))
 
+  /** BANDED DTW RHYTHM CONFORMITY — dynamic time warping (Sakoe–Chiba
+    * band ±2h) between each occupied res-5 cell's 24-hour event profile
+    * and its res-4 PARENT's profile: does the sub-tile follow its
+    * region's diurnal rhythm, tolerating small phase shifts a pointwise
+    * distance would punish? Scale-free integer cost
+    * `c(i,j) = |a_i·B − b_j·A|` (cross-multiplied proportions — exact
+    * BIGINT, ≤ ~1e10 per step, no division), DP over the banded 24×24
+    * grid. The recurrence is evaluated in its WITHIN-ROW-EXPANDED form
+    * `dp[i][j] = min_m [ Σ_{t=m..j} c(i,t) + min(dp[i−1][m], dp[i−1][m−1]) ]`
+    * (≤ 5 terms per cell of the ±2 band) so each row depends only on
+    * the previous row — both engines evaluate the IDENTICAL static
+    * expression tree: Spark as one generated 24-step column fold,
+    * DuckDB as 24 generated chained CTEs over a wide cost table.
+    * Emitted per cell: its parent and the exact DTW cost `dtw_q`.
+    *
+    * Scale shape: one event-sized (cell, hour) groupBy; the profile
+    * arrays are 24 conditional sums in the same aggregate; the
+    * cell→parent join is keyed and grid-bounded; the whole DP is a
+    * map-side projection over |occupied| rows. */
+  private val qDtwProfile = Q(
+    "q_dtw_profile",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val hourly = eventPositions(s, dir, 5)
+        .groupBy(col("cell"),
+          (floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+            % 24).cast("long").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      def profile(df: DataFrame, key: org.apache.spark.sql.Column, keyName: String) = df
+        .groupBy(key.as(keyName))
+        .agg(
+          array((0 until 24).map(h =>
+            sum(when(col("hour") === h, col("cnt")).otherwise(0L))): _*)
+            .as(s"p_$keyName"),
+          sum(col("cnt")).as(s"t_$keyName"))
+      val pa = profile(hourly, col("cell"), "cell")
+      val pb = profile(
+        hourly.withColumn("p4", G.cell_parent_at(col("cell"), 4)),
+        col("p4"), "p4")
+      val joined = pa
+        .withColumn("p4", G.cell_parent_at(col("cell"), 4))
+        .join(pb, Seq("p4"))
+      def aAt(i: Int) = element_at(col("p_cell"), i + 1)
+      def bAt(j: Int) = element_at(col("p_p4"), j + 1)
+      def cost(i: Int, j: Int) =
+        abs(aAt(i) * col("t_p4") - bAt(j) * col("t_cell"))
+      def band(i: Int) = math.max(0, i - 2) to math.min(23, i + 2)
+      // each dp cell is a NAMED column (d<i>_<j>) so cross-row references
+      // are attributes, not inlined Column trees — inlining multiplies the
+      // expression DAG ~5x per row and OOMs the analyzer by row ~10
+      // (measured); CollapseProject keeps multiply-referenced non-cheap
+      // aliases un-collapsed, so the plan stays linear in rows x band
+      var df = joined
+      for (j <- band(0)) df = df.withColumn(s"d0_$j",
+        (0 to j).map(t => cost(0, t)).reduce(_ + _))
+      for (i <- 1 to 23; j <- band(i)) {
+        val terms = band(i).filter(_ <= j).flatMap { m =>
+          val prevRefs = Seq(m, m - 1).filter(band(i - 1).contains)
+            .map(k => col(s"d${i - 1}_$k"))
+          if (prevRefs.isEmpty) None
+          else {
+            val pmin = prevRefs.reduce((x, y) => least(x, y))
+            Some((m to j).map(t => cost(i, t)).reduce(_ + _) + pmin)
+          }
+        }
+        df = df.withColumn(s"d${i}_$j",
+          terms.reduce((x, y) => least(x, y)))
+      }
+      df.select(col("cell"), col("p4"), col("d23_23").as("dtw_q"))
+    },
+    Some {
+      def band(i: Int) = math.max(0, i - 2) to math.min(23, i + 2)
+      // wide cost table: one row per cell, columns c_<i>_<j> over the band
+      val costCols = (0 to 23).flatMap(i => band(i).map(j =>
+        s"abs(a$i * tb - b$j * ta) AS c_${i}_$j")).mkString(",\n    ")
+      val r0 = band(0).map { j =>
+        val sum = (0 to j).map(t => s"c_0_$t").mkString(" + ")
+        s"$sum AS d$j"
+      }.mkString(", ")
+      val rows = (1 to 23).map { i =>
+        val cols = band(i).map { j =>
+          val terms = band(i).filter(_ <= j).flatMap { m =>
+            val prevRefs = Seq(m, m - 1).filter(band(i - 1).contains)
+              .map(k => s"p.d$k")
+            if (prevRefs.isEmpty) None
+            else {
+              val pmin =
+                if (prevRefs.size == 1) prevRefs.head
+                else s"least(${prevRefs.mkString(", ")})"
+              val csum = (m to j).map(t => s"cw.c_${i}_$t").mkString(" + ")
+              Some(s"($csum + $pmin)")
+            }
+          }
+          val body =
+            if (terms.size == 1) terms.head else s"least(${terms.mkString(", ")})"
+          s"$body AS d$j"
+        }.mkString(", ")
+        s"""r$i AS (
+           |  SELECT cw.cell, $cols
+           |  FROM r${i - 1} p JOIN cw ON cw.cell = p.cell
+           |)""".stripMargin
+      }.mkString(", ")
+      val aCols = (0 to 23).map(h =>
+        s"CAST(sum(CASE WHEN hour = $h THEN cnt ELSE 0 END) AS BIGINT) AS a$h")
+        .mkString(",\n    ")
+      val bCols = (0 to 23).map(h =>
+        s"CAST(sum(CASE WHEN hour = $h THEN cnt ELSE 0 END) AS BIGINT) AS b$h")
+        .mkString(",\n    ")
+      s"""WITH ${eventCellCtes(5)}, eh AS (
+         |  SELECT cell,
+         |    CAST(floor(epoch_us(ts) / 3600000000) % 24 AS BIGINT) AS hour,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pc GROUP BY 1, 2
+         |), pa AS (
+         |  SELECT cell,
+         |    $aCols,
+         |    CAST(sum(cnt) AS BIGINT) AS ta
+         |  FROM eh GROUP BY 1
+         |), pb AS (
+         |  SELECT ((CAST(4 AS BIGINT) << 58)
+         |      | ((((cell >> 5) & 31) >> 1) << 4)
+         |      | ((cell & 31) >> 1)) AS p4,
+         |    $bCols,
+         |    CAST(sum(cnt) AS BIGINT) AS tb
+         |  FROM eh GROUP BY 1
+         |), cw AS MATERIALIZED (
+         |  SELECT pa.cell,
+         |    ((CAST(4 AS BIGINT) << 58)
+         |      | ((((pa.cell >> 5) & 31) >> 1) << 4)
+         |      | ((pa.cell & 31) >> 1)) AS p4,
+         |    $costCols
+         |  FROM pa JOIN pb ON pb.p4 = ((CAST(4 AS BIGINT) << 58)
+         |      | ((((pa.cell >> 5) & 31) >> 1) << 4)
+         |      | ((pa.cell & 31) >> 1))
+         |), r0 AS (
+         |  SELECT cell, $r0 FROM cw
+         |), $rows
+         |SELECT cw.cell, cw.p4, r23.d23 AS dtw_q
+         |FROM r23 JOIN cw ON cw.cell = r23.cell""".stripMargin
+    })
+
   /** RENDEZVOUS (HRW) HASH ASSIGNMENT — the consistent-placement
     * operator of a distributed tile store (which worker owns which
     * tile, stable under worker churn: removing one worker moves ONLY its
@@ -5987,6 +6128,7 @@ object Queries {
     qCostDistance,
     qPathCounts,
     qDiurnalProfile,
+    qDtwProfile,
     qHrwAssign,
     qEquidepthBounds,
     qChildBitmap,
