@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.{functions => G}
+import graft.operators.Snapshot
+import graft.sources.{Events, Images}
+
+/** Driver-side independent replays for the round-5 operator batch: the
+  * graph quartet (triangles, onion peel, cost distance, σ counting) against
+  * textbook sequential algorithms over the SAME occupied grid; banded DTW
+  * against a classic sequential DP (the shipped plan uses the within-row
+  * expansion form — two different evaluation orders, one answer); SymSpell
+  * against a brute Hamming-1 sweep (same-length captions: lev 1 ⟺ one
+  * substitution); seam carving against a sequential DP over collected
+  * grays; HRW against its defining stability property; merge-on-read
+  * against its identity and composition contracts. */
+class Round5OpsSpec extends SparkFunSuite {
+
+  private def occupied6(): Map[Long, Long] =
+    Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def nbrs(cell: Long, occ: Set[Long]): Seq[Long] = {
+    val x = (cell & 63L).toInt; val y = ((cell >> 6) & 63L).toInt
+    for {
+      dy <- -1 to 1; dx <- -1 to 1
+      if dx != 0 || dy != 0
+      ny = y + dy if ny >= 0 && ny <= 63
+      nx = ((x + dx) % 64 + 64) % 64
+      n = (6L << 58) | (ny.toLong << 6) | nx.toLong
+      if occ.contains(n)
+    } yield n
+  }
+
+  test("q_triangles matches a brute driver triangle count per cell") {
+    val occ = occupied6()
+    val keys = occ.keySet
+    val adj: Map[Long, Seq[Long]] = keys.map(c => c -> nbrs(c, keys)).toMap
+    // inner semantics (oracle-mirrored): isolated occupied cells have no
+    // adjacency row, so they are absent from the degree rollup
+    val want = keys.filter(c => adj(c).nonEmpty).map { c =>
+      val ns = adj(c)
+      val tri = (for {
+        a <- ns; b <- ns if a < b
+        if adj(a).contains(b)
+      } yield 1).size
+      c -> (ns.size.toLong, tri.toLong)
+    }.toMap
+    val got = Queries.queryMap("q_triangles")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (c, (deg, tri, wedges)) =>
+      assert((deg, tri) == want(c), s"cell $c")
+      assert(wedges == deg * (deg - 1) / 2)
+    }
+    assert(got.values.map(_._2).sum > 0, "fixture has triangles")
+  }
+
+  test("q_onion_layers matches a sequential peel") {
+    val occ = occupied6().keySet
+    var alive = occ
+    val layer = scala.collection.mutable.Map.empty[Long, Int]
+    for (r <- 1 to 12) {
+      val next = alive.filter(c => nbrs(c, alive).size >= 6)
+      (alive -- next).foreach(c => layer(c) = r)
+      alive = next
+    }
+    alive.foreach(c => layer(c) = 13)
+    val got = Queries.queryMap("q_onion_layers")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == layer.toMap)
+  }
+
+  test("q_cost_distance matches a sequential bounded Bellman-Ford") {
+    val occ = occupied6()
+    val keys = occ.keySet
+    val w = occ.map { case (c, n) => c -> (1L + math.min(n, 3L)) }
+    val src = occ.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 12) {
+      val cand = dist.toSeq.flatMap { case (c, d) =>
+        nbrs(c, keys).map(n => n -> (d + w(n)))
+      }
+      dist = (dist.toSeq ++ cand).groupBy(_._1)
+        .map { case (c, vs) => c -> vs.map(_._2).min }
+    }
+    val got = Queries.queryMap("q_cost_distance")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+  }
+
+  test("q_path_counts matches a sequential BFS sigma count") {
+    val occ = occupied6()
+    val keys = occ.keySet
+    val src = occ.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+    var lab = Map(src -> (0L, 1L))
+    var frontier = Map(src -> 1L)
+    for (r <- 1 to 12) {
+      val cand = frontier.toSeq
+        .flatMap { case (c, s) => nbrs(c, keys).map(_ -> s) }
+        .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).sum }
+        .filter { case (c, _) => !lab.contains(c) }
+      lab ++= cand.map { case (c, s) => c -> (r.toLong, s) }
+      frontier = cand
+    }
+    val got = Queries.queryMap("q_path_counts")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == lab)
+  }
+
+  test("q_dtw_profile matches a classic sequential banded DP") {
+    val hourly = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 5))
+      .groupBy(col("cell"),
+        (floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+          % 24).cast("long").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    val cells = hourly.keys.map(_._1).toSet
+    def parent(c: Long): Long =
+      (4L << 58) | ((((c >> 5) & 31) >> 1) << 4) | ((c & 31) >> 1)
+    def prof(f: Long => Boolean): (Array[Long], Long) = {
+      val a = Array.fill(24)(0L)
+      hourly.foreach { case ((c, h), n) => if (f(c)) a(h) += n }
+      (a, a.sum)
+    }
+    val INF = Long.MaxValue / 4
+    val want = cells.map { c =>
+      val (a, ta) = prof(_ == c)
+      val (b, tb) = prof(x => parent(x) == parent(c))
+      // classic row-major banded DTW, sequential within-row dependency —
+      // deliberately NOT the shipped expansion form
+      val dp = Array.fill(24, 24)(INF)
+      for (i <- 0 until 24; j <- math.max(0, i - 2) to math.min(23, i + 2)) {
+        val cst = math.abs(a(i) * tb - b(j) * ta)
+        dp(i)(j) =
+          if (i == 0 && j == 0) cst
+          else cst + Seq(
+            if (i > 0) dp(i - 1)(j) else INF,
+            if (i > 0 && j > 0) dp(i - 1)(j - 1) else INF,
+            if (j > 0) dp(i)(j - 1) else INF).min
+      }
+      c -> dp(23)(23)
+    }.toMap
+    val got = Queries.queryMap("q_dtw_profile")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q_symspell_pairs matches a brute Hamming-1 sweep") {
+    val caps = Images.images(spark, SparkSpec.Sf)
+      .select("caption").collect().map(_.getString(0))
+    val hist = scala.collection.mutable.Map.empty[Int, Long]
+    // same-length strings: levenshtein 1 ⟺ exactly one differing position
+    for (i <- caps.indices; j <- (i + 1) until caps.length) {
+      val (a, b) = (caps(i), caps(j))
+      var diff = -1; var n = 0; var p = 0
+      while (p < a.length && n < 2) {
+        if (a.charAt(p) != b.charAt(p)) { n += 1; diff = p }
+        p += 1
+      }
+      if (n == 1) hist(diff + 1) = hist.getOrElse(diff + 1, 0L) + 1
+    }
+    val got = Queries.queryMap("q_symspell_pairs")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == hist.toMap)
+    assert(got.values.sum > 0, "fixture has distance-1 pairs")
+  }
+
+  test("q_seam_carve matches a sequential DP over collected grays") {
+    val grays = Images.imagesWithBytes(spark, SparkSpec.Sf)
+      .where(col("k") % 37 === 0) // sampled replay; full corpus hits oracle
+      .withColumn("thumb", graft.multimodal.functions.raster_resize(
+        graft.multimodal.functions.raster_decode(col("bytes"), col("fmt")),
+        col("w"), col("h"), lit(8), lit(8)))
+      .select(col("image_id"), col("thumb"))
+      .collect().map { r =>
+        val t = r.getAs[Array[Byte]](1)
+        r.getString(0) -> Array.tabulate(64) { p =>
+          (t(3 * p) & 0xff).toLong + (t(3 * p + 1) & 0xff) +
+            (t(3 * p + 2) & 0xff)
+        }
+      }.toMap
+    val want = grays.map { case (id, g) =>
+      var dp = Array.tabulate(8)(x => g(x))
+      for (r <- 1 to 7) {
+        dp = Array.tabulate(8) { x =>
+          g(r * 8 + x) + (math.max(0, x - 1) to math.min(7, x + 1))
+            .map(dp).min
+        }
+      }
+      val best = dp.min
+      id -> (best, dp.indexOf(best).toLong)
+    }
+    val got = Queries.queryMap("q_seam_carve")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    want.foreach { case (id, w) => assert(got(id) == w, id) }
+  }
+
+  test("HRW: removing one worker moves only its own cells") {
+    def score(cell: Long, w: Long): Long =
+      ((cell % 2147483648L + w * 1000003L) * 1103515245L + 12345L) %
+        2147483648L
+    val cells = occupied6().keySet.toSeq
+    def assign(workers: Seq[Long]): Map[Long, Long] =
+      cells.map(c =>
+        c -> workers.maxBy(w => (score(c, w), -w))).toMap
+    val with8 = assign(0L to 7L)
+    val with7 = assign((0L to 7L).filterNot(_ == 3L))
+    cells.foreach { c =>
+      if (with8(c) != 3L) assert(with7(c) == with8(c),
+        s"cell $c moved although its worker survived")
+    }
+    assert(cells.exists(c => with8(c) == 3L), "worker 3 owned something")
+    // and the shipped query emits exactly the argmax assignment
+    val got = Queries.queryMap("q_hrw_assign")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == with8)
+  }
+
+  test("merge-on-read: identity without deletes, composition with two") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mor-spec").toString
+    val tiles = Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("res", lit(6))
+    Snapshot.writeVersioned(tiles, root, "v1", 1L)
+    val base = Snapshot.readAsOf(spark, root, "v1")
+      .select("cell", "cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Snapshot.readMergeOnRead(spark, root, "v1").count() ==
+      base.size, "no delete files: merge-on-read == readAsOf")
+    val dels1 = base.filter(_._2 <= 1).keySet
+    val dels2 = base.keys.filter(c => (c & 63L) < 8L).toSet
+    import spark.implicits._
+    Snapshot.writeEqualityDeletes(dels1.toSeq.toDF("cell"), root, "v1", "d1")
+    Snapshot.writeEqualityDeletes(dels2.toSeq.toDF("cell"), root, "v1", "d2")
+    val got = Snapshot.readMergeOnRead(spark, root, "v1")
+      .select("cell").collect().map(_.getLong(0)).toSet
+    assert(got == base.keySet -- dels1 -- dels2)
+    assert(dels1.nonEmpty && dels2.nonEmpty, "fixture deletes are real")
+    Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+}
