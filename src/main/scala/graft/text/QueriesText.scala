@@ -1031,7 +1031,55 @@ object QueriesText {
          |FROM ex JOIN dfq USING (bigram)
          |GROUP BY 1""".stripMargin))
 
+  /** VOCABULARY RICHNESS PER SOURCE — the Heaps'-law profile of a corpus
+    * slice (the data-mixing diagnostic: a source whose type count grows
+    * slowly relative to token mass is repetitive/templated; a high hapax
+    * share signals noise or genuine diversity): per `source`, document
+    * count, total token mass, distinct types, and hapax legomena (types
+    * occurring exactly once IN THAT SOURCE). Pure counting — exact
+    * BIGINT.
+    *
+    * Scale shape: one token explode + (source, tok) groupBy with
+    * map-side combine (the vocabulary is the reduced side), one
+    * source-keyed rollup, one keyed doc-count join. At 10^12 documents
+    * the dominant cost is the token-mass shuffle, same contract as
+    * q_token_dist. */
+  private val qVocabGrowth = Q(
+    "q_vocab_growth",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(col("source"),
+          explode(expr(SparkD.splitToks("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(tok, Seq("source"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, ${DuckD.splitToks("text")} AS toks
+         |  FROM documents
+         |), tk AS (
+         |  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM d, unnest(toks) AS t(tok) GROUP BY 1, 2
+         |), v AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
+         |  FROM tk GROUP BY 1
+         |), nd AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT nd.source, nd.n_docs, v.n_tokens, v.n_types, v.n_hapax
+         |FROM nd JOIN v ON v.source = nd.source""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qVocabGrowth,
     qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
     qTokenDist, qPmiColloc, qBigramRare,
     qLangId, qQuality, qFingerprint,
