@@ -261,6 +261,83 @@ object QueriesAnn {
     (s, dir) => Ann.farthestPoints(s, dir, KCenter),
     Some(s"$base,\n${Ann.farthestPointsSql(KCenter)}"))
 
-  val all: Seq[Q] = Seq(qCosTopK, qAnnLsh, qAnnIvf, qEmbedNearDup,
+  /** QUANTIZATION RECALL — the accuracy audit of the int8 compression
+    * path ([[qEmbedQuant]] proves the CODES; this proves what the codes
+    * COST): recall@K of brute cosine top-K run over max-abs-DEQUANTIZED
+    * vectors (`code·amax/127` — the exact vectors an int8 index serves)
+    * against the full-precision top-K, per query. Both rankings use the
+    * proven mirrored-fold cosine; only the integer OVERLAP COUNT is
+    * hashed — floats order candidates, integers carry the verdict.
+    *
+    * Scale shape: two broadcast-query map-only scans + query-keyed
+    * top-K windows (the q_cos_topk contract, twice) + one keyed
+    * intersection count. */
+  private val qQuantRecall = Q(
+    "q_quant_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dq = Ann.vecs(s, dir)
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .select(col("vec_id"), expr(
+          "transform(v, x -> cast(floor(x / greatest(amax, 1e-30) * 127.0)" +
+            " as bigint) * amax / 127.0)").as("v"))
+        .withColumn("nrm", functions.vec_dot(col("v"), col("v")))
+      val q = dq.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      val quantK = dq.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", Ann.cosCol("qv", "v", "qn", "nrm"))
+        .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select("qid", "nid")
+      val fullK = Ann.cosineTopK(s, dir, NQueries, K).select("qid", "nid")
+      val ov = fullK.join(quantK, Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_common"))
+      fullK.select("qid").distinct()
+        .join(ov, Seq("qid"), "left_outer")
+        .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+          lit(K).as("k"))
+    },
+    Some(
+      s"""$base, qt AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x ->
+         |      CAST(floor(x / greatest(amax, 1e-30) * 127.0) AS BIGINT)
+         |        * amax / 127.0) AS dv
+         |  FROM (SELECT vec_id, v,
+         |          list_max(list_transform(v, x -> abs(x))) AS amax FROM w)
+         |), wq AS (
+         |  SELECT vec_id, dv AS v, ${Ann.dot(DuckD, "dv", "dv")} AS nrm
+         |  FROM qt
+         |), fullk AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
+         |    FROM w a JOIN w b ON a.vec_id < $NQueries AND b.vec_id != a.vec_id
+         |  ) WHERE rnk <= $K
+         |), quantk AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
+         |    FROM wq a JOIN wq b
+         |      ON a.vec_id < $NQueries AND b.vec_id != a.vec_id
+         |  ) WHERE rnk <= $K
+         |), ov AS (
+         |  SELECT f.qid, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM fullk f JOIN quantk qk ON qk.qid = f.qid AND qk.nid = f.nid
+         |  GROUP BY 1
+         |)
+         |SELECT qs.qid, coalesce(ov.n_common, 0) AS n_common,
+         |  CAST($K AS INTEGER) AS k
+         |FROM (SELECT DISTINCT qid FROM fullk) qs
+         |LEFT JOIN ov ON ov.qid = qs.qid""".stripMargin))
+
+  val all: Seq[Q] = Seq(qCosTopK, qQuantRecall, qAnnLsh, qAnnIvf, qEmbedNearDup,
     qEmbedQuant, qLabelCentroid, qPqCodes, qPqAdc, qKcenterSample)
 }
