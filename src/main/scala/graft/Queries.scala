@@ -4752,6 +4752,78 @@ object Queries {
          |  CAST(sum(d.cnt) AS BIGINT) AS n_pts
          |FROM lab JOIN dense d USING (cell) GROUP BY 1""".stripMargin))
 
+  /** REGION BOUNDING OCTAGON — the vectorization step after
+    * [[qHotspotRegions]] (region-group gives LABELS; a downstream GIS
+    * wants SHAPES): per contiguous dense region the 8-direction bounding
+    * octagon — min/max of x, y, x+y, x−y over member cells (four integer
+    * slabs whose intersection is the tightest axis+diagonal-aligned
+    * convex cover; the classic cheap convex-hull stand-in that needs
+    * only ASSOCIATIVE aggregates, so it rides one region-keyed groupBy
+    * where a true hull would need per-region geometry). PLANAR x
+    * convention at the antimeridian (raw grid x; a seam-straddling
+    * region spans the long way — the documented lineCells convention;
+    * q_bbox_wrap is the wrap-aware bbox when that matters).
+    *
+    * Scale shape: the CC is the proven pointer-jumping pass; the octagon
+    * itself is ONE keyed groupBy of 8 min/max aggregates with map-side
+    * combine — the cheapest possible shape summary at 10^12 points. */
+  private val qRegionOctagon = Q(
+    "q_region_octagon",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val dense = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 6)
+        .localCheckpoint(true)
+      val edges = dense.select(col("cell").as("a"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("a"))
+        .join(dense.select("cell"), Seq("cell"))
+        .select(col("a"), col("cell").as("b"))
+      val lbl = graft.dedup.Components.connectedComponents(
+        dense.select(col("cell").as("id")), edges)
+      lbl.join(dense, lbl("id") === dense("cell"))
+        .select(col("rep").as("region"),
+          col("cell").bitwiseAND(lit(127L)).as("x"),
+          shiftright(col("cell"), 7).bitwiseAND(lit(127L)).as("y"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+          min(col("x") + col("y")).as("s_min"),
+          max(col("x") + col("y")).as("s_max"),
+          min(col("x") - col("y")).as("d_min"),
+          max(col("x") - col("y")).as("d_max"))
+    },
+    Some(
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), dense AS MATERIALIZED (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g WHERE cnt >= 6
+         |), edges AS MATERIALIZED (
+         |  SELECT d.cell AS src, e.cell AS dst
+         |  FROM dense d, range(-1,2) dy(r), range(-1,2) dx(r)
+         |  JOIN dense e ON e.cell = ((CAST(7 AS BIGINT) << 58)
+         |      | (CAST(d.y + dy.r AS BIGINT) << 7)
+         |      | CAST(((d.x + dx.r) % 128 + 128) % 128 AS BIGINT))
+         |  WHERE d.y + dy.r BETWEEN 0 AND 127 AND (dx.r != 0 OR dy.r != 0)
+         |), reach AS (
+         |  SELECT cell, cell AS lbl FROM dense
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.cell
+         |), lab AS (
+         |  SELECT cell, min(lbl) AS region FROM reach GROUP BY 1
+         |)
+         |SELECT region, CAST(count(*) AS BIGINT) AS n_cells,
+         |  min(d.x) AS x_min, max(d.x) AS x_max,
+         |  min(d.y) AS y_min, max(d.y) AS y_max,
+         |  min(d.x + d.y) AS s_min, max(d.x + d.y) AS s_max,
+         |  min(d.x - d.y) AS d_min, max(d.x - d.y) AS d_max
+         |FROM lab JOIN dense d USING (cell) GROUP BY 1""".stripMargin))
+
   /** Salted two-phase aggregation over the skewed leaf cells — provably
     * identical to the direct groupBy (the oracle IS the direct form). At
     * cluster scale the salt splits the hot cell across 16 reducers
@@ -6096,6 +6168,7 @@ object Queries {
     qIsolated,
     qTrajRaster,
     qHotspotRegions,
+    qRegionOctagon,
     qSkewSalted,
     qSkewAdaptive,
     qPairMerge,
