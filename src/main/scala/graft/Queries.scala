@@ -2319,6 +2319,64 @@ object Queries {
          |FROM r23 JOIN cw ON cw.cell = r23.cell""".stripMargin
     })
 
+  /** MARKET-BASKET PAIR MINING ON THE GRID (Apriori level 2) — the
+    * co-occurrence miner of the events family: baskets are (res-5 cell,
+    * user) pairs, items their distinct event types; per cell the TOP
+    * co-occurring type pair by support (# users exhibiting both types in
+    * the cell; tie → lexicographic pair), with the basket count. The
+    * within-basket pair join is keyed on the BASKET (≤5 items ⇒ ≤10
+    * pairs per basket — bounded fanout, never a theta join); the argmax
+    * is a cell-keyed ≤10-row window. All counting, all integer.
+    *
+    * Scale shape: one event-sized distinct (cell, user, type) pass, one
+    * basket-keyed equi-join with constant fanout, one composite-key
+    * groupBy with map-side combine — the OD-matrix contract with item
+    * pairs as the composite. */
+  private val qBasketPairs = Q(
+    "q_basket_pairs",
+    (s, dir) => {
+      val items = eventPositions(s, dir, 5)
+        .select(col("cell"), col("user_id"), col("event_type")).distinct()
+      val sup = items.as("a")
+        .join(items.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.cell").as("cell"),
+          col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("support"))
+      val baskets = items.select("cell", "user_id").distinct()
+        .groupBy("cell").agg(count(lit(1)).as("n_baskets"))
+      val wr = Window.partitionBy("cell")
+        .orderBy(col("support").desc, col("t1"), col("t2"))
+      sup.withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .join(baskets, Seq("cell"))
+        .select(col("cell"), col("t1"), col("t2"), col("support"),
+          col("n_baskets"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, items AS (
+         |  SELECT DISTINCT cell, user_id, event_type FROM pc
+         |), sup AS (
+         |  SELECT a.cell, a.event_type AS t1, b.event_type AS t2,
+         |    CAST(count(*) AS BIGINT) AS support
+         |  FROM items a JOIN items b
+         |    ON b.cell = a.cell AND b.user_id = a.user_id
+         |      AND a.event_type < b.event_type
+         |  GROUP BY 1, 2, 3
+         |), bk AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_baskets
+         |  FROM (SELECT DISTINCT cell, user_id FROM items) GROUP BY 1
+         |)
+         |SELECT s.cell, s.t1, s.t2, s.support, bk.n_baskets
+         |FROM (
+         |  SELECT cell, t1, t2, support, row_number() OVER
+         |    (PARTITION BY cell ORDER BY support DESC, t1, t2) AS rn
+         |  FROM sup
+         |) s JOIN bk ON bk.cell = s.cell
+         |WHERE s.rn = 1""".stripMargin))
+
   /** RENDEZVOUS (HRW) HASH ASSIGNMENT — the consistent-placement
     * operator of a distributed tile store (which worker owns which
     * tile, stable under worker churn: removing one worker moves ONLY its
@@ -6203,6 +6261,7 @@ object Queries {
     qDiurnalProfile,
     qDtwProfile,
     qHrwAssign,
+    qBasketPairs,
     qEquidepthBounds,
     qChildBitmap,
     qBivarMoran,
