@@ -4882,6 +4882,82 @@ object Queries {
          |  min(d.x - d.y) AS d_min, max(d.x - d.y) AS d_max
          |FROM lab JOIN dense d USING (cell) GROUP BY 1""".stripMargin))
 
+  /** PERCOLATION PROFILE — how the dense-region structure EVOLVES as the
+    * density threshold sweeps ([[qHotspotRegions]] is one slice at
+    * t = 6; this is the whole curve — the scale-selection diagnostic
+    * that tells an analyst where the map "percolates" from many specks
+    * into a giant component): for t ∈ {2, 4, 6, 8, 10}, the number of
+    * connected regions over cells with cnt ≥ t, their total cell count,
+    * and the largest region. One density pass is persisted and
+    * re-thresholded; each slice runs the SAME proven pointer-jumping CC
+    * (5 independent passes — the per-slice graphs shrink monotonically,
+    * and CC rounds are log-depth, so the sweep is ~5× one slice, all
+    * grid-bounded). The oracle runs five recursive min-label closures.
+    *
+    * Monotone invariants (cells and max size nonincreasing in t) are
+    * implied by construction and re-proven by the oracle hash. */
+  private val qPercolation = Q(
+    "q_percolation",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val slices = Seq(2, 4, 6, 8, 10).map { t =>
+        val dense = g.where(col("cnt") >= t).select("cell")
+          .localCheckpoint(true)
+        val edges = dense.select(col("cell").as("a"),
+            explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+          .where(col("cell") =!= col("a"))
+          .join(dense, Seq("cell"))
+          .select(col("a"), col("cell").as("b"))
+        val lbl = graft.dedup.Components.connectedComponents(
+          dense.select(col("cell").as("id")), edges)
+        lbl.groupBy("rep").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_regions"),
+            sum(col("sz")).as("n_cells"),
+            max(col("sz")).as("max_cells"))
+          .select(lit(t).as("threshold"), col("n_regions"),
+            col("n_cells"), col("max_cells"))
+      }
+      slices.reduce(_ unionAll _)
+    },
+    Some {
+      val slices = Seq(2, 4, 6, 8, 10).map { t =>
+        s"""dense$t AS MATERIALIZED (
+           |  SELECT cell, cell & 127 AS x, (cell >> 7) & 127 AS y
+           |  FROM g WHERE cnt >= $t
+           |), edges$t AS MATERIALIZED (
+           |  SELECT d.cell AS src, e.cell AS dst
+           |  FROM dense$t d, range(-1,2) dy(r), range(-1,2) dx(r)
+           |  JOIN dense$t e ON e.cell = ((CAST(7 AS BIGINT) << 58) |
+           |      (CAST(d.y + dy.r AS BIGINT) << 7) |
+           |      CAST(((d.x + dx.r) % 128 + 128) % 128 AS BIGINT))
+           |  WHERE d.y + dy.r BETWEEN 0 AND 127 AND (dx.r != 0 OR dy.r != 0)
+           |), reach$t AS (
+           |  SELECT cell, cell AS lbl FROM dense$t
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach$t r JOIN edges$t e ON e.src = r.cell
+           |), lab$t AS (
+           |  SELECT cell, min(lbl) AS region FROM reach$t GROUP BY 1
+           |), stat$t AS (
+           |  SELECT CAST($t AS INTEGER) AS threshold,
+           |    CAST(count(*) AS BIGINT) AS n_regions,
+           |    CAST(sum(sz) AS BIGINT) AS n_cells,
+           |    CAST(max(sz) AS BIGINT) AS max_cells
+           |  FROM (SELECT region, count(*) AS sz FROM lab$t GROUP BY 1)
+           |)""".stripMargin
+      }.mkString(", ")
+      val uni = Seq(2, 4, 6, 8, 10)
+        .map(t => s"SELECT * FROM stat$t").mkString(" UNION ALL ")
+      s"""${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, g AS (
+         |  SELECT ${cellSql(7)} AS cell, count(*) AS cnt
+         |  FROM images GROUP BY 1
+         |), $slices
+         |$uni""".stripMargin
+    })
+
   /** Salted two-phase aggregation over the skewed leaf cells — provably
     * identical to the direct groupBy (the oracle IS the direct form). At
     * cluster scale the salt splits the hot cell across 16 reducers
@@ -6227,6 +6303,7 @@ object Queries {
     qTrajRaster,
     qHotspotRegions,
     qRegionOctagon,
+    qPercolation,
     qSkewSalted,
     qSkewAdaptive,
     qPairMerge,
