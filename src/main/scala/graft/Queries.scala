@@ -1901,15 +1901,19 @@ object Queries {
     * this = GLOBAL cohesion structure): iterate the k = 6 degree-
     * threshold peel on the res-6 queen-adjacency occupied grid and
     * record, per cell, its ONION LAYER — the round in which it was
-    * peeled (1..K), or K+1 if it survives all K = 12 rounds. On this
+    * peeled (1..K), or K+1 if it survives all K = 24 rounds. On this
     * corpus the occupied region is a near-solid band, so the true 6-core
     * fixpoint is EMPTY (boundary rows have ≤5 in-set neighbors; removing
     * them exposes the next row — measured exactly 128 cells peel per
     * round at sf0.01, a frontier eating inward) — which is precisely why
     * the LAYER, not the survivor set, is the informative output: it is
     * the erosion depth / distance-to-boundary profile under the
-    * degeneracy ordering. K is a configuration constant; both engines
-    * run EXACTLY K rounds, so the result is deterministic at any scale.
+    * degeneracy ordering. K = 24 is sized so the peel COMPLETES at the
+    * test scales (the band is ≤22 erosion rounds deep; late rounds peel
+    * empty frontiers at no cost), making [[qMedialAxis]]'s local-maxima
+    * reading the true grassfire ridge rather than a truncation plateau.
+    * K is a configuration constant; both engines run EXACTLY K rounds,
+    * so the result is deterministic at any scale.
     *
     * Scale shape: each round is one grid-bounded ring scatter + keyed
     * semi-join + HAVING-filtered groupBy over ≤|occupied| rows, plus one
@@ -1917,65 +1921,110 @@ object Queries {
     * whole peel is O(K · occupied · 9) after the one event-sized
     * groupBy. The iterated plan is cut per round with localCheckpoint
     * (the Components.scala pointer-jump device) so lineage stays flat. */
+  /** Shared engine for [[qOnionLayers]] and [[qMedialAxis]]: the K = 12
+    * bounded k = 6 peel, returning (cell, layer). */
+  private def onion6(s: SparkSession, dir: String): DataFrame = {
+    import graft.geo.{functions => G}
+    val occ = Images.images(s, dir)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .select("cell")
+    var alive = occ.localCheckpoint(true)
+    var layers: DataFrame = null
+    for (r <- 1 to 24) {
+      val next = alive.select(col("cell").as("src"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("dst"))
+        .where(col("dst") =!= col("src"))
+        .join(alive.select(col("cell").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 6)
+        .select(col("src").as("cell"))
+        .localCheckpoint(true)
+      val peeled = alive.join(next, Seq("cell"), "left_anti")
+        .select(col("cell"), lit(r).as("layer"))
+      layers = if (layers == null) peeled else layers.unionAll(peeled)
+      alive = next
+    }
+    layers.unionAll(alive.select(col("cell"), lit(25).as("layer")))
+  }
+
   private val qOnionLayers = Q(
     "q_onion_layers",
+    (s, dir) => onion6(s, dir),
+    Some(s"""$onion6Ctes
+         |SELECT cell, layer FROM lay""".stripMargin))
+
+  /** Shared oracle CTE chain for the onion family: images -> g (res-6
+    * density) -> sc (queen scatter) -> alive0..alive12 (the bounded
+    * peel, MATERIALIZED: each round references its predecessor twice) ->
+    * lay(cell, layer). */
+  private lazy val onion6Ctes: String = {
+    val rounds = (1 to 24).map { r =>
+      s"""alive$r AS MATERIALIZED (
+         |  SELECT sc.src AS cell
+         |  FROM sc
+         |  JOIN alive${r - 1} a ON a.cell = sc.src
+         |  JOIN alive${r - 1} b ON b.cell = sc.ocell
+         |  GROUP BY 1 HAVING count(*) >= 6
+         |)""".stripMargin
+    }.mkString(", ")
+    val mem = (1 to 24).map(r => s"SELECT cell FROM alive$r")
+      .mkString(" UNION ALL ")
+    s"""$cte, g AS (
+       |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
+       |  FROM images GROUP BY 1
+       |), sc AS MATERIALIZED (
+       |  SELECT cell AS src, ((CAST(6 AS BIGINT) << 58) |
+       |      (CAST(y + dy.r AS BIGINT) << 6) |
+       |      CAST(((x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell
+       |  FROM (SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
+       |        FROM g) c,
+       |    range(-1,2) dy(r), range(-1,2) dx(r)
+       |  WHERE y + dy.r BETWEEN 0 AND 63
+       |    AND (dx.r != 0 OR dy.r != 0)
+       |), alive0 AS MATERIALIZED (SELECT cell FROM g),
+       |$rounds, mem AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS rounds_in
+       |  FROM ($mem) GROUP BY 1
+       |), lay AS MATERIALIZED (
+       |  SELECT g.cell,
+       |    CAST(1 + coalesce(mem.rounds_in, 0) AS INTEGER) AS layer
+       |  FROM g LEFT JOIN mem ON mem.cell = g.cell
+       |)""".stripMargin
+  }
+
+  /** MEDIAL AXIS (erosion-depth skeleton) — the centerline extraction
+    * the onion decomposition was built for (grassfire transform: the
+    * skeleton is where erosion fronts COLLIDE, i.e. the local maxima of
+    * erosion depth): cells whose [[onion6]] layer is >= every occupied
+    * queen neighbor's layer and > 1 (boundary cells excluded), emitted
+    * with layer and neighbor count. Isolated cells have no adjacency
+    * row and are absent (inner semantics, oracle-mirrored).
+    *
+    * Scale shape: the peel's K grid-bounded rounds + ONE more ring
+    * scatter and keyed max-groupBy — the focal-stats contract on top of
+    * the onion pass. */
+  private val qMedialAxis = Q(
+    "q_medial_axis",
     (s, dir) => {
       import graft.geo.{functions => G}
-      val occ = Images.images(s, dir)
-        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
-        .groupBy("cell").agg(count(lit(1)).as("cnt"))
-        .select("cell")
-      var alive = occ.localCheckpoint(true)
-      var layers: DataFrame = null
-      for (r <- 1 to 12) {
-        val next = alive.select(col("cell").as("src"),
-            explode(G.cell_ring(col("cell"), lit(1))).as("dst"))
-          .where(col("dst") =!= col("src"))
-          .join(alive.select(col("cell").as("dst")), Seq("dst"))
-          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= 6)
-          .select(col("src").as("cell"))
-          .localCheckpoint(true)
-        val peeled = alive.join(next, Seq("cell"), "left_anti")
-          .select(col("cell"), lit(r).as("layer"))
-        layers = if (layers == null) peeled else layers.unionAll(peeled)
-        alive = next
-      }
-      layers.unionAll(alive.select(col("cell"), lit(13).as("layer")))
+      val lay = onion6(s, dir).localCheckpoint(true)
+      lay.select(col("cell").as("src"), col("layer"),
+          explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
+        .where(col("cell") =!= col("src"))
+        .join(lay.select(col("cell"), col("layer").as("nl")), Seq("cell"))
+        .groupBy(col("src").as("cell"), col("layer"))
+        .agg(count(lit(1)).as("n_nbrs"), max(col("nl")).as("max_nl"))
+        .where(col("layer") > 1 && col("max_nl") <= col("layer"))
+        .select(col("cell"), col("layer"), col("n_nbrs"))
     },
-    Some {
-      val rounds = (1 to 12).map { r =>
-        s"""alive$r AS MATERIALIZED (
-           |  SELECT sc.src AS cell
-           |  FROM sc
-           |  JOIN alive${r - 1} a ON a.cell = sc.src
-           |  JOIN alive${r - 1} b ON b.cell = sc.ocell
-           |  GROUP BY 1 HAVING count(*) >= 6
-           |)""".stripMargin
-      }.mkString(", ")
-      val mem = (1 to 12).map(r => s"SELECT cell FROM alive$r")
-        .mkString(" UNION ALL ")
-      s"""$cte, g AS (
-         |  SELECT ${cellSql(6)} AS cell, count(*) AS cnt
-         |  FROM images GROUP BY 1
-         |), sc AS MATERIALIZED (
-         |  SELECT cell AS src, ((CAST(6 AS BIGINT) << 58)
-         |      | (CAST(y + dy.r AS BIGINT) << 6)
-         |      | CAST(((x + dx.r) % 64 + 64) % 64 AS BIGINT)) AS ocell
-         |  FROM (SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
-         |        FROM g) c,
-         |    range(-1,2) dy(r), range(-1,2) dx(r)
-         |  WHERE y + dy.r BETWEEN 0 AND 63
-         |    AND (dx.r != 0 OR dy.r != 0)
-         |), alive0 AS MATERIALIZED (SELECT cell FROM g),
-         |$rounds, mem AS (
-         |  SELECT cell, CAST(count(*) AS BIGINT) AS rounds_in
-         |  FROM ($mem) GROUP BY 1
-         |)
-         |SELECT g.cell,
-         |  CAST(1 + coalesce(mem.rounds_in, 0) AS INTEGER) AS layer
-         |FROM g LEFT JOIN mem ON mem.cell = g.cell""".stripMargin
-    })
+    Some(s"""$onion6Ctes
+         |SELECT l.cell, l.layer, CAST(count(*) AS BIGINT) AS n_nbrs
+         |FROM lay l
+         |JOIN sc ON sc.src = l.cell
+         |JOIN lay n ON n.cell = sc.ocell
+         |GROUP BY 1, 2
+         |HAVING l.layer > 1 AND max(n.layer) <= l.layer""".stripMargin))
 
   /** WEIGHTED COST DISTANCE (bounded-hop Bellman–Ford) — the terrain-
     * aware companion of the uniform-cost grid BFS (q_grid_bfs counts
@@ -6333,6 +6382,7 @@ object Queries {
     qRegionEdges,
     qTriangles,
     qOnionLayers,
+    qMedialAxis,
     qCostDistance,
     qPathCounts,
     qDiurnalProfile,
