@@ -2368,6 +2368,88 @@ object Queries {
          |FROM r23 JOIN cw ON cw.cell = r23.cell""".stripMargin
     })
 
+  /** QUADTREE PACKING of the occupancy mask — the R-tree/quadtree node
+    * coalescing step of a spatial index build (store ONE node for a
+    * fully-occupied quad instead of 4^d leaves): bottom-up over res
+    * 7 → 6 → 5 → 4, a parent is FULL iff all 4 children are full
+    * (leaves: occupied), and the emitted covering set is every full
+    * node whose parent is NOT full plus every occupied leaf whose
+    * parent is not full — a disjoint exact cover of the occupied set,
+    * proven by the oracle hash (any wrong merge changes the cover).
+    * Emitted: (res, cell, n_leaves) with n_leaves = 4^(7−res).
+    *
+    * Scale shape: three keyed parent groupBys (each a 4-row count per
+    * parent, grid-bounded and shrinking 4× per level) + keyed anti
+    * joins — the pyramid-rollup contract applied to the index itself. */
+  private val qQuadtreePack = Q(
+    "q_quadtree_pack",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val l7 = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select("cell").localCheckpoint(true)
+      // parent id of a res-`res` cell (layout: res<<58 | y<<res | x,
+      // res-bit axes; the parent halves both axes)
+      def up(res: Int) = {
+        val m = (1 << res) - 1
+        expr(s"(cast(${res - 1} as bigint) << 58)" +
+          s" | ((((cell >> $res) & $m) >> 1) << ${res - 1})" +
+          s" | (((cell & $m) >> 1))")
+      }
+      def fulls(children: DataFrame, res: Int): DataFrame =
+        children.select(up(res).as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("nc"))
+          .where(col("nc") === 4).select("cell").localCheckpoint(true)
+      val f6 = fulls(l7, 7)
+      val f5 = fulls(f6, 6)
+      val f4 = fulls(f5, 5)
+      // emit: nodes whose PARENT is not in the next full set
+      def emit(nodes: DataFrame, res: Int, nextFull: DataFrame) =
+        nodes.withColumn("p", up(res))
+          .join(nextFull.select(col("cell").as("p")), Seq("p"), "left_anti")
+          .select(lit(res).as("res"), col("cell"),
+            lit(math.pow(4, 7 - res).toLong).as("n_leaves"))
+      emit(l7, 7, f6)
+        .unionAll(emit(f6, 6, f5))
+        .unionAll(emit(f5, 5, f4))
+        .unionAll(f4.select(lit(4).as("res"), col("cell"),
+          lit(64L).as("n_leaves")))
+    },
+    Some {
+      def upSql(res: Int) = {
+        val m = (1 << res) - 1
+        s"((CAST(${res - 1} AS BIGINT) << 58) |" +
+          s" ((((cell >> $res) & $m) >> 1) << ${res - 1}) |" +
+          s" ((cell & $m) >> 1))"
+      }
+      s"""$cte, l7 AS (
+         |  SELECT ${cellSql(7)} AS cell FROM images GROUP BY 1
+         |), f6 AS (
+         |  SELECT cell FROM (
+         |    SELECT ${upSql(7)} AS cell, count(*) AS nc FROM l7 GROUP BY 1
+         |  ) WHERE nc = 4
+         |), f5 AS (
+         |  SELECT cell FROM (
+         |    SELECT ${upSql(6)} AS cell, count(*) AS nc FROM f6 GROUP BY 1
+         |  ) WHERE nc = 4
+         |), f4 AS (
+         |  SELECT cell FROM (
+         |    SELECT ${upSql(5)} AS cell, count(*) AS nc FROM f5 GROUP BY 1
+         |  ) WHERE nc = 4
+         |)
+         |SELECT CAST(7 AS INTEGER) AS res, cell, CAST(1 AS BIGINT) AS n_leaves
+         |FROM l7 WHERE ${upSql(7)} NOT IN (SELECT cell FROM f6)
+         |UNION ALL
+         |SELECT 6, cell, 4 FROM f6
+         |WHERE ${upSql(6)} NOT IN (SELECT cell FROM f5)
+         |UNION ALL
+         |SELECT 5, cell, 16 FROM f5
+         |WHERE ${upSql(5)} NOT IN (SELECT cell FROM f4)
+         |UNION ALL
+         |SELECT 4, cell, 64 FROM f4""".stripMargin
+    })
+
   /** MARKET-BASKET PAIR MINING ON THE GRID (Apriori level 2) — the
     * co-occurrence miner of the events family: baskets are (res-5 cell,
     * user) pairs, items their distinct event types; per cell the TOP
@@ -6389,6 +6471,7 @@ object Queries {
     qDtwProfile,
     qHrwAssign,
     qBasketPairs,
+    qQuadtreePack,
     qEquidepthBounds,
     qChildBitmap,
     qBivarMoran,
