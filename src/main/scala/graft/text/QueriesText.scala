@@ -1078,8 +1078,64 @@ object QueriesText {
          |SELECT nd.source, nd.n_docs, v.n_tokens, v.n_types, v.n_hapax
          |FROM nd JOIN v ON v.source = nd.source""".stripMargin))
 
+  /** BIGRAM LANGUAGE-MODEL HIT RATE — the simplest LM evaluated entirely
+    * in the engine (train = corpus bigram counts, predict = per-token
+    * argmax next, evaluate = next-token accuracy; the data-quality probe
+    * that separates templated sources from diverse ones WITHOUT any
+    * model runtime): bigrams come from a map-side zip of each token list
+    * with its own tail (never a positional self-join — the corpus is
+    * scanned once), the argmax table is token-keyed (tie → lexicographic
+    * next token), and the evaluation join broadcasts it. Emitted per
+    * source: bigram count and argmax-correct count — exact integers.
+    *
+    * Scale shape: one token-mass groupBy with map-side combine for
+    * training, one broadcast probe for scoring; vocabulary-bounded
+    * argmax windows. */
+  private val qBigramPredict = Q(
+    "q_bigram_predict",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("source"), expr(SparkD.splitToks("text")).as("toks"))
+        .select(col("source"), explode(expr(
+          "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0))," +
+            " slice(toks, 2, greatest(size(toks) - 1, 0))," +
+            " (a, b) -> struct(a AS t1, b AS t2))")).as("bg"))
+        .select(col("source"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy("t1").orderBy(col("cnt").desc, col("t2"))
+      val pred = bi.groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("t1"), col("t2").as("nxt"))
+      bi.join(broadcast(pred), Seq("t1"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("t2") === col("nxt"), 1L).otherwise(0L))
+            .as("n_correct"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT source, ${DuckD.splitToks("text")} AS toks FROM documents
+         |), bi AS (
+         |  SELECT source, z[1] AS t1, z[2] AS t2 FROM (
+         |    SELECT source, unnest(list_zip(
+         |      toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+         |    FROM d
+         |  )
+         |), pred AS (
+         |  SELECT t1, t2 AS nxt FROM (
+         |    SELECT t1, t2, count(*) AS cnt, row_number() OVER
+         |      (PARTITION BY t1 ORDER BY count(*) DESC, t2) AS rn
+         |    FROM bi GROUP BY t1, t2
+         |  ) WHERE rn = 1
+         |)
+         |SELECT bi.source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN bi.t2 = pred.nxt THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct
+         |FROM bi JOIN pred ON pred.t1 = bi.t1
+         |GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    qVocabGrowth,
+    qVocabGrowth, qBigramPredict,
     qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
     qTokenDist, qPmiColloc, qBigramRare,
     qLangId, qQuality, qFingerprint,
