@@ -2368,6 +2368,43 @@ object Queries {
          |FROM r23 JOIN cw ON cw.cell = r23.cell""".stripMargin
     })
 
+  /** QUADRAT VARIANCE-TO-MEAN TEST — the oldest point-pattern statistic
+    * (Student 1907; clustered vs uniform vs regular): counts over the
+    * FULL fixed res-5 grid (32×32 = 1024 quadrats, empties included —
+    * a fixed universe makes the test well-defined; occupied-only would
+    * bias VMR toward uniform), emitting the exact integer factors of
+    * VMR = s²/x̄: n, Σx, Σx², the variance numerator
+    * `n·Σx² − (Σx)²`, and the clustered verdict
+    * `n·Σx² − (Σx)² > Σx·(n−1)` (⇔ VMR > 1, cross-multiplied — no
+    * division). One event-sized groupBy then a single-row rollup. */
+  private val qQuadrat = Q(
+    "q_quadrat",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 5))
+        .groupBy("cell").agg(count(lit(1)).as("x"))
+        .agg(sum(col("x")).as("sum_x"),
+          sum(col("x") * col("x")).as("sum_x2"))
+        .select(lit(1024L).as("n"), col("sum_x"), col("sum_x2"),
+          (lit(1024L) * col("sum_x2") - col("sum_x") * col("sum_x"))
+            .as("var_num"),
+          (lit(1024L) * col("sum_x2") - col("sum_x") * col("sum_x") >
+            col("sum_x") * lit(1023L)).as("clustered"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(5)} AS cell, CAST(count(*) AS BIGINT) AS x
+         |  FROM images GROUP BY 1
+         |), a AS (
+         |  SELECT CAST(sum(x) AS BIGINT) AS sum_x,
+         |    CAST(sum(x * x) AS BIGINT) AS sum_x2 FROM g
+         |)
+         |SELECT CAST(1024 AS BIGINT) AS n, sum_x, sum_x2,
+         |  1024 * sum_x2 - sum_x * sum_x AS var_num,
+         |  1024 * sum_x2 - sum_x * sum_x > sum_x * 1023 AS clustered
+         |FROM a""".stripMargin))
+
   /** QUADTREE PACKING of the occupancy mask — the R-tree/quadtree node
     * coalescing step of a spatial index build (store ONE node for a
     * fully-occupied quad instead of 4^d leaves): bottom-up over res
@@ -6472,6 +6509,7 @@ object Queries {
     qHrwAssign,
     qBasketPairs,
     qQuadtreePack,
+    qQuadrat,
     qEquidepthBounds,
     qChildBitmap,
     qBivarMoran,
