@@ -379,7 +379,55 @@ object PlanDump {
           " pcell partition column from directories, v1 re-derives it" +
           " from data post-union) — the union is by name, and a pcell" +
           " filter partition-prunes v2 while only filtering v1",
-        graft.Queries.queryMap("q_partition_evolve")(spark, dir)))
+        graft.Queries.queryMap("q_partition_evolve")(spark, dir)),
+      ("Seam-carving DP (round 5)",
+        "the 8-row dynamic program statically unrolled into ONE map-side" +
+          " projection (array transforms over the decoded thumb) — the DP" +
+          " adds ZERO exchanges; the only shuffle below is the input" +
+          " key-dedup shared by every image query: 10^12 images" +
+          " seam-carve at scan speed",
+        graft.Queries.queryMap("q_seam_carve")(spark, dir)),
+      ("SymSpell deletion-neighborhood dedup (round 5)",
+        "candidates from an EQUI-join on the deletion variant (28x" +
+          " map-side fanout of the caption projection, no decode) — the" +
+          " LSH-banding contract with the variant as band key; exact" +
+          " levenshtein refine and keyed dedup above it, never a theta" +
+          " join",
+        graft.Queries.queryMap("q_symspell_pairs")(spark, dir)),
+      ("Banded DTW rhythm conformity (round 5)",
+        "the 24-step banded DP as a generated NAMED-COLUMN fold (each dp" +
+          " cell an attribute — inlining would grow the tree ~5x per row" +
+          " and OOM the analyzer); one event-sized (cell, hour) groupBy," +
+          " one keyed cell->parent join, DP entirely map-side",
+        graft.Queries.queryMap("q_dtw_profile")(spark, dir)),
+      ("Iceberg-v2 equality deletes, merge-on-read (round 5)",
+        "the base snapshot scan minus two BROADCAST anti-joins (one per" +
+          " committed delete file, applied in commit order) — map-side" +
+          " hash probes, no shuffle of the base table, no rewrite of" +
+          " data files",
+        {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-plandump-eqd").toString
+          val tiles = imgs
+            .withColumn("cell", graft.geo.functions.cell_encode(
+              col("lat"), col("lon"), 6))
+            .groupBy("cell").agg(count(lit(1)).as("cnt"))
+            .withColumn("res", lit(6))
+          graft.operators.Snapshot.writeVersioned(tiles, root, "v1", 1L)
+          val base = graft.operators.Snapshot.readAsOf(spark, root, "v1")
+          graft.operators.Snapshot.writeEqualityDeletes(
+            base.filter(col("cnt") <= 1).select("cell"), root, "v1", "d1")
+          graft.operators.Snapshot.writeEqualityDeletes(
+            base.filter(col("cell").bitwiseAND(lit(63L)) < 8)
+              .select("cell"), root, "v1", "d2")
+          graft.operators.Snapshot.readMergeOnRead(spark, root, "v1")
+        }),
+      ("Quadtree packing (round 5)",
+        "bottom-up full-quad coalescing: three keyed parent groupBys" +
+          " (each counting to 4, frontier shrinking 4x per level) + keyed" +
+          " anti-joins assemble the disjoint maximal-quad cover — the" +
+          " pyramid-rollup discipline applied to the index itself",
+        graft.Queries.queryMap("q_quadtree_pack")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
