@@ -2405,6 +2405,87 @@ object Queries {
          |  1024 * sum_x2 - sum_x * sum_x > sum_x * 1023 AS clustered
          |FROM a""".stripMargin))
 
+  /** MAXIMAL OCCUPIED SQUARE — the largest-contiguous-block analytic
+    * (site selection / coverage QA: "where could an s×s fully-covered
+    * window sit?"), computed with SEPARABLE EROSION instead of the
+    * classic sequential DP (dp needs the left/up/diag neighbor — a
+    * recurrence a distributed engine can't run row-major): per cell the
+    * horizontal run ending there (gaps-and-islands: x − row_number
+    * groups each row's consecutive stretch, all ROW-keyed windows),
+    * then for k ≤ 8 a windowed MIN of runs over the k vertically
+    * CONTIGUOUS rows above (vertical islands by y − row_number keep
+    * holes out of the frame; count == k guards short windows):
+    * `s = max k: count_k = k ∧ min_k(run) ≥ k` anchors a full k×k
+    * block with (x, y) its bottom-right corner. Emits the top-10
+    * anchors by (s, cell). Everything is a cell-, row- or
+    * column-keyed window over the occupied grid — no partitionless
+    * window, no theta join, no iteration.
+    *
+    * K = 8 is the configured cap (both engines identical); the top-k is
+    * TakeOrderedAndProject (per-partition heap). */
+  private val qMaxSquare = Q(
+    "q_max_square",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val occ = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .select(col("cell"),
+          col("cell").bitwiseAND(lit(63L)).as("x"),
+          shiftright(col("cell"), 6).bitwiseAND(lit(63L)).as("y"))
+      val wRow = Window.partitionBy("y").orderBy("x")
+      val withRun = occ
+        .withColumn("hgrp", col("x") - row_number().over(wRow))
+        .withColumn("run", row_number().over(
+          Window.partitionBy("y", "hgrp").orderBy("x")))
+        .withColumn("vgrp", col("y") - row_number().over(
+          Window.partitionBy("x").orderBy("y")))
+      def wk(k: Int) = Window.partitionBy("x", "vgrp").orderBy("y")
+        .rowsBetween(-(k - 1), 0)
+      val withMins = (2 to 8).foldLeft(withRun) { (df, k) =>
+        df.withColumn(s"m$k", min(col("run")).over(wk(k)))
+          .withColumn(s"c$k", count(lit(1)).over(wk(k)))
+      }
+      val sCol = (2 to 8).foldLeft(lit(1)) { (acc, k) =>
+        when(col(s"c$k") === k && col(s"m$k") >= k, lit(k)).otherwise(acc)
+      }
+      withMins.select(col("cell"), col("x"), col("y"), sCol.as("s"))
+        .orderBy(col("s").desc, col("cell"))
+        .limit(10)
+    },
+    Some {
+      val minCols = (2 to 8).map(k =>
+        s"""min(run) OVER (PARTITION BY x, vgrp ORDER BY y
+           |      ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) AS m$k,
+           |    count(*) OVER (PARTITION BY x, vgrp ORDER BY y
+           |      ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) AS c$k"""
+          .stripMargin).mkString(",\n    ")
+      val sExpr = (8 to 2 by -1).map(k =>
+        s"WHEN c$k = $k AND m$k >= $k THEN $k").mkString(
+        "CASE ", " ", " ELSE 1 END")
+      s"""$cte, occ AS (
+         |  SELECT cell, cell & 63 AS x, (cell >> 6) & 63 AS y
+         |  FROM (SELECT DISTINCT ${cellSql(6)} AS cell FROM images)
+         |), runs AS (
+         |  SELECT cell, x, y,
+         |    row_number() OVER (PARTITION BY y, hgrp ORDER BY x) AS run,
+         |    y - row_number() OVER (PARTITION BY x ORDER BY y) AS vgrp
+         |  FROM (
+         |    SELECT cell, x, y,
+         |      x - row_number() OVER (PARTITION BY y ORDER BY x) AS hgrp
+         |    FROM occ
+         |  )
+         |), wins AS (
+         |  SELECT cell, x, y,
+         |    $minCols
+         |  FROM runs
+         |)
+         |SELECT cell, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         |  CAST($sExpr AS INTEGER) AS s
+         |FROM wins
+         |ORDER BY s DESC, cell LIMIT 10""".stripMargin
+    })
+
   /** QUADTREE PACKING of the occupancy mask — the R-tree/quadtree node
     * coalescing step of a spatial index build (store ONE node for a
     * fully-occupied quad instead of 4^d leaves): bottom-up over res
@@ -6510,6 +6591,7 @@ object Queries {
     qBasketPairs,
     qQuadtreePack,
     qQuadrat,
+    qMaxSquare,
     qEquidepthBounds,
     qChildBitmap,
     qBivarMoran,
