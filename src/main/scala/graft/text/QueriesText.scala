@@ -1134,8 +1134,69 @@ object QueriesText {
          |FROM bi JOIN pred ON pred.t1 = bi.t1
          |GROUP BY 1""".stripMargin))
 
+  /** CORPUS KEYNESS — the distinctive-terms extractor of corpus
+    * linguistics (which words does THIS source over-use relative to the
+    * whole corpus — the log-likelihood keyword analysis, carried on its
+    * EXACT integer core): per (source, token) the signed excess-usage
+    * numerator `tf_s·T_c − tf_c·T_s` (relative-frequency comparison by
+    * cross-multiplication — the sign and ordering of the ratio test
+    * without a single division or log), top-3 per source by (score,
+    * token). Hashed columns are raw counts and the integer score.
+    *
+    * Scale shape: one token-mass (source, tok) groupBy; the per-source
+    * totals and the 1-row corpus total broadcast; the vocabulary-side
+    * corpus counts join keyed on token; argmax = source-keyed window
+    * over the source's vocabulary. */
+  private val qKeyness = Q(
+    "q_keyness",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("source"),
+          explode(expr(SparkD.splitToks("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("tf_s"))
+        .localCheckpoint(true)
+      val ts = tf.groupBy("source").agg(sum(col("tf_s")).as("t_s"))
+      val tc = tf.groupBy("tok").agg(sum(col("tf_s")).as("tf_c"))
+      val tot = tf.agg(sum(col("tf_s")).as("t_c"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(ts), Seq("source"))
+        .join(tc, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("score",
+          col("tf_s") * col("t_c") - col("tf_c") * col("t_s"))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") <= 3)
+        .select(col("source"), col("rn").as("rank"), col("tok"),
+          col("tf_s"), col("score"))
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT source, ${DuckD.splitToks("text")} AS toks FROM documents
+         |), tf AS (
+         |  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS tf_s
+         |  FROM d, unnest(toks) AS t(tok) GROUP BY 1, 2
+         |), ts AS (
+         |  SELECT source, CAST(sum(tf_s) AS BIGINT) AS t_s
+         |  FROM tf GROUP BY 1
+         |), tc AS (
+         |  SELECT tok, CAST(sum(tf_s) AS BIGINT) AS tf_c FROM tf GROUP BY 1
+         |), tot AS (SELECT CAST(sum(tf_s) AS BIGINT) AS t_c FROM tf)
+         |SELECT source, CAST(rn AS INTEGER) AS rank, tok, tf_s, score
+         |FROM (
+         |  SELECT tf.source, tf.tok, tf.tf_s,
+         |    tf.tf_s * tot.t_c - tc.tf_c * ts.t_s AS score,
+         |    row_number() OVER (PARTITION BY tf.source
+         |      ORDER BY tf.tf_s * tot.t_c - tc.tf_c * ts.t_s DESC, tf.tok)
+         |      AS rn
+         |  FROM tf
+         |  JOIN ts ON ts.source = tf.source
+         |  JOIN tc ON tc.tok = tf.tok
+         |  CROSS JOIN tot
+         |) WHERE rn <= 3""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    qVocabGrowth, qBigramPredict,
+    qVocabGrowth, qBigramPredict, qKeyness,
     qDocStats, qChunkPlan, qChunkRows, qChunkOverlap, qChunkPipeline,
     qTokenDist, qPmiColloc, qBigramRare,
     qLangId, qQuality, qFingerprint,
