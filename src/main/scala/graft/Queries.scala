@@ -264,6 +264,62 @@ object Queries {
          |      (a.lon - b.lon) * (a.lon - b.lon) <= $DistR * $DistR"""
         .stripMargin))
 
+  /** POINT-PATTERN ANISOTROPY FACTORS — does local clustering have a
+    * preferred ORIENTATION (fracture/road/coastline alignment — the
+    * directional sibling of Ripley's K): over the radius-bounded
+    * neighbor pairs of [[qDistPairs]]' kernel, the displacement
+    * second-moment sums Σdx², Σdy², Σdx·dy on the integer MICRO-DEGREE
+    * lattice (the proven floor(coord·1e6) quantization — every hashed
+    * value BIGINT-exact; the consumer forms the orientation tensor's
+    * eigen pair from these three sums), the pair count, and the
+    * axis-dominance verdict `sxx > syy`. Displacement sign follows the
+    * (a_id < b_id) pair orientation — a documented convention; the
+    * quadratic sums are orientation-invariant, dxy's sign convention is
+    * fixed by it.
+    *
+    * Scale shape: the pair kernel is the proven forward-half Chebyshev
+    * ring equi-join; the coordinate re-join is keyed on the pair ids;
+    * the rollup is one global single-row aggregate with map-side
+    * partials. */
+  private val qAnisotropy = Q(
+    "q_anisotropy",
+    (s, dir) => {
+      val imgs = Images.images(s, dir)
+      val coords = imgs.select(col("image_id"),
+        floor(col("lat") * 1e6).cast("long").as("latq"),
+        floor(col("lon") * 1e6).cast("long").as("lonq"))
+      SpatialJoin.distanceJoin(imgs, DistR)
+        .select("a_id", "b_id")
+        .join(coords.toDF("a_id", "a_latq", "a_lonq"), Seq("a_id"))
+        .join(coords.toDF("b_id", "b_latq", "b_lonq"), Seq("b_id"))
+        .select((col("b_lonq") - col("a_lonq")).as("dx"),
+          (col("b_latq") - col("a_latq")).as("dy"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("n_pairs"), col("sxx"), col("syy"), col("sxy"),
+          (col("sxx") > col("syy")).as("x_dominant"))
+    },
+    Some(
+      s"""$cte, pr AS (
+         |  SELECT a.image_id AS a_id, b.image_id AS b_id,
+         |    floor(b.lon * 1e6) - floor(a.lon * 1e6) AS dx,
+         |    floor(b.lat * 1e6) - floor(a.lat * 1e6) AS dy
+         |  FROM images a JOIN images b
+         |    ON a.image_id < b.image_id
+         |   AND b.lat >= a.lat - $DistR AND b.lat <= a.lat + $DistR
+         |  WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+         |        (a.lon - b.lon) * (a.lon - b.lon) <= $DistR * $DistR
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         |  CAST(sum(dy * dy) AS BIGINT) AS syy,
+         |  CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |  CAST(sum(dx * dx) AS BIGINT) > CAST(sum(dy * dy) AS BIGINT)
+         |    AS x_dominant
+         |FROM pr""".stripMargin))
+
   private val KnnK = 10
 
   private def knnBruteOracle(extra: String): String =
@@ -6592,6 +6648,7 @@ object Queries {
     qQuadtreePack,
     qQuadrat,
     qMaxSquare,
+    qAnisotropy,
     qEquidepthBounds,
     qChildBitmap,
     qBivarMoran,
