@@ -2624,6 +2624,66 @@ object Queries {
          |SELECT 4, cell, 64 FROM f4""".stripMargin
     })
 
+  /** INTER-ARRIVAL PROFILE PER USER — the traffic-shape statistic of the
+    * events family (bursty vs steady senders; the rate-limiting /
+    * anomaly-baseline input): per user the event count, exact integer
+    * MICROSECOND gaps between consecutive events (one user-keyed lead
+    * window), and the rank-based LOWER median and lower p90 gap (rank
+    * ⌈n/2⌉ and ⌈9n/10⌉ — integer order statistics; an interpolated
+    * percentile would hash a float). Users with one event have no gap
+    * and are absent (inner semantics).
+    *
+    * Scale shape: one user-keyed window + user-keyed rank windows over
+    * each user's own gaps — thousands of independent partitions, no
+    * global sort. */
+  private val qInterarrival = Q(
+    "q_interarrival",
+    (s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .withColumn("nxt",
+          lead(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("user_id"),
+          (col("nxt") - unix_micros(col("ts").cast("timestamp")))
+            .as("gap_us"))
+      val wu = Window.partitionBy("user_id")
+      val wr = wu.orderBy(col("gap_us"))
+      gaps
+        .withColumn("n_gaps", count(lit(1)).over(wu))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("med",
+          max(when(col("rn") === expr("(n_gaps + 1) div 2"),
+            col("gap_us"))).over(wu))
+        .withColumn("p90",
+          max(when(col("rn") === expr("(9 * n_gaps + 9) div 10"),
+            col("gap_us"))).over(wu))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("n_gaps"),
+          col("med").as("med_gap_us"), col("p90").as("p90_gap_us"))
+    },
+    Some(
+      s"""WITH gaps AS (
+         |  SELECT user_id,
+         |    lead(epoch_us(ts)) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id)
+         |      - epoch_us(ts) AS gap_us
+         |  FROM events
+         |  QUALIFY gap_us IS NOT NULL
+         |), rk AS (
+         |  SELECT user_id, gap_us,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_gaps,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn
+         |  FROM gaps
+         |)
+         |SELECT user_id, n_gaps,
+         |  CAST(max(CASE WHEN rn = (n_gaps + 1) // 2 THEN gap_us END)
+         |    AS BIGINT) AS med_gap_us,
+         |  CAST(max(CASE WHEN rn = (9 * n_gaps + 9) // 10 THEN gap_us END)
+         |    AS BIGINT) AS p90_gap_us
+         |FROM rk GROUP BY 1, 2""".stripMargin))
+
   /** MARKET-BASKET PAIR MINING ON THE GRID (Apriori level 2) — the
     * co-occurrence miner of the events family: baskets are (res-5 cell,
     * user) pairs, items their distinct event types; per cell the TOP
@@ -6645,6 +6705,7 @@ object Queries {
     qDtwProfile,
     qHrwAssign,
     qBasketPairs,
+    qInterarrival,
     qQuadtreePack,
     qQuadrat,
     qMaxSquare,
