@@ -225,6 +225,75 @@ class Round5OpsSpec extends SparkFunSuite {
     assert(got == with8)
   }
 
+  test("q_max_square matches a brute block-membership check") {
+    val occ = occupied6().keySet
+    val want = occ.toSeq.map { c =>
+      val x = (c & 63L).toInt; val y = ((c >> 6) & 63L).toInt
+      // brute: largest k <= 8 with the k x k block ending at (x, y) fully
+      // occupied (planar x here — blocks never wrap in the run-length
+      // construction since hgrp islands break at x = 0)
+      val s = (1 to 8).takeWhile { k =>
+        x - k + 1 >= 0 && y - k + 1 >= 0 &&
+          (for { dx <- 0 until k; dy <- 0 until k } yield
+            (6L << 58) | ((y - dy).toLong << 6) | (x - dx).toLong
+          ).forall(occ.contains)
+      }.lastOption.getOrElse(0)
+      (c, s)
+    }.filter(_._2 >= 1)
+      .sortBy { case (c, s) => (-s, c) }.take(10)
+    val got = Queries.queryMap("q_max_square")(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSeq
+    assert(got == want)
+  }
+
+  test("q_quadtree_pack is a disjoint exact cover of the occupied set") {
+    val occ7 = Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val quads = Queries.queryMap("q_quadtree_pack")(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    def leaves(res: Int, cell: Long): Seq[Long] = {
+      if (res == 7) Seq(cell)
+      else {
+        val m = (1L << res) - 1
+        val x = cell & m; val y = (cell >> res) & m
+        (for { dy <- 0 to 1; dx <- 0 to 1 } yield
+          ((res + 1).toLong << 58) | ((2 * y + dy) << (res + 1)) | (2 * x + dx)
+        ).flatMap(c => leaves(res + 1, c))
+      }
+    }
+    val covered = quads.flatMap { case (res, cell, n) =>
+      val l = leaves(res, cell)
+      assert(l.size.toLong == n, s"n_leaves of ($res, $cell)")
+      l
+    }
+    assert(covered.length == covered.distinct.length, "overlapping quads")
+    assert(covered.toSet == occ7, "cover != occupied set")
+    assert(quads.exists(_._1 < 7), "fixture coalesces at least one quad")
+  }
+
+  test("q_interarrival matches a driver gap replay") {
+    val ev = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = ts.sliding(2).collect { case Array(a, b) => b - a }
+        .toSeq.sorted
+      if (gaps.isEmpty) None
+      else {
+        val n = gaps.size
+        Some(u -> (n.toLong, gaps((n + 1) / 2 - 1),
+          gaps((9 * n + 9) / 10 - 1)))
+      }
+    }
+    val got = Queries.queryMap("q_interarrival")(spark, SparkSpec.Sf)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want.toMap)
+  }
+
   test("merge-on-read: identity without deletes, composition with two") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-mor-spec").toString
