@@ -383,6 +383,7 @@ object Queries {
   def clearSharedCaches(): Unit = {
     knnRankedCache.clear()
     leaf8Cache.clear()
+    onionCache.clear()
     QueriesRetrieval.clearPyramidCache()
     KmeansAssign.clearSweepCache()
   }
@@ -1977,9 +1978,19 @@ object Queries {
     * whole peel is O(K · occupied · 9) after the one event-sized
     * groupBy. The iterated plan is cut per round with localCheckpoint
     * (the Components.scala pointer-jump device) so lineage stays flat. */
-  /** Shared engine for [[qOnionLayers]] and [[qMedialAxis]]: the K = 12
-    * bounded k = 6 peel, returning (cell, layer). */
+  /** Shared engine for [[qOnionLayers]] and [[qMedialAxis]]: the K = 24
+    * k = 6 peel run to completion, returning (cell, layer). Memoized per
+    * (session, dir) under the [[knnRanked]] contract — the 24-round loop
+    * is job-count-heavy (each round a localCheckpoint), and the medial
+    * axis reads the SAME layers, so one derivation serves both. */
+  private val onionCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def onion6(s: SparkSession, dir: String): DataFrame = {
+    if (onionCache.size > 8) onionCache.clear()
+    onionCache.getOrElseUpdate((s, dir), onion6Derive(s, dir))
+  }
+
+  private def onion6Derive(s: SparkSession, dir: String): DataFrame = {
     import graft.geo.{functions => G}
     val occ = Images.images(s, dir)
       .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
@@ -2002,6 +2013,7 @@ object Queries {
       alive = next
     }
     layers.unionAll(alive.select(col("cell"), lit(25).as("layer")))
+      .localCheckpoint(true)
   }
 
   private val qOnionLayers = Q(
@@ -2064,7 +2076,7 @@ object Queries {
     "q_medial_axis",
     (s, dir) => {
       import graft.geo.{functions => G}
-      val lay = onion6(s, dir).localCheckpoint(true)
+      val lay = onion6(s, dir) // already checkpointed by the memo
       lay.select(col("cell").as("src"), col("layer"),
           explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
         .where(col("cell") =!= col("src"))
