@@ -6617,7 +6617,215 @@ object Queries {
          |  20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS r20
          |FROM mom ORDER BY r20 DESC, cell LIMIT 10""".stripMargin))
 
+  /** TRAJECTORY ↔ GEOFENCE BOUNDARY CROSSINGS — the segment-intersection
+    * join the dwell/geofence family lacks: [[qEventGeofence]] counts
+    * events INSIDE a fence, [[qGeofenceDwell]] how long; this counts how
+    * often each user's path CROSSES each fence's boundary (the
+    * perimeter-breach / entry-exit analytic). A path segment is the
+    * straight line between a user's consecutive event positions (ts,
+    * event_id order — the q_traj_headings walk); a crossing is a PROPER
+    * intersection with a fence edge, decided by the strict orientation
+    * products of [[graft.geo.PipKernel.segCross]] — the oracle mirrors
+    * the arithmetic double-for-double (same op order, same strict `< 0`
+    * tests), so collinear touches are excluded symmetrically and the
+    * count hash-matches cross-engine. Planar seam convention (the
+    * lineCells contract): a segment is the drawn line on the [-180,180]
+    * plane.
+    *
+    * Scale shape: the fence layer's edge list is a compile-time literal
+    * (~90 edges over 15 fences) burned into ONE whole-stage-codegen
+    * projection — per segment, each fence's crossing count is a sum of
+    * `when(strict-cross)` indicators, no join, no row expansion beyond
+    * the 15-element per-segment explode that turns fence hits into rows.
+    * With a data-borne fence layer this becomes the q_event_geofence
+    * broadcast shape; with the literal layer it is map-only until the
+    * (poly, user)-keyed rollup. One user-keyed lead window builds the
+    * segments — thousands of independent partitions, no global sort. */
+  private val qTrajCrossings = Q(
+    "q_traj_crossings",
+    (s, dir) => {
+      val ev = graft.sources.Events.withPosition(
+        s.read.parquet(s"$dir/events.parquet"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seg = ev
+        .withColumn("lat2", lead(col("lat"), 1).over(w))
+        .withColumn("lon2", lead(col("lon"), 1).over(w))
+        .where(col("lat2").isNotNull)
+      // orient(a→b, c) — the PipKernel.segCross sign convention, column form
+      def o(ax: org.apache.spark.sql.Column, ay: org.apache.spark.sql.Column,
+            bx: org.apache.spark.sql.Column, by: org.apache.spark.sql.Column,
+            cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
+        (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      val (sx1, sy1, sx2, sy2) =
+        (col("lon"), col("lat"), col("lon2"), col("lat2"))
+      def crossEdge(ex1: Double, ey1: Double,
+                    ex2: Double, ey2: Double): org.apache.spark.sql.Column =
+        (o(sx1, sy1, sx2, sy2, lit(ex1), lit(ey1)) *
+          o(sx1, sy1, sx2, sy2, lit(ex2), lit(ey2)) < 0) &&
+          (o(lit(ex1), lit(ey1), lit(ex2), lit(ey2), sx1, sy1) *
+            o(lit(ex1), lit(ey1), lit(ex2), lit(ey2), sx2, sy2) < 0)
+      val perPoly = Fixtures.polys.map { p =>
+        val n = p.lats.length
+        val cnt = (0 until n).map { i =>
+          val j = (i + 1) % n
+          when(crossEdge(p.lons(i), p.lats(i), p.lons(j), p.lats(j)), 1L)
+            .otherwise(0L)
+        }.reduce(_ + _)
+        struct(lit(p.polyId).as("poly_id"), cnt.as("nc"))
+      }
+      seg.select(col("user_id"), explode(array(perPoly: _*)).as("m"))
+        .where(col("m.nc") > 0)
+        .groupBy(col("m.poly_id").as("poly_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_segs"), sum(col("m.nc")).as("n_crossings"))
+    },
+    Some {
+      val edgeRows = Fixtures.polys.flatMap { p =>
+        val n = p.lats.length
+        (0 until n).map { i =>
+          val j = (i + 1) % n
+          s"('${p.polyId}', ${p.lons(i)}::DOUBLE, ${p.lats(i)}::DOUBLE, " +
+            s"${p.lons(j)}::DOUBLE, ${p.lats(j)}::DOUBLE)"
+        }
+      }.mkString(",\n    ")
+      s"""WITH ${eventCellCtes(5)}, seg AS (
+         |  SELECT user_id, event_id, lon AS sx1, lat AS sy1,
+         |    lead(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS sx2,
+         |    lead(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS sy2
+         |  FROM pos
+         |  QUALIFY sx2 IS NOT NULL
+         |), e(poly_id, ex1, ey1, ex2, ey2) AS (VALUES
+         |    $edgeRows
+         |), per_seg AS (
+         |  SELECT e.poly_id, seg.user_id, seg.event_id,
+         |    CAST(count(*) AS BIGINT) AS nc
+         |  FROM seg, e
+         |  WHERE ((sx2 - sx1) * (ey1 - sy1) - (sy2 - sy1) * (ex1 - sx1))
+         |      * ((sx2 - sx1) * (ey2 - sy1) - (sy2 - sy1) * (ex2 - sx1)) < 0
+         |    AND ((ex2 - ex1) * (sy1 - ey1) - (ey2 - ey1) * (sx1 - ex1))
+         |      * ((ex2 - ex1) * (sy2 - ey1) - (ey2 - ey1) * (sx2 - ex1)) < 0
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT poly_id, user_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(nc) AS BIGINT) AS n_crossings
+         |FROM per_seg GROUP BY 1, 2""".stripMargin
+    })
+
+  /** CHANGE-POINT DETECTION PER CELL (integer CUSUM split) — the
+    * time-series anomaly primitive the monitoring family lacks:
+    * [[qMannKendall]] scores monotone TREND, [[qAnomalyCells]] flags
+    * outlier DAYS; this finds the single best SPLIT day where a cell's
+    * daily arrival level shifts — argmax over split points i of the
+    * centered cumulative deviation |n·S_i − i·S_n| (the CUSUM statistic
+    * cross-multiplied into exact BIGINTs: comparing S_i against the
+    * global mean rate i·S_n/n without ever dividing). Ties → earliest
+    * day; cells with a single active day have no split and are absent.
+    *
+    * Scale shape: one event-sized keyed (cell, day) count with map-side
+    * combine, then cell-keyed windows over each cell's own ≤|days| rows
+    * — millions of independent ~30-row partitions, no global sort, no
+    * partitionless window. The statistic is integer-exact end-to-end
+    * (n·S ≤ days × arrivals — overflow raises under ANSI, never
+    * wraps). */
+  private val qChangepoint = Q(
+    "q_changepoint",
+    (s, dir) => {
+      val daily = eventPositions(s, dir, 5)
+        .withColumn("day",
+          floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long"))
+        .groupBy(col("cell"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val wo = Window.partitionBy("cell").orderBy("day")
+      val wu = Window.partitionBy("cell")
+      val scored = daily
+        .withColumn("i", row_number().over(wo).cast("long"))
+        .withColumn("s", sum(col("cnt")).over(wo))
+        .withColumn("n", count(lit(1)).over(wu))
+        .withColumn("tot", sum(col("cnt")).over(wu))
+        .where(col("i") < col("n"))
+        .withColumn("dev", abs(col("n") * col("s") - col("i") * col("tot")))
+      val wr = Window.partitionBy("cell").orderBy(col("dev").desc, col("day"))
+      scored.withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("cell"), col("n").as("n_days"), col("tot").as("total"),
+          col("day").as("best_day"), col("dev"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, daily AS (
+         |  SELECT cell,
+         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pc GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT cell, day,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY day)
+         |      AS BIGINT) AS i,
+         |    CAST(sum(cnt) OVER (PARTITION BY cell ORDER BY day)
+         |      AS BIGINT) AS s,
+         |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n,
+         |    CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS tot
+         |  FROM daily
+         |  QUALIFY i < n
+         |)
+         |SELECT cell, n AS n_days, tot AS total, day AS best_day,
+         |  abs(n * s - i * tot) AS dev
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY abs(n * s - i * tot) DESC, day) AS rn
+         |  FROM scored
+         |) WHERE rn = 1""".stripMargin))
+
+  /** CO-MOVEMENT PAIRS (flock detection) — the companionship analytic of
+    * the trajectory family: which user PAIRS are repeatedly co-located,
+    * i.e. share the same (res-5 cell, day) bucket in ≥2 distinct
+    * buckets (the fixture walk tops out at 3 — repeat co-location is
+    * already a strong signal for LCG positions). The classic flock/convoy primitive reduced to its
+    * scale-sane core: candidates come from a KEYED equi-join on the
+    * space-time bucket (never a |users|² comparison), the pair rollup
+    * is one composite-key groupBy, and the verdict (n_cobuckets,
+    * n_cells) is pure counting — integer-exact on both engines.
+    *
+    * Scale shape: the join fanout is Σ_bucket occ² — the bucket
+    * occupancy is the dial (finer res/time shrinks it; the q_skew
+    * machinery's salting + AQE skew-split is the documented hot-bucket
+    * path, same as every co-occurrence miner in the suite, cf.
+    * q_basket_pairs). Per-pair state never materializes beyond the
+    * keyed aggregate. */
+  private val qFlockPairs = Q(
+    "q_flock_pairs",
+    (s, dir) => {
+      val items = eventPositions(s, dir, 5)
+        .withColumn("day",
+          floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long"))
+        .select(col("cell"), col("day"), col("user_id")).distinct()
+      items.as("a").join(items.as("b"),
+          col("a.cell") === col("b.cell") && col("a.day") === col("b.day") &&
+            col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+        .agg(count(lit(1)).as("n_cobuckets"),
+          countDistinct(col("a.cell")).as("n_cells"))
+        .where(col("n_cobuckets") >= 2)
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, it AS (
+         |  SELECT DISTINCT cell,
+         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         |    user_id
+         |  FROM pc
+         |)
+         |SELECT a.user_id AS u1, b.user_id AS u2,
+         |  CAST(count(*) AS BIGINT) AS n_cobuckets,
+         |  CAST(count(DISTINCT a.cell) AS BIGINT) AS n_cells
+         |FROM it a JOIN it b ON b.cell = a.cell AND b.day = a.day
+         |  AND a.user_id < b.user_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qFlockPairs,
     qHarrisCorners,
     qRipleyK,
     qContourCases,
@@ -6703,6 +6911,8 @@ object Queries {
     qMarkovNext,
     qTrajHeadings,
     qTrajHausdorff,
+    qTrajCrossings,
+    qChangepoint,
     qStayPoints,
     qTrendSurface,
     qBboxWrap,

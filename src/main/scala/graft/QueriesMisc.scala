@@ -1453,6 +1453,48 @@ object QueriesMisc {
          |FROM ag""".stripMargin
     })
 
+  /** HLL REGISTER TABLE — the sketch family's third member, stated at
+    * the level that IS exactly reproducible: Spark's own
+    * `approx_count_distinct` HLL is implementation-defined (register
+    * layout and bias tables are engine-internal — the reason
+    * [[qKmvDistinct]] exists), but the REGISTERS of a textbook HLL
+    * (Flajolet et al. 2007) are a pure function of the hash set: bucket
+    * = the md5 device's first 8 bits, register = leading-zero rank
+    * `33 − bitlen(v)` of the next 32 bits (v = 0 → 32 by the shared
+    * bitlen convention — both engines state the same formula, so even
+    * the degenerate case matches). Emitted per occupied bucket with the
+    * bucket's row count; the harmonic-mean ESTIMATE is deliberately NOT
+    * emitted — it chains transcendentals (2^-reg sums, bias correction)
+    * and belongs driver-side, while the register table is the mergeable
+    * distributed carrier (register max is associative — 1000 executors
+    * sketch independently, a 256-row reduce merges; the same
+    * partial-merge contract KmvSpec pins for KMV).
+    *
+    * Scale shape: map-only hash projection + a 256-group max/count
+    * aggregate with map-side combine — the cheapest shuffle the engine
+    * has; output is ≤256 rows at any input scale. */
+  private val qHllRegisters = Q(
+    "q_hll_registers",
+    (s, dir) => {
+      val h = Images.images(s, dir).select(
+        conv(substring(md5(col("image_id")), 1, 2), 16, 10)
+          .cast("long").as("b"),
+        conv(substring(md5(col("image_id")), 3, 8), 16, 10)
+          .cast("long").as("v"))
+      h.withColumn("reg", lit(33L) - length(bin(col("v"))).cast("long"))
+        .groupBy(col("b"))
+        .agg(max(col("reg")).as("max_reg"), count(lit(1)).as("n_rows"))
+    },
+    Some(
+      s"""$cte, hv AS (
+         |  SELECT ('0x' || substr(md5(image_id), 1, 2))::BIGINT AS b,
+         |    ('0x' || substr(md5(image_id), 3, 8))::BIGINT AS v
+         |  FROM images
+         |)
+         |SELECT b, CAST(max(33 - length(bin(v))) AS BIGINT) AS max_reg,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM hv GROUP BY 1""".stripMargin))
+
   /** Per-level pyramid metrics (≙ log_tree_structure,
     * raptor/utils.py:222-271): cells, images, avg/max occupancy per level —
     * the skew dashboard. Plan: ONE scan + ONE shuffle for all levels via
@@ -1894,7 +1936,8 @@ object QueriesMisc {
     qTileDiversity,
     qTileLuma, qSceneCuts, qGrayWorld, qAffineWarp, qHistEqualize,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
-    qSampleTopN, qWeightedSample, qKmvDistinct, qLevelMetrics, qKnnOverlap,
+    qSampleTopN, qWeightedSample, qKmvDistinct, qHllRegisters,
+    qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells, qSchemaInspect,
     qStratSample, qHoppingWindow)
 }

@@ -318,4 +318,124 @@ class Round5OpsSpec extends SparkFunSuite {
     assert(dels1.nonEmpty && dels2.nonEmpty, "fixture deletes are real")
     Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("q_traj_crossings matches a sequential segment-edge sweep") {
+    val ev = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"),
+        col("lat"), col("lon"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    def orient(ax: Double, ay: Double, bx: Double, by: Double,
+               cx: Double, cy: Double): Double =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val edges = graft.sources.Fixtures.polys.flatMap { p =>
+      val n = p.lats.length
+      (0 until n).map { i =>
+        val j = (i + 1) % n
+        (p.polyId, p.lons(i), p.lats(i), p.lons(j), p.lats(j))
+      }
+    }
+    val want = scala.collection.mutable.Map
+      .empty[(String, Long), (Long, Long)]
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).foreach {
+        case Array(a, b) =>
+          edges.groupBy(_._1).foreach { case (pid, es) =>
+            val nc = es.count { case (_, ex1, ey1, ex2, ey2) =>
+              orient(a._5, a._4, b._5, b._4, ex1, ey1) *
+                orient(a._5, a._4, b._5, b._4, ex2, ey2) < 0 &&
+              orient(ex1, ey1, ex2, ey2, a._5, a._4) *
+                orient(ex1, ey1, ex2, ey2, b._5, b._4) < 0
+            }
+            if (nc > 0) {
+              val (s0, c0) = want.getOrElse((pid, u), (0L, 0L))
+              want((pid, u)) = (s0 + 1, c0 + nc)
+            }
+          }
+        case _ =>
+      }
+    }
+    val got = Queries.queryMap("q_traj_crossings")(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want.toMap)
+    assert(got.nonEmpty, "fixture produces crossings")
+  }
+
+  test("q_changepoint matches a driver CUSUM replay") {
+    val ev = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 5))
+      .select(col("cell"),
+        floor(unix_micros(col("ts").cast("timestamp")) /
+          lit(86400000000L)).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).flatMap { case (cell, rows) =>
+      val daily = rows.groupBy(_._2).map { case (d, rs) =>
+        (d, rs.size.toLong) }.toSeq.sortBy(_._1)
+      val n = daily.size.toLong
+      if (n < 2) None else {
+        val tot = daily.map(_._2).sum
+        val prefix = daily.map(_._2).scanLeft(0L)(_ + _).tail
+        val best = (1 until daily.size).map { i =>
+          (daily(i - 1)._1, math.abs(n * prefix(i - 1) - i.toLong * tot))
+        }.sortBy { case (d, dev) => (-dev, d) }.head
+        Some(cell -> (n, tot, best._1, best._2))
+      }
+    }.toMap
+    val got = Queries.queryMap("q_changepoint")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_hll_registers matches a driver md5 replay") {
+    val ids = Images.images(spark, SparkSpec.Sf).select("image_id")
+      .collect().map(_.getString(0))
+    val want = ids.map { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(h.substring(0, 2), 16)
+      val v = java.lang.Long.parseLong(h.substring(2, 10), 16)
+      (b, 33L - java.lang.Long.toBinaryString(v).length)
+    }.groupBy(_._1).map { case (b, rs) =>
+      b -> (rs.map(_._2).max, rs.size.toLong)
+    }
+    val got = Queries.queryMap("q_hll_registers")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._1 > 1), "some bucket saw a multi-zero hash")
+  }
+
+  test("q_flock_pairs matches a driver co-bucket replay") {
+    val it = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 5))
+      .select(col("cell"),
+        floor(unix_micros(col("ts").cast("timestamp")) /
+          lit(86400000000L)).cast("long").as("day"),
+        col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairAgg = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Set[Long])]
+    it.groupBy(r => (r._1, r._2)).foreach { case ((cell, _), rows) =>
+      val us = rows.map(_._3).distinct.sorted
+      for (i <- us.indices; j <- i + 1 until us.size) {
+        val k = (us(i), us(j))
+        val (n, cs) = pairAgg.getOrElse(k, (0L, Set.empty[Long]))
+        pairAgg(k) = (n + 1, cs + cell)
+      }
+    }
+    val want = pairAgg.collect { case (k, (n, cs)) if n >= 2 =>
+      k -> (n, cs.size.toLong) }.toMap
+    val got = Queries.queryMap("q_flock_pairs")(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
 }
