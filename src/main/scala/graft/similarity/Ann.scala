@@ -207,6 +207,113 @@ object Ann {
        |UNION ALL $rows""".stripMargin
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity re-rank a retrieval stack applies to its result
+    * page (≙ the reference's retrieve-then-select flow,
+    * raptor/tree_retriever.py:168-352: gather candidates, then pick a
+    * budgeted subset; RAPTOR picks by score alone, MMR is the standard
+    * score-vs-redundancy refinement): from the `pool`-sized cosine
+    * top-pool of query vec 0, greedily pick `m` results maximizing
+    * `0.5·cos(q,c) − 0.5·max_{s∈S} cos(c,s)`; the first pick is the
+    * plain top-1. Ties → smaller vec_id.
+    *
+    * Scale shape: the candidate pool comes from the DISTRIBUTED scan
+    * (broadcast-query map-only cosine + TakeOrderedAndProject — the
+    * q_cos_topk contract; at 10^12 rows the pool feed is the ANN path);
+    * the greedy itself is O(pool·m) arithmetic over the collected
+    * pool-row page — driver-bounded like every result-page re-ranker,
+    * the Lloyd/codebook driver-state pattern. Every double on both
+    * engines comes from the same left-fold dot and the same
+    * single-primitive ops, so the emitted scores hash-match raw
+    * (the q_cos_topk precedent).
+    *
+    * Returns (step, vec_id, score): selection order, picked id, the
+    * pick's selection score (step 0 carries its query cosine). */
+  def mmrRerank(spark: SparkSession, dir: String, pool: Int, m: Int): DataFrame = {
+    import spark.implicits._
+    val w = vecs(spark, dir)
+    val qRow = w.filter(col("vec_id") === 0L)
+      .select(col("v"), col("nrm")).collect().head
+    val qv = qRow.getSeq[Double](0); val qn = qRow.getDouble(1)
+    val cand = w.filter(col("vec_id") =!= 0L)
+      .withColumn("cosq", V.vec_dot(col("v"), array(qv.map(lit): _*)) /
+        (sqrt(col("nrm")) * sqrt(lit(qn))))
+      .orderBy(col("cosq").desc, col("vec_id")).limit(pool)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cosq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getDouble(3)))
+      .sortBy(c => (-c._4, c._1))
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cosCS(c: (Long, Array[Double], Double, Double),
+              s: (Long, Array[Double], Double, Double)): Double =
+      dotD(c._2, s._2) / (math.sqrt(c._3) * math.sqrt(s._3))
+    var selected = Vector(cand.head)
+    var rest = cand.tail.toVector
+    val out = scala.collection.mutable.ListBuffer(
+      (0, cand.head._1, cand.head._4))
+    var step = 1
+    while (step < m && rest.nonEmpty) {
+      val scored = rest.map { c =>
+        val maxSim = selected.map(s => cosCS(c, s)).reduceLeft(math.max)
+        (c, 0.5 * c._4 - 0.5 * maxSim)
+      }
+      val (best, sc) = scored.sortBy { case (c, s) => (-s, c._1) }.head
+      selected = selected :+ best
+      rest = rest.filterNot(_._1 == best._1)
+      out += ((step, best._1, sc))
+      step += 1
+    }
+    out.toSeq.toDF("step", "vec_id", "score")
+      .select(col("step").cast("int").as("step"), col("vec_id"), col("score"))
+  }
+
+  /** Oracle for [[mmrRerank]]: the greedy unrolled as a CTE chain (the
+    * farthestPointsSql device) — p_i cross-joins the i prior picks and
+    * takes the argmax of the identical `0.5·cosq − 0.5·greatest(cos)`
+    * expression over the identical LIMIT-pool candidate page. */
+  def mmrOracleSql(pool: Int, m: Int): String = {
+    def cosCS(j: Int) =
+      s"(${dot(DuckD, "c.v", s"s$j.v")} / (sqrt(c.nrm) * sqrt(s$j.nrm)))"
+    val ctes = (1 until m).map { i =>
+      val joins = (0 until i).map(j => s"CROSS JOIN p$j s$j").mkString(" ")
+      val maxSim =
+        if (i == 1) cosCS(0)
+        else s"greatest(${(0 until i).map(cosCS).mkString(", ")})"
+      val taken = (0 until i).map(j => s"SELECT vec_id FROM p$j")
+        .mkString(" UNION ALL ")
+      s"""p$i AS (
+         |  SELECT c.vec_id, c.v, c.nrm, c.cosq,
+         |    (0.5 * c.cosq - 0.5 * $maxSim) AS sc
+         |  FROM cand c $joins
+         |  WHERE c.vec_id NOT IN ($taken)
+         |  ORDER BY sc DESC, c.vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 until m).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS step, vec_id, sc AS score FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"""q AS (
+       |  SELECT v, nrm FROM w WHERE vec_id = 0
+       |), cand AS (
+       |  SELECT w.vec_id, w.v, w.nrm,
+       |    (${dot(DuckD, "w.v", "q.v")} / (sqrt(w.nrm) * sqrt(q.nrm)))
+       |      AS cosq
+       |  FROM w, q WHERE w.vec_id != 0
+       |  ORDER BY cosq DESC, w.vec_id LIMIT $pool
+       |), p0 AS (
+       |  SELECT vec_id, v, nrm, cosq FROM cand
+       |  ORDER BY cosq DESC, vec_id LIMIT 1
+       |),
+       |$ctes
+       |SELECT CAST(0 AS INTEGER) AS step, vec_id, cosq AS score FROM p0
+       |UNION ALL $rows""".stripMargin
+  }
+
   // -------------------------------------------------- int8 quantization
 
   /** Per-vector symmetric int8 quantization facts — the embedding

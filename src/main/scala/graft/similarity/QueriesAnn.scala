@@ -338,6 +338,20 @@ object QueriesAnn {
          |FROM (SELECT DISTINCT qid FROM fullk) qs
          |LEFT JOIN ov ON ov.qid = qs.qid""".stripMargin))
 
+  private val MmrPool = 20
+  private val MmrM = 5
+
+  /** MMR diversity re-ranking of query 0's top-[[MmrPool]] page
+    * ([[Ann.mmrRerank]]); oracle = the greedy unrolled as a CTE chain
+    * with the identical fold-order cosine and `0.5·cosq − 0.5·maxsim`
+    * arithmetic, so a hash match proves every pick and its RAW selection
+    * score cross-engine (the q_cos_topk precedent for hashing mirrored
+    * doubles). */
+  private val qMmrRerank = Q(
+    "q_mmr_rerank",
+    (s, dir) => Ann.mmrRerank(s, dir, MmrPool, MmrM),
+    Some(s"$base,\n${Ann.mmrOracleSql(MmrPool, MmrM)}"))
+
   val all: Seq[Q] = Seq(qCosTopK, qQuantRecall, qAnnLsh, qAnnIvf, qEmbedNearDup,
-    qEmbedQuant, qLabelCentroid, qPqCodes, qPqAdc, qKcenterSample)
+    qEmbedQuant, qLabelCentroid, qPqCodes, qPqAdc, qKcenterSample, qMmrRerank)
 }

@@ -165,4 +165,42 @@ class AnnSpec extends SparkFunSuite {
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
     assert(df.agg(sum(col("cnt"))).first().getLong(0) == total)
   }
+
+  test("MMR re-rank: top-1 first, distinct picks, per-step greedy optimality") {
+    val pool = 20; val m = 5
+    val got = Ann.mmrRerank(spark, dir, pool, m)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0 until m))
+    assert(got.map(_._2).distinct.length == m)
+    // independent page: cosine top-pool of query 0 via the brute ranker
+    val page = Ann.cosineTopK(spark, dir, 1, pool)
+      .filter(col("qid") === 0L).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.map(_._2).forall(page.contains), "picks within the top-pool page")
+    // step 0 is the plain top-1 and carries its query cosine
+    val top1 = page.toSeq.sortBy { case (id, c) => (-c, id) }.head
+    assert(got(0)._2 == top1._1 && got(0)._3 == top1._2)
+    // independent greedy replay over collected vectors
+    val vs = Ann.vecs(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](2).toArray, r.getDouble(3))).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (av, an) = vs(a); val (bv, bn) = vs(b)
+      var acc = 0.0; var i = 0
+      while (i < av.length) { acc += av(i) * bv(i); i += 1 }
+      acc / (math.sqrt(an) * math.sqrt(bn))
+    }
+    var sel = Vector(top1._1)
+    var rest = page.keySet - top1._1
+    val replay = scala.collection.mutable.ListBuffer((top1._1, top1._2))
+    while (replay.size < m) {
+      val (bid, bsc) = rest.toSeq.map { c =>
+        val maxSim = sel.map(sd => cosOf(c, sd)).max
+        (c, 0.5 * page(c) - 0.5 * maxSim)
+      }.sortBy { case (c, sc) => (-sc, c) }.head
+      sel = sel :+ bid; rest -= bid; replay += ((bid, bsc))
+    }
+    assert(got.map(r => (r._2, r._3)).toSeq == replay.toSeq)
+  }
 }
