@@ -6824,8 +6824,148 @@ object Queries {
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin))
 
+  /** TRAJECTORY SPLIT POINT (one Douglas–Peucker level, integer-exact) —
+    * the simplification primitive of the trajectory family: per user,
+    * the event whose position deviates most from the first→last chord
+    * of the user's walk. The classic DP criterion (max perpendicular
+    * distance to the chord) argmax'd WITHOUT any division or sqrt: for
+    * a fixed chord the perpendicular distance orders exactly like
+    * |cross product|, and on the micro-degree lattice
+    * (`q = floor(coord·1e6)` — the [[KmeansAssign]] quantization
+    * device) the cross product is exact BIGINT (|q| ≤ 3.6e8 ⇒ a term
+    * ≤ 2.6e17, the difference ≤ 5.2e17 — far inside Long; ANSI raises
+    * on overflow, never wraps). Ties → earlier (ts, event_id). Interior
+    * points only; users with < 3 events have no interior and are
+    * absent. Recursing on the two halves is the full simplifier; one
+    * level is the oracle-checkable kernel (the same bounded-depth
+    * contract as q_merge_tree2's two layers).
+    *
+    * Scale shape: two user-keyed windows (chord endpoints via
+    * unbounded-frame first/last, then the rank pick) over each user's
+    * own rows — thousands of independent partitions, no global sort,
+    * map-only otherwise. */
+  private val qTrajSplit = Q(
+    "q_traj_split",
+    (s, dir) => {
+      val ev = graft.sources.Events.withPosition(
+          s.read.parquet(s"$dir/events.parquet"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("lat") * 1000000).cast("long").as("qlat"),
+          floor(col("lon") * 1000000).cast("long").as("qlon"))
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = wo.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val scored = ev
+        .withColumn("rn", row_number().over(wo).cast("long"))
+        .withColumn("n", count(lit(1)).over(wf))
+        .withColumn("ax", first(col("qlon")).over(wf))
+        .withColumn("ay", first(col("qlat")).over(wf))
+        .withColumn("bx", last(col("qlon")).over(wf))
+        .withColumn("by", last(col("qlat")).over(wf))
+        .where(col("rn") > 1 && col("rn") < col("n"))
+        .withColumn("dev", abs(
+          (col("bx") - col("ax")) * (col("qlat") - col("ay")) -
+            (col("by") - col("ay")) * (col("qlon") - col("ax"))))
+      val wr = Window.partitionBy("user_id")
+        .orderBy(col("dev").desc, col("ts"), col("event_id"))
+      scored.withColumn("pick", row_number().over(wr))
+        .where(col("pick") === 1)
+        .select(col("user_id"), col("n").as("n_pts"),
+          col("event_id").as("split_event"), col("dev"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, qp AS (
+         |  SELECT user_id, event_id, ts,
+         |    CAST(floor(lat * 1000000) AS BIGINT) AS qlat,
+         |    CAST(floor(lon * 1000000) AS BIGINT) AS qlon
+         |  FROM pos
+         |), ch AS (
+         |  SELECT user_id, event_id, ts, qlat, qlon,
+         |    CAST(row_number() OVER wo AS BIGINT) AS rn,
+         |    CAST(count(*) OVER wf AS BIGINT) AS n,
+         |    first_value(qlon) OVER wf AS ax,
+         |    first_value(qlat) OVER wf AS ay,
+         |    last_value(qlon) OVER wf AS bx,
+         |    last_value(qlat) OVER wf AS by
+         |  FROM qp
+         |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |  QUALIFY rn > 1 AND rn < n
+         |), dv AS (
+         |  SELECT user_id, event_id, ts, n,
+         |    abs((bx - ax) * (qlat - ay) - (by - ay) * (qlon - ax)) AS dev
+         |  FROM ch
+         |)
+         |SELECT user_id, n AS n_pts, event_id AS split_event, dev
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY dev DESC, ts, event_id) AS pick
+         |  FROM dv
+         |) WHERE pick = 1""".stripMargin))
+
+  /** CONVOY RUNS — the temporal refinement of [[qFlockPairs]]: flocks
+    * count repeat co-location ANYWHERE in time; a convoy moves together
+    * on CONSECUTIVE days. Per co-located pair (≥2 distinct shared days),
+    * the longest consecutive-day run of co-location, by the classic
+    * gaps-and-islands device (`day − row_number()` constant within a
+    * run) — pure integer arithmetic, exact on both engines.
+    *
+    * Scale shape: the pair→day set rides the same keyed space-time
+    * bucket equi-join as q_flock_pairs; the run analysis is a
+    * pair-keyed window over each pair's own ≤|days| rows. Nothing
+    * beyond the co-location join is event-sized. */
+  private val qConvoyRuns = Q(
+    "q_convoy_runs",
+    (s, dir) => {
+      val items = eventPositions(s, dir, 5)
+        .withColumn("day",
+          floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long"))
+        .select(col("cell"), col("day"), col("user_id")).distinct()
+      val codays = items.as("a").join(items.as("b"),
+          col("a.cell") === col("b.cell") && col("a.day") === col("b.day") &&
+            col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"),
+          col("a.day").as("day"))
+        .distinct()
+      val wo = Window.partitionBy("u1", "u2").orderBy("day")
+      val runs = codays
+        .withColumn("isl", col("day") - row_number().over(wo).cast("long"))
+        .groupBy(col("u1"), col("u2"), col("isl"))
+        .agg(count(lit(1)).as("run"))
+      runs.groupBy("u1", "u2")
+        .agg(sum(col("run")).as("n_codays"), max(col("run")).as("max_run"))
+        .where(col("n_codays") >= 2)
+    },
+    Some(
+      s"""WITH ${eventCellCtes(5)}, it AS (
+         |  SELECT DISTINCT cell,
+         |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         |    user_id
+         |  FROM pc
+         |), cd AS (
+         |  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2, a.day
+         |  FROM it a JOIN it b ON b.cell = a.cell AND b.day = a.day
+         |    AND a.user_id < b.user_id
+         |), runs AS (
+         |  SELECT u1, u2, CAST(count(*) AS BIGINT) AS run
+         |  FROM (
+         |    SELECT u1, u2, day,
+         |      day - CAST(row_number() OVER (PARTITION BY u1, u2
+         |        ORDER BY day) AS BIGINT) AS isl
+         |    FROM cd
+         |  ) GROUP BY u1, u2, isl
+         |)
+         |SELECT u1, u2, CAST(sum(run) AS BIGINT) AS n_codays,
+         |  CAST(max(run) AS BIGINT) AS max_run
+         |FROM runs GROUP BY 1, 2
+         |HAVING sum(run) >= 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qFlockPairs,
+    qTrajSplit,
+    qConvoyRuns,
     qHarrisCorners,
     qRipleyK,
     qContourCases,

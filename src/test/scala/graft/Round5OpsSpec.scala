@@ -438,4 +438,67 @@ class Round5OpsSpec extends SparkFunSuite {
         (r.getLong(2), r.getLong(3))).toMap
     assert(got == want)
   }
+
+  test("q_traj_split matches a driver chord-deviation replay") {
+    val ev = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"),
+        floor(col("lat") * 1000000).cast("long").as("qlat"),
+        floor(col("lon") * 1000000).cast("long").as("qlon"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val pts = rows.sortBy(r => (r._2, r._3))
+      if (pts.length < 3) None else {
+        val (ax, ay) = (pts.head._5, pts.head._4)
+        val (bx, by) = (pts.last._5, pts.last._4)
+        val best = pts.tail.dropRight(1).map { p =>
+          (p, math.abs((bx - ax) * (p._4 - ay) - (by - ay) * (p._5 - ax)))
+        }.sortBy { case (p, d) => (-d, p._2, p._3) }.head
+        Some(u -> (pts.length.toLong, best._1._3, best._2))
+      }
+    }.toMap
+    val got = Queries.queryMap("q_traj_split")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_convoy_runs matches a driver gaps-and-islands replay") {
+    val it = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 5))
+      .select(col("cell"),
+        floor(unix_micros(col("ts").cast("timestamp")) /
+          lit(86400000000L)).cast("long").as("day"),
+        col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairDays = scala.collection.mutable.Map
+      .empty[(Long, Long), Set[Long]]
+    it.groupBy(r => (r._1, r._2)).foreach { case ((_, day), rows) =>
+      val us = rows.map(_._3).distinct.sorted
+      for (i <- us.indices; j <- i + 1 until us.size) {
+        val k = (us(i), us(j))
+        pairDays(k) = pairDays.getOrElse(k, Set.empty) + day
+      }
+    }
+    val want = pairDays.collect { case (k, days) if days.size >= 2 =>
+      val ds = days.toSeq.sorted
+      var run = 1L; var best = 1L
+      ds.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (b == a + 1) { run += 1; best = math.max(best, run) }
+          else run = 1
+        case _ =>
+      }
+      k -> (days.size.toLong, best)
+    }.toMap
+    val got = Queries.queryMap("q_convoy_runs")(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
 }
