@@ -427,7 +427,25 @@ object PlanDump {
           " (each counting to 4, frontier shrinking 4x per level) + keyed" +
           " anti-joins assemble the disjoint maximal-quad cover — the" +
           " pyramid-rollup discipline applied to the index itself",
-        graft.Queries.queryMap("q_quadtree_pack")(spark, dir)))
+        graft.Queries.queryMap("q_quadtree_pack")(spark, dir)),
+      ("Trajectory ↔ geofence boundary crossings (round 5)",
+        "the ~90-edge fence layer burned into ONE codegen projection of" +
+          " strict-orientation crossing counts (no join, no fanout beyond" +
+          " the 15-element per-segment explode); one user-keyed lead" +
+          " window builds segments, one (poly, user)-keyed rollup",
+        graft.Queries.queryMap("q_traj_crossings")(spark, dir)),
+      ("CUSUM change-point per cell (round 5)",
+        "one keyed (cell, day) count with map-side combine, then" +
+          " cell-keyed windows over each cell's own day series — the" +
+          " integer cross-multiplied deviation needs no division, no" +
+          " partitionless window anywhere",
+        graft.Queries.queryMap("q_changepoint")(spark, dir)),
+      ("Flock co-movement pairs (round 5)",
+        "candidates from a KEYED space-time-bucket self-equi-join (never" +
+          " |users|²), pair rollup one composite-key groupBy; per-bucket" +
+          " occupancy is the fanout dial, hot buckets ride the suite's" +
+          " salting/AQE skew path",
+        graft.Queries.queryMap("q_flock_pairs")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
