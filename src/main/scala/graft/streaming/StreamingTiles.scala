@@ -67,6 +67,26 @@ object StreamingTiles {
       .agg(count(lit(1)).as("cnt"),
         sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
 
+  /** STREAMING HLL REGISTER MAINTENANCE — the incremental form of
+    * q_hll_registers: as image files land, fold each row's md5-device
+    * hash into the per-bucket register max. The state store holds AT
+    * MOST 256 rows of (max_reg, n_rows) regardless of arrival volume —
+    * the textbook bounded-state streaming sketch (register max is
+    * associative and commutative, so incremental folding ≡ the batch
+    * table; no watermark needed because state CANNOT grow). At target
+    * scale the same shape runs per tenant/partition key with state
+    * still bounded by 256 × keys. */
+  def hllRegisterStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(imageSchema).parquet(dir)
+      .select(
+        conv(substring(md5(col("image_id")), 1, 2), 16, 10)
+          .cast("long").as("b"),
+        conv(substring(md5(col("image_id")), 3, 8), 16, 10)
+          .cast("long").as("v"))
+      .withColumn("reg", lit(33L) - length(bin(col("v"))).cast("long"))
+      .groupBy(col("b"))
+      .agg(max(col("reg")).as("max_reg"), count(lit(1)).as("n_rows"))
+
   /** Schema of the embeddings table (matches the driver's
     * embeddings.parquet). */
   val embeddingSchema: StructType = StructType(Seq(

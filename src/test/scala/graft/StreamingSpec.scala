@@ -49,6 +49,26 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("streaming HLL registers == batch register table, across a resume; " +
+      "state bounded at 256") {
+    val inDir = Files.createTempDirectory("graft-hllreg-in").toString
+    val ckpt = Files.createTempDirectory("graft-hllreg-ck").toString
+    val imgs = Images.images(spark, SparkSpec.Sf)
+      .select("image_id", "lat", "lon", "w", "h", "phash")
+    imgs.filter(col("phash") % 2 === 0).write.mode("append").parquet(inDir)
+    runAvailableNow(StreamingTiles.hllRegisterStream(spark, inDir),
+      "hllreg", ckpt)
+    imgs.filter(col("phash") % 2 =!= 0).write.mode("append").parquet(inDir)
+    runAvailableNow(StreamingTiles.hllRegisterStream(spark, inDir),
+      "hllreg", ckpt)
+    val got = spark.table("hllreg").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = Queries.queryMap("q_hll_registers")(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.size <= 256, "state bounded by the bucket space")
+  }
+
   test("streaming IVF assignment == batch 1-NN assignment, across a resume") {
     val inDir = Files.createTempDirectory("graft-ivfs-in").toString
     val ckpt = Files.createTempDirectory("graft-ivfs-ck").toString
