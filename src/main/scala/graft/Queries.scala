@@ -674,6 +674,61 @@ object Queries {
   }
   private val TtRoots = new ScratchRoots("graft-tt")
   private val DmRoots = new ScratchRoots("graft-dm")
+  private val TagRoots = new ScratchRoots("graft-tag")
+
+  /** NAMED SNAPSHOT REFS (tags) — the deploy-pin semantic on top of time
+    * travel ([[qTimeTravel]] reads by raw version id; real consumers pin
+    * a NAME): two committed versions (v1 = the even-hash half at res 7,
+    * v2 = the full rollup), `stable` tagged at v1, `latest` tagged at v1
+    * then RETAGGED to v2 (the atomic repoint is exercised inside the
+    * gated path — `latest` must serve v2's content or the hash breaks).
+    * Refs are metadata-only: the retag moves one tiny `_refs` file,
+    * touches zero data files, and the by-name read partition-prunes to
+    * its pinned version exactly like [[Snapshot.readAsOf]].
+    *
+    * Scale shape: identical to q_time_travel (two keyed res-7 rollups +
+    * two pruned snapshot reads); the ref layer adds O(1) metadata IO. */
+  private val qSnapshotTag = Q(
+    "q_snapshot_tag", {
+      val h = "cast(conv(substring(md5(image_id), 1, 8), 16, 10) as bigint) % 2"
+      (s, dir) => {
+        val root = TagRoots.fresh()
+        val imgs = Images.images(s, dir)
+        val partials = TilePyramid.withCell(imgs, 7)
+          .withColumn("half", expr(h))
+          .groupBy(col("cell"), col("half"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("w") * col("h") * 3).cast("long")).as("bytes_sum"))
+          .withColumn("res", lit(7))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Snapshot.writeVersioned(partials.filter(col("half") === 0)
+          .drop("half"), root, snapshotId = "v1", buildTs = 1L)
+        Snapshot.writeVersioned(partials.groupBy(col("res"), col("cell"))
+          .agg(sum(col("cnt")).as("cnt"),
+            sum(col("bytes_sum")).as("bytes_sum")),
+          root, snapshotId = "v2", buildTs = 2L)
+        partials.unpersist(blocking = false)
+        Snapshot.setRef(root, "stable", "v1")
+        Snapshot.setRef(root, "latest", "v1")
+        Snapshot.setRef(root, "latest", "v2") // atomic repoint
+        def pick(tag: String) = Snapshot.readByRef(s, root, tag)
+          .select(lit(tag).as("tag"), col("cell"), col("cnt"),
+            col("bytes_sum"))
+        pick("stable").unionByName(pick("latest"))
+      }
+    },
+    Some {
+      val h = "(('0x' || substr(md5(image_id), 1, 8))::BIGINT) % 2"
+      def half(tag: String, where: String) =
+        s"""SELECT '$tag' AS tag, cell, CAST(count(*) AS BIGINT) AS cnt,
+           |  CAST(sum(w * h * 3) AS BIGINT) AS bytes_sum
+           |FROM (SELECT ${cellSql(7)} AS cell, w, h FROM images $where) t
+           |GROUP BY cell""".stripMargin
+      s"""$cte
+         |${half("stable", s"WHERE $h = 0")}
+         |UNION ALL
+         |${half("latest", "")}""".stripMargin
+    })
 
   private val qTimeTravel = Q(
     "q_time_travel", {
@@ -6966,6 +7021,7 @@ object Queries {
     qFlockPairs,
     qTrajSplit,
     qConvoyRuns,
+    qSnapshotTag,
     qHarrisCorners,
     qRipleyK,
     qContourCases,

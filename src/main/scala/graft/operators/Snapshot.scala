@@ -482,6 +482,57 @@ object Snapshot {
     }.sortBy(s => (s._2, s._1))
   }
 
+  /** NAMED REFS (Iceberg-style tags/branches): a ref maps a stable NAME
+    * to a snapshot id, so consumers pin "prod"/"stable" instead of raw
+    * version ids and a retag atomically repoints every reader — the
+    * Iceberg `refs` metadata re-expressed on the plain-parquet store
+    * (reference analog: the pickle path the reference reloads by fixed
+    * FILE NAME, RetrievalAugmentation.py:260-268 — a name→tree pointer).
+    * One tiny file per ref under `_refs/`; [[setRef]] writes a temp file
+    * and ATOMIC_MOVEs it over the name, so readers never observe a torn
+    * ref — the same last-writer-wins commit the versioned manifests use.
+    * Refs are metadata-only: retagging touches zero data files. */
+  def setRef(root: String, name: String, snapshotId: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad ref name: $name")
+    val dir = Paths.get(root, "_refs")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, s".$name", ".tmp")
+    Files.write(tmp, snapshotId.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(s"$name.ref"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve a ref name to its snapshot id (fails loud on a dangling
+    * name — a silent default would mask a broken deploy pin). */
+  def resolveRef(root: String, name: String): String = {
+    val p = Paths.get(root, "_refs", s"$name.ref")
+    require(Files.exists(p), s"unknown ref: $name")
+    new String(Files.readAllBytes(p), "UTF-8").trim
+  }
+
+  /** All refs of a store as (name, snapshot_id). */
+  def refs(root: String): Seq[(String, String)] = {
+    val dir = Paths.get(root, "_refs")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val Name = "(.+)\\.ref".r
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case Name(n) => Some(n -> new String(
+            Files.readAllBytes(p), "UTF-8").trim)
+          case _ => None
+        }
+      }.toSeq
+    }.sortBy(_._1)
+  }
+
+  /** Read the snapshot a ref points at — [[readAsOf]] through one level
+    * of naming indirection (partition-pruned like any pinned read). */
+  def readByRef(spark: SparkSession, root: String, name: String): DataFrame =
+    readAsOf(spark, root, resolveRef(root, name))
+
   /** Read a snapshot (all levels). `res` is a partition column — filters on
     * it prune at the file-listing level. */
   def read(spark: SparkSession, root: String): DataFrame =

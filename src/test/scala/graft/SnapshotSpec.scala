@@ -329,4 +329,32 @@ class SnapshotSpec extends SparkFunSuite {
       s"pcell filter selected $selected of $nPcells partition dirs")
     leaves.unpersist(blocking = false)
   }
+
+  test("named refs: set/resolve/list, atomic retag, dangling ref fails loud") {
+    val root = Files.createTempDirectory("graft-ref-spec").toString
+    val tiles = TilePyramid.withCell(images, 6)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("res", lit(6))
+    Snapshot.writeVersioned(tiles.filter(col("cnt") > 1), root, "v1", 1L)
+    Snapshot.writeVersioned(tiles, root, "v2", 2L)
+    Snapshot.setRef(root, "stable", "v1")
+    Snapshot.setRef(root, "latest", "v2")
+    assert(Snapshot.resolveRef(root, "stable") == "v1")
+    assert(Snapshot.refs(root) == Seq("latest" -> "v2", "stable" -> "v1"))
+    val v1Rows = Snapshot.readAsOf(spark, root, "v1").count()
+    val v2Rows = Snapshot.readAsOf(spark, root, "v2").count()
+    assert(v1Rows < v2Rows)
+    assert(Snapshot.readByRef(spark, root, "stable").count() == v1Rows)
+    // retag repoints every reader; the old ref file is replaced, not added
+    Snapshot.setRef(root, "stable", "v2")
+    assert(Snapshot.readByRef(spark, root, "stable").count() == v2Rows)
+    assert(Snapshot.refs(root).size == 2)
+    intercept[IllegalArgumentException] {
+      Snapshot.resolveRef(root, "prod")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.setRef(root, "bad/name", "v1")
+    }
+    Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
