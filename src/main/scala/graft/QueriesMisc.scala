@@ -155,6 +155,68 @@ object QueriesMisc {
          |QUALIFY row_number() OVER
          |  (PARTITION BY image_id ORDER BY score_q DESC, g) = 1""".stripMargin))
 
+  /** ORDERED (BAYER) DITHERING — the classic 1-bit halftone over each
+    * image's 8×8 thumb grays (0..765): pixel (y, x) is ON iff its gray
+    * beats the tiled Bayer-4×4 threshold, decided by the EXACT integer
+    * comparison `32·g > 765·(2·B(y%4, x%4) + 1)` (the midpoint scaling
+    * `(B+0.5)/16·765` cross-multiplied — no division, no float,
+    * identical on both engines). Emitted per image: the ON count (the
+    * halftone's ink density — tracks mean luma by construction) and the
+    * position-weighted checksum Σ (y·8+x+1)·on (the rot90-parity device:
+    * a hash match proves every PIXEL's bit, not just the count).
+    *
+    * Scale shape: the entire dither is ONE map-side projection in the
+    * scan stage — 64 byte reads + 64 integer comparisons per row, no
+    * explode, no shuffle, no window; output is one row per image. The
+    * cheapest possible plan shape for a per-image kernel. */
+  private val qBayerDither = Q(
+    "q_bayer_dither",
+    (s, dir) => {
+      val bayer = Seq(
+        Seq(0, 8, 2, 10), Seq(12, 4, 14, 6),
+        Seq(3, 11, 1, 9), Seq(15, 7, 13, 5))
+      val thumb = Images.imagesWithBytes(s, dir)
+        .withColumn("thumb", M.raster_resize(
+          M.raster_decode(col("bytes"), col("fmt")),
+          col("w"), col("h"), lit(8), lit(8)))
+      def gray(p: Int) =
+        (M.byte_at(col("thumb"), lit(3 * p)) +
+          M.byte_at(col("thumb"), lit(3 * p + 1)) +
+          M.byte_at(col("thumb"), lit(3 * p + 2))).cast("long")
+      def on(p: Int) = {
+        val thr = 765L * (2L * bayer(p / 8 % 4)(p % 8 % 4) + 1L)
+        when(gray(p) * 32L > thr, 1L).otherwise(0L)
+      }
+      thumb.select(col("image_id"),
+        (0 until 64).map(on).reduce(_ + _).as("n_on"),
+        (0 until 64).map(p => on(p) * (p + 1L)).reduce(_ + _)
+          .as("checksum"))
+    },
+    Some {
+      val bayer = Seq(
+        Seq(0, 8, 2, 10), Seq(12, 4, 14, 6),
+        Seq(3, 11, 1, 9), Seq(15, 7, 13, 5))
+      val bRows = (for (y <- 0 until 4; x <- 0 until 4)
+        yield s"($y, $x, ${bayer(y)(x)})").mkString(", ")
+      s"""${pixelChainCtes(grid = 8, v1Where = "WHERE fmt = 'lossy'")}, gray AS (
+         |  SELECT image_id, oy, ox,
+         |    CAST(SUM(CASE WHEN fmt = 'raw' THEN truth
+         |      ELSE least(255, greatest(0, truth + delta)) END) AS BIGINT)
+         |      AS g
+         |  FROM px GROUP BY 1, 2, 3
+         |), bay(by, bx, bv) AS (VALUES $bRows
+         |), bits AS (
+         |  SELECT gray.image_id, gray.oy, gray.ox,
+         |    CASE WHEN gray.g * 32 > 765 * (2 * bay.bv + 1)
+         |      THEN 1 ELSE 0 END AS onb
+         |  FROM gray JOIN bay
+         |    ON bay.by = gray.oy % 4 AND bay.bx = gray.ox % 4
+         |)
+         |SELECT image_id, CAST(sum(onb) AS BIGINT) AS n_on,
+         |  CAST(sum(onb * (oy * 8 + ox + 1)) AS BIGINT) AS checksum
+         |FROM bits GROUP BY 1""".stripMargin
+    })
+
   /** PER-IMAGE RUN-LENGTH COMPRESSIBILITY — the storage-planning metric of
     * an image lakehouse (how well would this tile RLE-compress? long runs
     * → flat content → cheap; 64 runs → noise → incompressible): the 64
@@ -1927,7 +1989,8 @@ object QueriesMisc {
          |FROM w GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qImageFidelity, qThumbStats, qOtsuThreshold, qRleRuns, qGlcmTexture,
+    qImageFidelity, qThumbStats, qOtsuThreshold, qBayerDither, qRleRuns,
+    qGlcmTexture,
     qSeamCarve, qBlobLabels, qBitplaneComplexity, qSymspellPairs, qZonalStats,
     qRasterPyramid,
     qFrameSample,

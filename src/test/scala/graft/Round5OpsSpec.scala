@@ -501,4 +501,39 @@ class Round5OpsSpec extends SparkFunSuite {
         (r.getLong(2), r.getLong(3))).toMap
     assert(got == want)
   }
+
+  test("q_bayer_dither matches a sequential halftone over collected grays") {
+    val bayer = Array(
+      Array(0, 8, 2, 10), Array(12, 4, 14, 6),
+      Array(3, 11, 1, 9), Array(15, 7, 13, 5))
+    val grays = Images.imagesWithBytes(spark, SparkSpec.Sf)
+      .where(col("k") % 37 === 0) // sampled replay; full corpus hits oracle
+      .withColumn("thumb", graft.multimodal.functions.raster_resize(
+        graft.multimodal.functions.raster_decode(col("bytes"), col("fmt")),
+        col("w"), col("h"), lit(8), lit(8)))
+      .select(col("image_id"), col("thumb"))
+      .collect().map { r =>
+        val t = r.getAs[Array[Byte]](1)
+        r.getString(0) -> Array.tabulate(64) { p =>
+          (t(3 * p) & 0xff).toLong + (t(3 * p + 1) & 0xff) +
+            (t(3 * p + 2) & 0xff)
+        }
+      }.toMap
+    val want = grays.map { case (id, g) =>
+      var nOn = 0L; var ck = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        if (g(y * 8 + x) * 32 > 765L * (2 * bayer(y % 4)(x % 4) + 1)) {
+          nOn += 1; ck += y * 8 + x + 1
+        }
+      }
+      id -> (nOn, ck)
+    }
+    val got = Queries.queryMap("q_bayer_dither")(spark, SparkSpec.Sf)
+      .where(col("image_id").isin(grays.keys.toSeq: _*))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(want.values.exists(v => v._1 > 0 && v._1 < 64),
+      "fixture has a non-degenerate halftone")
+  }
 }
