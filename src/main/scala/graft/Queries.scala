@@ -320,6 +320,140 @@ object Queries {
          |    AS x_dominant
          |FROM pr""".stripMargin))
 
+  /** DBSCAN minPts: a point is CORE with ≥ this many radius-[[DistR]]
+    * neighbors (self excluded). */
+  private val DbscanMinPts = 4
+
+  /** DBSCAN POINT LABELING — the density-clustering taxonomy over the
+    * ε-neighbor graph (core / border / noise; Ester et al. 1996): a
+    * point is CORE with ≥ [[DbscanMinPts]] neighbors within [[DistR]],
+    * BORDER if not core but ε-adjacent to a core, NOISE otherwise
+    * (including the isolated points the pair join never sees — the
+    * left-join default). Cluster EXPANSION (connected components over
+    * core-core adjacency) is deliberately not re-emitted: it is exactly
+    * the pointer-jumping CC device q_hotspot_regions/q_dedup_groups
+    * already gate; this query gates the labeling semantics.
+    *
+    * Scale shape: the ε-join is the proven cell-bucket Chebyshev-ring
+    * equi-join ([[SpatialJoin.distanceJoin]] — never a theta join; the
+    * oracle's lat-band IEJoin is structurally independent, so a hash
+    * match proves the bucketing loses/invents no pair); degrees are one
+    * keyed rollup of the exploded pair list; core/border resolution is
+    * two keyed semi/anti-joins on the id. The known DBSCAN cost shape:
+    * everything is O(ε-pairs), nothing is O(n²). */
+  private val qDbscanLabels = Q(
+    "q_dbscan_labels",
+    (s, dir) => {
+      val imgs = Images.images(s, dir)
+      val pairs = SpatialJoin.distanceJoin(imgs, DistR).select("a_id", "b_id")
+      val nbr = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+        .unionAll(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      val deg = nbr.groupBy("id").agg(count(lit(1)).as("deg"))
+      val core = deg.where(col("deg") >= DbscanMinPts).select("id")
+      val border = nbr.join(core.withColumnRenamed("id", "nb"), Seq("nb"))
+        .select("id").distinct()
+        .join(core, Seq("id"), "left_anti")
+      imgs.select(col("image_id"))
+        .join(deg.withColumnRenamed("id", "image_id"), Seq("image_id"),
+          "left_outer")
+        .join(core.withColumnRenamed("id", "image_id")
+          .withColumn("is_core", lit(1)), Seq("image_id"), "left_outer")
+        .join(border.withColumnRenamed("id", "image_id")
+          .withColumn("is_border", lit(1)), Seq("image_id"), "left_outer")
+        .select(col("image_id"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          when(col("is_core") === 1, "core")
+            .when(col("is_border") === 1, "border")
+            .otherwise("noise").as("label"))
+    },
+    Some(
+      s"""$cte, pr AS (
+         |  SELECT a.image_id AS a_id, b.image_id AS b_id
+         |  FROM images a JOIN images b
+         |    ON a.image_id < b.image_id
+         |   AND b.lat >= a.lat - $DistR AND b.lat <= a.lat + $DistR
+         |  WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+         |        (a.lon - b.lon) * (a.lon - b.lon) <= $DistR * $DistR
+         |), nb AS (
+         |  SELECT a_id AS id, b_id AS nb FROM pr
+         |  UNION ALL SELECT b_id, a_id FROM pr
+         |), deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM nb GROUP BY 1
+         |), core AS (
+         |  SELECT id FROM deg WHERE deg >= $DbscanMinPts
+         |), border AS (
+         |  SELECT DISTINCT nb.id FROM nb JOIN core c ON c.id = nb.nb
+         |  WHERE nb.id NOT IN (SELECT id FROM core)
+         |)
+         |SELECT i.image_id, coalesce(d.deg, 0) AS deg,
+         |  CASE WHEN i.image_id IN (SELECT id FROM core) THEN 'core'
+         |    WHEN i.image_id IN (SELECT id FROM border) THEN 'border'
+         |    ELSE 'noise' END AS label
+         |FROM images i LEFT JOIN deg d ON d.id = i.image_id""".stripMargin))
+
+  /** MANN–WHITNEY U PER CELL (A/B shift test, rank-based) — the
+    * nonparametric two-sample comparison of the monitoring family: per
+    * res-4 cell, does `click` spend (A) stochastically dominate
+    * `purchase` spend (B)? Entirely integer-exact via DOUBLED midranks:
+    * with ties, the average rank of value v is `rank_min + (cnt_eq−1)/2`
+    * — a half-integer, so every rank is carried ×2
+    * (`r2 = 2·rank() + cnt_eq − 1`, two keyed windows), making the rank
+    * sum, `2·U_A = R2_A − n_a·(n_a+1)`, and the shift verdict
+    * (`2·U_A > n_a·n_b` ⟺ U above its null mean) exact BIGINTs on both
+    * engines. Values compare in exact milli-units (the geofence
+    * device). Cells missing either arm are absent (a one-armed test is
+    * undefined).
+    *
+    * Scale shape: one event-sized projection, rank windows keyed by
+    * CELL over each cell's own ~n rows, one keyed rollup — the
+    * q_interarrival contract (thousands of independent partitions, no
+    * global sort). */
+  private val qMwuAb = Q(
+    "q_mwu_ab",
+    (s, dir) => {
+      val ev = eventPositions(s, dir, 4)
+        .where(col("event_type").isin("click", "purchase"))
+      val vals = ev.select(col("cell"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      val wv = Window.partitionBy("cell").orderBy("v")
+      val we = Window.partitionBy("cell", "v")
+      val ranked = vals
+        .withColumn("r2",
+          lit(2L) * rank().over(wv).cast("long") +
+            count(lit(1)).over(we) - lit(1L))
+      ranked.groupBy("cell")
+        .agg(sum(col("is_a")).as("n_a"),
+          sum(lit(1L) - col("is_a")).as("n_b"),
+          sum(when(col("is_a") === 1L, col("r2"))).as("r2a"))
+        .where(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("u2a", col("r2a") - col("n_a") * (col("n_a") + 1L))
+        .select(col("cell"), col("n_a"), col("n_b"), col("u2a"),
+          (col("u2a") > col("n_a") * col("n_b")).as("a_shift"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(4)}, ev AS (
+         |  SELECT pc.cell,
+         |    CASE WHEN pc.event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         |    CAST(floor(e.value * 1000) AS BIGINT) AS v
+         |  FROM pc JOIN events e ON e.event_id = pc.event_id
+         |  WHERE pc.event_type IN ('click', 'purchase')
+         |), rk AS (
+         |  SELECT cell, is_a,
+         |    2 * CAST(rank() OVER (PARTITION BY cell ORDER BY v) AS BIGINT)
+         |      + CAST(count(*) OVER (PARTITION BY cell, v) AS BIGINT) - 1
+         |      AS r2
+         |  FROM ev
+         |), ag AS (
+         |  SELECT cell, CAST(sum(is_a) AS BIGINT) AS n_a,
+         |    CAST(sum(1 - is_a) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN is_a = 1 THEN r2 END) AS BIGINT) AS r2a
+         |  FROM rk GROUP BY 1
+         |)
+         |SELECT cell, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a,
+         |  (r2a - n_a * (n_a + 1)) > n_a * n_b AS a_shift
+         |FROM ag WHERE n_a > 0 AND n_b > 0""".stripMargin))
+
   private val KnnK = 10
 
   private def knnBruteOracle(extra: String): String =
@@ -7022,6 +7156,8 @@ object Queries {
     qTrajSplit,
     qConvoyRuns,
     qSnapshotTag,
+    qDbscanLabels,
+    qMwuAb,
     qHarrisCorners,
     qRipleyK,
     qContourCases,

@@ -536,4 +536,67 @@ class Round5OpsSpec extends SparkFunSuite {
     assert(want.values.exists(v => v._1 > 0 && v._1 < 64),
       "fixture has a non-degenerate halftone")
   }
+
+  test("q_dbscan_labels matches a brute O(n^2) driver labeling") {
+    val r = 0.0001
+    val pts = Images.images(spark, SparkSpec.Sf)
+      .select("image_id", "lat", "lon").collect()
+      .map(row => (row.getString(0), row.getDouble(1), row.getDouble(2)))
+    val n = pts.length
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    val adj = scala.collection.mutable.Map
+      .empty[String, List[String]].withDefaultValue(Nil)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val (ai, ay, ax) = pts(i); val (bi, by, bx) = pts(j)
+      if ((ay - by) * (ay - by) + (ax - bx) * (ax - bx) <= r * r) {
+        deg(ai) = deg.getOrElse(ai, 0L) + 1; deg(bi) = deg.getOrElse(bi, 0L) + 1
+        adj(ai) = bi :: adj(ai); adj(bi) = ai :: adj(bi)
+      }
+    }
+    val core = deg.collect { case (id, d) if d >= 4 => id }.toSet
+    val want = pts.map { case (id, _, _) =>
+      val label =
+        if (core(id)) "core"
+        else if (adj(id).exists(core)) "border"
+        else "noise"
+      id -> (deg.getOrElse(id, 0L), label)
+    }.toMap
+    val got = Queries.queryMap("q_dbscan_labels")(spark, SparkSpec.Sf)
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getString(2))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 == "core") &&
+      want.values.exists(_._2 == "border") &&
+      want.values.exists(_._2 == "noise"), "all three labels occur")
+  }
+
+  test("q_mwu_ab matches a driver doubled-midrank replay") {
+    val ev = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 4))
+      .select(col("cell"), col("event_type"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (cell, rows) =>
+      val na = rows.count(_._2 == "click").toLong
+      val nb = rows.size - na
+      if (na == 0 || nb == 0) None else {
+        val sorted = rows.map(_._3).sorted
+        def r2Of(v: Long): Long = {
+          val less = sorted.count(_ < v).toLong
+          val eq = sorted.count(_ == v).toLong
+          2 * (less + 1) + eq - 1
+        }
+        val r2a = rows.filter(_._2 == "click").map(r => r2Of(r._3)).sum
+        val u2a = r2a - na * (na + 1)
+        Some(cell -> (na, nb, u2a, u2a > na * nb))
+      }
+    }.toMap
+    val got = Queries.queryMap("q_mwu_ab")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
