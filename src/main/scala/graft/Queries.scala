@@ -320,6 +320,101 @@ object Queries {
          |    AS x_dominant
          |FROM pr""".stripMargin))
 
+  /** RFM USER SEGMENTATION — the classic recency/frequency/monetary
+    * quartile taxonomy over the event log, rank-free and partitionless-
+    * window-free: per user r_day = last active day, f = event count,
+    * m = exact milli-value spend; each metric is quartiled against
+    * BOUNDARIES from the equidepth device (q_equidepth_bounds' shape:
+    * keyed value histogram → broadcast cumulative self-join → min value
+    * with cum ≥ ⌈k·n/4⌉), and the bucket is `1 + Σ_k [x > boundary_k]`
+    * — pure integer comparisons against 9 driver-held scalars (the
+    * Lloyd/codebook driver-state pattern). A global rank window would
+    * funnel all users through one task (the PlanSpec pin); the
+    * histogram route is cumulation over the DISTINCT-VALUE lattice,
+    * whose size is domain-bounded (days / per-user counts / milli
+    * sums), not user-bounded.
+    *
+    * Scale shape: one event-sized keyed rollup, three histogram-sized
+    * cumulative joins (broadcast small side), one map-only bucket
+    * projection with literal boundaries. */
+  private val qRfmSegments = Q(
+    "q_rfm_segments",
+    (s, dir) => {
+      def metrics = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"))
+        .agg(max(floor(unix_micros(col("ts").cast("timestamp")) /
+            lit(86400000000L)).cast("long")).as("r_day"),
+          count(lit(1)).as("f"),
+          sum(expr("cast(floor(value * 1000) as bigint)")).as("m_milli"))
+      val um = metrics
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (bR, bF, bM) =
+        try {
+          val n = um.count()
+          def bounds(c: String): Seq[Long] = {
+            val h = um.groupBy(col(c).as("x")).agg(count(lit(1)).as("cnt"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val cum = h.as("a").join(
+                  broadcast(h.select(col("x").as("x2"), col("cnt").as("n2"))),
+                  col("x2") <= col("a.x"))
+                .groupBy(col("a.x").as("x")).agg(sum(col("n2")).as("cum"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try (1 to 3).map { k =>
+                val target = (k * n + 3) / 4
+                cum.where(col("cum") >= target)
+                  .agg(min(col("x"))).first().getLong(0)
+              } finally cum.unpersist(blocking = false)
+            } finally h.unpersist(blocking = false)
+          }
+          (bounds("r_day"), bounds("f"), bounds("m_milli"))
+        } finally um.unpersist(blocking = false)
+      def bucket(c: String, bs: Seq[Long]) =
+        lit(1L) + bs.map(bd => when(col(c) > bd, 1L).otherwise(0L))
+          .reduce(_ + _)
+      metrics.select(col("user_id"), col("r_day"), col("f"), col("m_milli"),
+        bucket("r_day", bR).as("r_b"), bucket("f", bF).as("f_b"),
+        bucket("m_milli", bM).as("m_b"))
+    },
+    Some {
+      def metricCtes(p: String, x: String) =
+        s"""${p}h AS (
+           |  SELECT $x AS x, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM um GROUP BY 1
+           |), ${p}c AS (
+           |  SELECT a.x, CAST(sum(b.cnt) AS BIGINT) AS cum
+           |  FROM ${p}h a JOIN ${p}h b ON b.x <= a.x GROUP BY 1
+           |), ${p}b AS (
+           |  SELECT CAST(k.r AS BIGINT) AS k, min(c.x) AS bd
+           |  FROM range(1, 4) k(r), nn, ${p}c c
+           |  WHERE c.cum >= (k.r * nn.n + 3) // 4
+           |  GROUP BY 1
+           |), ${p}u AS (
+           |  SELECT um.user_id,
+           |    1 + CAST(sum(CASE WHEN um.$x > b.bd THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS bkt
+           |  FROM um CROSS JOIN ${p}b b GROUP BY 1
+           |)""".stripMargin
+      s"""WITH um AS (
+         |  SELECT user_id,
+         |    CAST(max(floor(epoch_us(ts) / 86400000000)) AS BIGINT)
+         |      AS r_day,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         |      AS m_milli
+         |  FROM events GROUP BY 1
+         |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM um),
+         |${metricCtes("r", "r_day")},
+         |${metricCtes("f", "f")},
+         |${metricCtes("m", "m_milli")}
+         |SELECT um.user_id, um.r_day, um.f, um.m_milli,
+         |  ru.bkt AS r_b, fu.bkt AS f_b, mu.bkt AS m_b
+         |FROM um
+         |JOIN ru ON ru.user_id = um.user_id
+         |JOIN fu ON fu.user_id = um.user_id
+         |JOIN mu ON mu.user_id = um.user_id""".stripMargin
+    })
+
   /** DBSCAN minPts: a point is CORE with ≥ this many radius-[[DistR]]
     * neighbors (self excluded). */
   private val DbscanMinPts = 4
@@ -453,6 +548,69 @@ object Queries {
          |SELECT cell, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a,
          |  (r2a - n_a * (n_a + 1)) > n_a * n_b AS a_shift
          |FROM ag WHERE n_a > 0 AND n_b > 0""".stripMargin))
+
+  /** KOLMOGOROV–SMIRNOV TWO-SAMPLE STATISTIC PER CELL — the SHAPE
+    * companion of [[qMwuAb]] (MWU detects a location shift; KS detects
+    * ANY distributional difference): per res-4 cell, the sup-distance
+    * between the click and purchase empirical CDFs, cross-multiplied
+    * into exact integers — `d_num = max_v |n_b·A(v) − n_a·B(v)|` where
+    * A/B are inclusive cumulative counts (the step-function sup is
+    * attained at data points, so scanning data values covers every
+    * step). Emitted with the attaining value (tie → smallest v). The
+    * classical D divides by n_a·n_b — left to the consumer, keeping the
+    * hashed output division-free.
+    *
+    * Scale shape: cumulative + total windows keyed by CELL (default
+    * RANGE frame includes value peers — the tie semantics both engines
+    * share), one keyed argmax window. The q_interarrival contract. */
+  private val qKsTest = Q(
+    "q_ks_test",
+    (s, dir) => {
+      val vals = eventPositions(s, dir, 4)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("cell"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"),
+          expr("cast(floor(value * 1000) as bigint)").as("v"))
+      val wv = Window.partitionBy("cell").orderBy("v")
+      val wc = Window.partitionBy("cell")
+      val scored = vals
+        .withColumn("cum_a", sum(col("is_a")).over(wv))
+        .withColumn("cum_b", sum(lit(1L) - col("is_a")).over(wv))
+        .withColumn("n_a", sum(col("is_a")).over(wc))
+        .withColumn("n_b", sum(lit(1L) - col("is_a")).over(wc))
+        .where(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("d",
+          abs(col("n_b") * col("cum_a") - col("n_a") * col("cum_b")))
+      val wr = Window.partitionBy("cell").orderBy(col("d").desc, col("v"))
+      scored.withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+        .select(col("cell"), col("n_a"), col("n_b"), col("v").as("at_v"),
+          col("d").as("d_num"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(4)}, ev AS (
+         |  SELECT pc.cell,
+         |    CASE WHEN pc.event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         |    CAST(floor(e.value * 1000) AS BIGINT) AS v
+         |  FROM pc JOIN events e ON e.event_id = pc.event_id
+         |  WHERE pc.event_type IN ('click', 'purchase')
+         |), sc AS (
+         |  SELECT cell, v,
+         |    CAST(sum(is_a) OVER (PARTITION BY cell ORDER BY v)
+         |      AS BIGINT) AS cum_a,
+         |    CAST(sum(1 - is_a) OVER (PARTITION BY cell ORDER BY v)
+         |      AS BIGINT) AS cum_b,
+         |    CAST(sum(is_a) OVER (PARTITION BY cell) AS BIGINT) AS n_a,
+         |    CAST(sum(1 - is_a) OVER (PARTITION BY cell) AS BIGINT) AS n_b
+         |  FROM ev
+         |  QUALIFY n_a > 0 AND n_b > 0
+         |)
+         |SELECT cell, n_a, n_b, v AS at_v,
+         |  abs(n_b * cum_a - n_a * cum_b) AS d_num
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY abs(n_b * cum_a - n_a * cum_b) DESC, v) AS rn
+         |  FROM sc
+         |) WHERE rn = 1""".stripMargin))
 
   private val KnnK = 10
 
@@ -7158,6 +7316,8 @@ object Queries {
     qSnapshotTag,
     qDbscanLabels,
     qMwuAb,
+    qKsTest,
+    qRfmSegments,
     qHarrisCorners,
     qRipleyK,
     qContourCases,

@@ -599,4 +599,62 @@ class Round5OpsSpec extends SparkFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("q_ks_test matches a brute sup-distance replay") {
+    val ev = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 4))
+      .select(col("cell"), col("event_type"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).flatMap { case (cell, rows) =>
+      val a = rows.filter(_._2 == "click").map(_._3)
+      val b = rows.filter(_._2 == "purchase").map(_._3)
+      if (a.isEmpty || b.isEmpty) None else {
+        val cands = rows.map(_._3).distinct.sorted.map { v =>
+          (v, math.abs(b.length.toLong * a.count(_ <= v) -
+            a.length.toLong * b.count(_ <= v)))
+        }
+        val best = cands.sortBy { case (v, d) => (-d, v) }.head
+        Some(cell -> (a.length.toLong, b.length.toLong, best._1, best._2))
+      }
+    }.toMap
+    val got = Queries.queryMap("q_ks_test")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_rfm_segments matches a driver quartile replay") {
+    val ev = spark.read.parquet(s"${SparkSpec.Sf}/events.parquet")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts").cast("timestamp")) /
+          lit(86400000000L)).cast("long").as("day"),
+        expr("cast(floor(value * 1000) as bigint)").as("mv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val um = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.map(_._2).max, rows.size.toLong, rows.map(_._3).sum)
+    }.toSeq
+    val n = um.size.toLong
+    def bounds(xs: Seq[Long]): Seq[Long] = {
+      val sorted = xs.sorted
+      (1 to 3).map { k =>
+        val target = ((k * n + 3) / 4).toInt
+        sorted(target - 1) // min x with inclusive cum >= target
+      }
+    }
+    val (bR, bF, bM) =
+      (bounds(um.map(_._2)), bounds(um.map(_._3)), bounds(um.map(_._4)))
+    def bkt(x: Long, bs: Seq[Long]): Long = 1L + bs.count(x > _)
+    val want = um.map { case (u, r, f, m) =>
+      u -> (r, f, m, bkt(r, bR), bkt(f, bF), bkt(m, bM))
+    }.toMap
+    val got = Queries.queryMap("q_rfm_segments")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == want)
+    assert(got.values.map(_._6).toSet.size > 1, "monetary buckets differentiate")
+  }
 }
