@@ -612,6 +612,80 @@ object Queries {
          |  FROM sc
          |) WHERE rn = 1""".stripMargin))
 
+  /** ROBUST OUTLIER DETECTION PER CELL (median / MAD) — the
+    * heavy-tail-safe anomaly screen of the monitoring family
+    * ([[qAnomalyCells]] is mean/variance-based; one extreme corrupts
+    * both moments, while the median/MAD pair has a 50% breakdown
+    * point): per res-4 cell, the LOWER median of the milli-values
+    * (exact rank ⌈n/2⌉ — the q_interarrival order-statistic device, no
+    * interpolation), the MAD (lower median of |v − med|), and the count
+    * of values beyond the 3·MAD fence — every hashed number an exact
+    * BIGINT. NESTED rank statistics: the second median ranks the
+    * deviations FROM the first, something no single-pass moment
+    * aggregate expresses.
+    *
+    * Scale shape: three keyed windows, all partitioned by CELL — one
+    * exchange total (same key ⇒ Catalyst reuses the partitioning;
+    * re-sorts within partitions are local). The q_interarrival
+    * contract. */
+  private val qOutlierMad = Q(
+    "q_outlier_mad",
+    (s, dir) => {
+      val vals = eventPositions(s, dir, 4)
+        .select(col("cell"),
+          expr("cast(floor(value * 1000) as bigint)").as("v"))
+      val wc = Window.partitionBy("cell")
+      val wv = wc.orderBy(col("v"))
+      val withMed = vals
+        .withColumn("n", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("med",
+          max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).over(wc))
+        .withColumn("dev", abs(col("v") - col("med")))
+      val wd = wc.orderBy(col("dev"), col("v"))
+      val withMad = withMed
+        .withColumn("rd", row_number().over(wd).cast("long"))
+        .withColumn("mad",
+          max(when(col("rd") === expr("(n + 1) div 2"), col("dev"))).over(wc))
+      withMad.groupBy("cell")
+        .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_out"))
+    },
+    Some(
+      s"""WITH ${eventCellCtes(4)}, ev AS (
+         |  SELECT pc.cell, CAST(floor(e.value * 1000) AS BIGINT) AS v
+         |  FROM pc JOIN events e ON e.event_id = pc.event_id
+         |), m1 AS (
+         |  SELECT cell, v,
+         |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY v)
+         |      AS BIGINT) AS rn
+         |  FROM ev
+         |), m2 AS (
+         |  SELECT cell, v, n,
+         |    max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+         |      OVER (PARTITION BY cell) AS med
+         |  FROM m1
+         |), m3 AS (
+         |  SELECT cell, n, med, abs(v - med) AS dev,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY abs(v - med), v) AS BIGINT) AS rd
+         |  FROM m2
+         |), m4 AS (
+         |  SELECT cell, n, med, dev,
+         |    max(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+         |      OVER (PARTITION BY cell) AS mad
+         |  FROM m3
+         |)
+         |SELECT cell, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(max(med) AS BIGINT) AS med,
+         |  CAST(max(mad) AS BIGINT) AS mad,
+         |  CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_out
+         |FROM m4 GROUP BY 1""".stripMargin))
+
   private val KnnK = 10
 
   private def knnBruteOracle(extra: String): String =
@@ -7318,6 +7392,7 @@ object Queries {
     qMwuAb,
     qKsTest,
     qRfmSegments,
+    qOutlierMad,
     qHarrisCorners,
     qRipleyK,
     qContourCases,

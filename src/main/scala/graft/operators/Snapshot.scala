@@ -482,6 +482,64 @@ object Snapshot {
     }.sortBy(s => (s._2, s._1))
   }
 
+  /** ORPHAN FILE DETECTION (Iceberg's `remove_orphan_files` action):
+    * parquet files under `tiles/` that no committed snapshot can reach —
+    * a crashed writer's version dir that never got its manifest (the
+    * commit point is the manifest move, so data without one is dead by
+    * construction), or dot-prefixed scratch left by an interrupted
+    * compaction. Files in the FLAT layout (no `snapshot_id=` component)
+    * belong to the unversioned store and are never flagged. Returns
+    * tiles-relative paths, sorted — the audit listing a maintenance job
+    * reviews before [[removeOrphans]] deletes.
+    *
+    * Scale shape: pure metadata — one directory walk against the
+    * committed-id set; on an object store this is the same LIST +
+    * manifest diff Iceberg's action runs, no data IO. */
+  def orphanFiles(root: String): Seq[String] = {
+    val tiles = Paths.get(root, "tiles")
+    if (!Files.isDirectory(tiles)) return Seq.empty
+    val committed = snapshots(root).map(_._1).toSet
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(tiles)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .filter { p =>
+          val comps = tiles.relativize(p).iterator().asScala
+            .map(_.toString).toSeq
+          val hidden = comps.exists(_.startsWith("."))
+          val snap = comps.collectFirst {
+            case c if c.startsWith("snapshot_id=") =>
+              c.stripPrefix("snapshot_id=")
+          }
+          hidden || snap.exists(id => !committed.contains(id))
+        }
+        .map(p => tiles.relativize(p).toString).toSeq.sorted
+    }
+  }
+
+  /** Delete every [[orphanFiles]] hit (and any directory the deletions
+    * leave empty). Committed data is untouched by construction — the
+    * listing only ever names unreachable files. */
+  def removeOrphans(root: String): Seq[String] = {
+    val tiles = Paths.get(root, "tiles")
+    val victims = orphanFiles(root)
+    victims.foreach(rel => Files.deleteIfExists(tiles.resolve(rel)))
+    // prune now-empty dirs bottom-up (scratch dirs, dead version dirs)
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(tiles))
+      scala.util.Using.resource(Files.walk(tiles)) { s =>
+        s.iterator().asScala.toSeq.reverse
+          .filter(p => Files.isDirectory(p) && p != tiles)
+          .foreach { d =>
+            scala.util.Using.resource(Files.list(d)) { l =>
+              if (!l.iterator().hasNext) Files.delete(d)
+            }
+          }
+      }
+    victims
+  }
+
   /** NAMED REFS (Iceberg-style tags/branches): a ref maps a stable NAME
     * to a snapshot id, so consumers pin "prod"/"stable" instead of raw
     * version ids and a retag atomically repoints every reader — the

@@ -657,4 +657,26 @@ class Round5OpsSpec extends SparkFunSuite {
     assert(got == want)
     assert(got.values.map(_._6).toSet.size > 1, "monetary buckets differentiate")
   }
+
+  test("q_outlier_mad matches a driver nested-median replay") {
+    val ev = Events.withPosition(
+        spark.read.parquet(s"${SparkSpec.Sf}/events.parquet"))
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 4))
+      .select(col("cell"), expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).map { case (cell, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length
+      val med = vs((n + 1) / 2 - 1)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val mad = devs((n + 1) / 2 - 1)
+      cell -> (n.toLong, med, mad,
+        vs.count(v => math.abs(v - med) > 3 * mad).toLong)
+    }
+    val got = Queries.queryMap("q_outlier_mad")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._4 > 0), "fixture has MAD outliers")
+  }
 }

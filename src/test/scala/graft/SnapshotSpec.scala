@@ -357,4 +357,34 @@ class SnapshotSpec extends SparkFunSuite {
     }
     Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("orphan files: uncommitted version dirs and scratch are flagged, " +
+      "committed data survives removal") {
+    val root = Files.createTempDirectory("graft-orphan-spec").toString
+    val tiles = TilePyramid.withCell(images, 6)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("res", lit(6))
+    Snapshot.writeVersioned(tiles, root, "v1", 1L)
+    assert(Snapshot.orphanFiles(root).isEmpty, "a clean store has no orphans")
+    // a crashed writer: data landed, manifest never committed
+    tiles.limit(5).withColumn("snapshot_id", lit("vX"))
+      .write.mode("append").partitionBy("snapshot_id")
+      .parquet(s"$root/tiles")
+    // an interrupted compaction scratch dir
+    val scratch = java.nio.file.Paths.get(root, "tiles", ".compact-res=6")
+    Files.createDirectories(scratch)
+    Files.write(scratch.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val orphans = Snapshot.orphanFiles(root)
+    assert(orphans.nonEmpty)
+    assert(orphans.forall(p =>
+      p.contains("snapshot_id=vX") || p.contains(".compact-res=6")))
+    val before = Snapshot.readAsOf(spark, root, "v1").count()
+    val removed = Snapshot.removeOrphans(root)
+    assert(removed == orphans)
+    assert(Snapshot.orphanFiles(root).isEmpty)
+    assert(!Files.isDirectory(scratch), "emptied scratch dir is pruned")
+    assert(Snapshot.readAsOf(spark, root, "v1").count() == before,
+      "committed snapshot unaffected")
+    Snapshot.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
