@@ -4538,6 +4538,137 @@ object Queries {
          |    AS center_cnt
          |FROM contrib GROUP BY 1""".stripMargin))
 
+  /** GLIDING-BOX LACUNARITY FACTORS — the multi-scale TEXTURE-OF-GAPS
+    * statistic of the point-pattern family (quadrat/anisotropy measure
+    * clustering and orientation; lacunarity measures how the HOLES are
+    * organized — same density can be lace or clumps): for box sizes
+    * r ∈ {1, 2, 4}, every r×r gliding window's mass M (x wraps, y
+    * clamped to the grid — the focal-stats convention), emitted as the
+    * exact integer moment pieces n_boxes (ALL origins, empty boxes
+    * included — they carry the gaps), n_occ, Σ M, Σ M². The classical
+    * Λ(r) = n·ΣM²/(ΣM)² is the consumer's one division.
+    *
+    * Scale shape: per r one scatter of the OCCUPIED grid to its ≤ r²
+    * covering origins (grid-bounded fanout, the focal-stats device) +
+    * one origin-keyed rollup + one single-row moment aggregate;
+    * empty-box accounting is arithmetic (total origins is a grid
+    * constant), never materialized. */
+  private val qLacunarity = Q(
+    "q_lacunarity",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def layer(r: Int): DataFrame = {
+        val offs = array((for (dy <- 0 until r; dx <- 0 until r)
+          yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+        val x = col("cell").bitwiseAND(lit(127L))
+        val y = shiftrightunsigned(col("cell"), 7).bitwiseAND(lit(127L))
+        g.select(col("cnt"), x.as("x"), y.as("y"),
+            explode(offs).as("o"))
+          .withColumn("oy", col("y") - col("o.dy"))
+          .where(col("oy") >= 0 && col("oy") <= lit(128L - r))
+          .withColumn("ox",
+            ((col("x") - col("o.dx")) % 128 + 128) % 128)
+          .select((shiftleft(lit(7L), 58)
+              .bitwiseOR(shiftleft(col("oy"), 7)).bitwiseOR(col("ox")))
+            .as("origin"), col("cnt"))
+          .groupBy("origin").agg(sum(col("cnt")).as("m"))
+          .agg(count(lit(1)).as("n_occ"), sum(col("m")).as("sm"),
+            sum(col("m") * col("m")).as("smm"))
+          .select(lit(r).as("r"), lit(128L * (129L - r)).as("n_boxes"),
+            col("n_occ"), col("sm"), col("smm"))
+      }
+      val out = layer(1).unionAll(layer(2)).unionAll(layer(4))
+        .localCheckpoint(true)
+      g.unpersist(blocking = false)
+      out
+    },
+    Some {
+      def layer(r: Int) =
+        s"""SELECT $r AS r, CAST(${128L * (129L - r)} AS BIGINT) AS n_boxes,
+           |  CAST(count(*) AS BIGINT) AS n_occ,
+           |  CAST(sum(m) AS BIGINT) AS sm,
+           |  CAST(sum(m * m) AS BIGINT) AS smm
+           |FROM (
+           |  SELECT ((CAST(7 AS BIGINT) << 58) | (CAST(y - dy.r AS BIGINT) << 7) | CAST(((x - dx.r) % 128 + 128) % 128 AS BIGINT)) AS origin,
+           |    CAST(sum(cnt) AS BIGINT) AS m
+           |  FROM xy, range(0, $r) dy(r), range(0, $r) dx(r)
+           |  WHERE y - dy.r BETWEEN 0 AND ${128 - r}
+           |  GROUP BY 1
+           |)""".stripMargin
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM images GROUP BY 1
+         |), xy AS (
+         |  SELECT cell, cnt, cell & 127 AS x, (cell >> 7) & 127 AS y
+         |  FROM g
+         |)
+         |${layer(1)}
+         |UNION ALL
+         |${layer(2)}
+         |UNION ALL
+         |${layer(4)}""".stripMargin
+    })
+
+  /** ABC TIERING (Pareto storage classes) — the hot/warm/cold taxonomy a
+    * tile store's placement policy consumes (replicate A-tiles to cache,
+    * keep B on disk, archive C): cells ranked by mass; class A while the
+    * mass-from-above cumulative stays within 80% of total, B within 95%,
+    * else C — decided by the EXACT integer cross-comparisons
+    * `5·cum_above ≤ 4·tot` and `20·cum_above ≤ 19·tot` (no percentage
+    * division; equal-mass cells share a class by construction, since
+    * cum_above is a function of the mass value).
+    *
+    * Scale shape: the cumulation runs over the DISTINCT-MASS histogram
+    * (domain-bounded, the equidepth/RFM device — never a global rank
+    * window over cells), then one broadcast join labels cells map-side.
+    */
+  private val qAbcTiering = Q(
+    "q_abc_tiering",
+    (s, dir) => {
+      import graft.geo.{functions => G}
+      val g = Images.images(s, dir)
+        .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+        .groupBy("cell").agg(count(lit(1)).as("m"))
+      val h = g.groupBy(col("m").as("mv"))
+        .agg((count(lit(1)) * col("m").cast("long")).as("mass"))
+      val cum = h.as("a").join(
+          broadcast(h.select(col("mv").as("m2"), col("mass").as("mass2"))),
+          col("m2") >= col("a.mv"))
+        .groupBy(col("a.mv").as("mv"))
+        .agg(sum(col("mass2")).as("cum_above"))
+      val tot = g.agg(sum(col("m")).as("tot"))
+      val cls = cum.crossJoin(broadcast(tot))
+        .select(col("mv"),
+          when(col("cum_above") * 5 <= col("tot") * 4, "A")
+            .when(col("cum_above") * 20 <= col("tot") * 19, "B")
+            .otherwise("C").as("cls"))
+      g.join(broadcast(cls), col("m") === col("mv"))
+        .select(col("cell"), col("m"), col("cls"))
+    },
+    Some(
+      s"""$cte, g AS (
+         |  SELECT ${cellSql(7)} AS cell, CAST(count(*) AS BIGINT) AS m
+         |  FROM images GROUP BY 1
+         |), h AS (
+         |  SELECT m AS mv, CAST(count(*) * m AS BIGINT) AS mass
+         |  FROM g GROUP BY 1
+         |), cum AS (
+         |  SELECT a.mv, CAST(sum(b.mass) AS BIGINT) AS cum_above
+         |  FROM h a JOIN h b ON b.mv >= a.mv GROUP BY 1
+         |), tot AS (SELECT CAST(sum(m) AS BIGINT) AS tot FROM g),
+         |cls AS (
+         |  SELECT mv, CASE WHEN cum_above * 5 <= tot * 4 THEN 'A'
+         |    WHEN cum_above * 20 <= tot * 19 THEN 'B'
+         |    ELSE 'C' END AS cls
+         |  FROM cum, tot
+         |)
+         |SELECT g.cell, g.m, cls.cls
+         |FROM g JOIN cls ON cls.mv = g.m""".stripMargin))
+
   /** 3×3 MEDIAN FILTER over the res-7 density raster — the despeckle /
     * salt-and-pepper smoother of the focal family ([[qFocalStats]] = the
     * linear kernel; this = the ORDER-STATISTIC kernel, robust to single
@@ -7393,6 +7524,8 @@ object Queries {
     qKsTest,
     qRfmSegments,
     qOutlierMad,
+    qLacunarity,
+    qAbcTiering,
     qHarrisCorners,
     qRipleyK,
     qContourCases,

@@ -679,4 +679,49 @@ class Round5OpsSpec extends SparkFunSuite {
     assert(got == want)
     assert(got.values.exists(_._4 > 0), "fixture has MAD outliers")
   }
+
+  test("q_lacunarity matches a brute gliding-box replay") {
+    val occ = Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grid = occ.map { case (c, m) =>
+      ((c & 127L).toInt, ((c >> 7) & 127L).toInt) -> m
+    }.toMap
+    val want = Seq(1, 2, 4).map { r =>
+      var nOcc = 0L; var sm = 0L; var smm = 0L
+      for (oy <- 0 to 128 - r; ox <- 0 until 128) {
+        var m = 0L
+        for (dy <- 0 until r; dx <- 0 until r)
+          m += grid.getOrElse(((ox + dx) % 128, oy + dy), 0L)
+        if (m > 0) { nOcc += 1; sm += m; smm += m * m }
+      }
+      r -> (128L * (129L - r), nOcc, sm, smm)
+    }.toMap
+    val got = Queries.queryMap("q_lacunarity")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
+
+  test("q_abc_tiering matches a driver Pareto replay and partitions by mass") {
+    val occ = Images.images(spark, SparkSpec.Sf)
+      .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 7))
+      .groupBy("cell").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tot = occ.map(_._2).sum
+    def cumAbove(m: Long): Long = occ.filter(_._2 >= m).map(_._2).sum
+    val want = occ.map { case (c, m) =>
+      val ca = cumAbove(m)
+      val cls = if (ca * 5 <= tot * 4) "A"
+        else if (ca * 20 <= tot * 19) "B" else "C"
+      c -> (m, cls)
+    }.toMap
+    val got = Queries.queryMap("q_abc_tiering")(spark, SparkSpec.Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == want)
+    // sf0.001's planted hot cell jumps the 80->95% band in one step, so
+    // only A and C occur here; all three classes appear at sf0.01 (oracle)
+    assert(got.values.map(_._2).toSet.size >= 2)
+  }
 }
