@@ -445,7 +445,23 @@ object PlanDump {
           " |users|²), pair rollup one composite-key groupBy; per-bucket" +
           " occupancy is the fanout dial, hot buckets ride the suite's" +
           " salting/AQE skew path",
-        graft.Queries.queryMap("q_flock_pairs")(spark, dir)))
+        graft.Queries.queryMap("q_flock_pairs")(spark, dir)),
+      ("DBSCAN labeling over the bucketed distance join (round 5)",
+        "the ε-join is the cell-bucket Chebyshev-ring equi-join (never a" +
+          " theta join); degrees one keyed rollup; core/border resolved" +
+          " by keyed semi/anti joins — everything O(ε-pairs)",
+        graft.Queries.queryMap("q_dbscan_labels")(spark, dir)),
+      ("Median/MAD outlier screen (round 5)",
+        "three windows all partitioned by cell — one exchange total," +
+          " re-sorts are partition-local; nested rank statistics without" +
+          " any partitionless window",
+        graft.Queries.queryMap("q_outlier_mad")(spark, dir)),
+      ("ABC Pareto tiering via the histogram cumulation (round 5)",
+        "cumulation over the DISTINCT-MASS histogram (domain-bounded" +
+          " broadcast self-join), classes decided by integer" +
+          " cross-comparisons, cells labeled map-side by a broadcast join" +
+          " — no global rank window anywhere",
+        graft.Queries.queryMap("q_abc_tiering")(spark, dir)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
