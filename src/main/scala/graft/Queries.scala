@@ -2542,9 +2542,11 @@ object Queries {
           (lit(1L) + least(col("cnt"), lit(3L))).as("w"),
           col("cnt"))
         .localCheckpoint(true)
-      val wsrc = Window.orderBy(col("cnt").desc, col("cell"))
-      val src = occ.withColumn("rn", row_number().over(wsrc))
-        .where(col("rn") === 1)
+      // top-1 source via TakeOrderedAndProject (per-partition top-1 +
+      // driver merge) — a partitionless row_number window here would
+      // funnel the grid through one task and trip the WindowExec warning
+      // the suite bans
+      val src = occ.orderBy(col("cnt").desc, col("cell")).limit(1)
       var dist = src.select(col("cell"), lit(0L).as("cost"))
         .localCheckpoint(true)
       for (_ <- 1 to 12) {
@@ -2617,9 +2619,8 @@ object Queries {
         .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
         .groupBy("cell").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
-      val wsrc = Window.orderBy(col("cnt").desc, col("cell"))
-      var lab = occ.withColumn("rn", row_number().over(wsrc))
-        .where(col("rn") === 1)
+      // top-1 source via TakeOrderedAndProject (see q_cost_distance)
+      var lab = occ.orderBy(col("cnt").desc, col("cell")).limit(1)
         .select(col("cell"), lit(0L).as("dist"), lit(1L).as("sigma"))
         .localCheckpoint(true)
       var frontier = lab
@@ -7216,16 +7217,25 @@ object Queries {
           o(sx1, sy1, sx2, sy2, lit(ex2), lit(ey2)) < 0) &&
           (o(lit(ex1), lit(ey1), lit(ex2), lit(ey2), sx1, sy1) *
             o(lit(ex1), lit(ey1), lit(ex2), lit(ey2), sx2, sy2) < 0)
-      val perPoly = Fixtures.polys.map { p =>
+      // each fence's crossing count lands in its OWN column first: one
+      // giant array-of-structs expression tree is a single janino method
+      // (the generator cannot split inside one expression) and blows the
+      // 64 KB limit, silently dropping the scan out of whole-stage
+      // codegen; 15 small per-poly columns + an array of column REFS keep
+      // every generated method tiny (bench-verified: no codegen fallback)
+      val withCnts = Fixtures.polys.foldLeft(seg) { (df, p) =>
         val n = p.lats.length
         val cnt = (0 until n).map { i =>
           val j = (i + 1) % n
           when(crossEdge(p.lons(i), p.lats(i), p.lons(j), p.lats(j)), 1L)
             .otherwise(0L)
         }.reduce(_ + _)
-        struct(lit(p.polyId).as("poly_id"), cnt.as("nc"))
+        df.withColumn(s"nc_${p.polyId}", cnt)
       }
-      seg.select(col("user_id"), explode(array(perPoly: _*)).as("m"))
+      val perPoly = Fixtures.polys.map { p =>
+        struct(lit(p.polyId).as("poly_id"), col(s"nc_${p.polyId}").as("nc"))
+      }
+      withCnts.select(col("user_id"), explode(array(perPoly: _*)).as("m"))
         .where(col("m.nc") > 0)
         .groupBy(col("m.poly_id").as("poly_id"), col("user_id"))
         .agg(count(lit(1)).as("n_segs"), sum(col("m.nc")).as("n_crossings"))

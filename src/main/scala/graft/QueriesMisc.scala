@@ -588,61 +588,58 @@ object QueriesMisc {
     * exactly 1 via the SymSpell deletion neighborhood (Garbe's symmetric
     * delete: if lev(a,b) ≤ 1 then {a} ∪ deletes₁(a) intersects
     * {b} ∪ deletes₁(b)) — each caption emits its 27 single-deletion
-    * variants plus itself, candidates come from a variant EQUI-join
-    * (never a theta join; group sizes are bounded by alphabet ×
-    * repeated-run multiplicity), an exact `levenshtein` refine keeps true
-    * pairs, and a keyed groupBy dedups multi-variant collisions
-    * (repeated-character runs make one pair collide on several deletion
-    * indices). Emitted as the differing-position histogram: every
-    * distance-1 pair over the fixed-length captions is a single-character
-    * substitution, so each pair contributes exactly one (pos, 1) — any
-    * missing or phantom pair shifts a count. All integer.
+    * variants, candidates come from a variant EQUI-join KEYED BY THE
+    * DELETION INDEX: over an equal-length corpus lev = 1 means exactly
+    * one substitution, and a substitution-at-i pair collides at
+    * deletion index i and NOWHERE else — so `(i, delete_i(caption))` is
+    * a PERFECT banding key: every true pair produced exactly once, the
+    * "refine" is one character comparison (a.caption[i] ≠ b.caption[i],
+    * which only rejects identical captions), and no dedup is needed.
+    * Emitted as the differing-position histogram: each pair contributes
+    * exactly one (pos, 1) — any missing or phantom pair shifts a count.
+    * All integer. (Round-5 perf fix: the previous form joined on the
+    * variant alone and refined with `levenshtein` — at sf0.1 that put a
+    * 27²-op refine on all ~25M candidates, 434 s in-suite; the indexed
+    * key makes the refine O(1) per pair, 434 s → ~14 s. The
+    * variable-length general case — insertions/deletions — re-adds the
+    * v-only join + levenshtein refine as the documented upgrade path.)
     *
-    * Scale shape: variants are a 28× map-side fanout of the (id, caption)
+    * Scale shape: variants are a 27× map-side fanout of the (id, caption)
     * projection (no decode, no bytes); the join is an equi-join on the
-    * variant string — AQE-splittable, pairs-output-bounded; the refine and
-    * dedup are keyed. At 10^12 captions this is the LSH-banding contract
-    * with the deletion variant as the band key. */
+    * (index, variant) pair — AQE-splittable, output-bounded by the true
+    * pair count; the histogram is one keyed count. At 10^12 captions
+    * this is the LSH-banding contract with the deletion variant as the
+    * band key. */
   private val qSymspellPairs = Q(
     "q_symspell_pairs",
     (s, dir) => {
-      val vexpr = "transform(sequence(0, length(caption)), i -> " +
-        "CASE WHEN i = 0 THEN caption ELSE concat(" +
-        "substring(caption, 1, i - 1), substring(caption, i + 1)) END)"
+      val vexpr = "transform(sequence(1, length(caption)), i -> " +
+        "struct(i as i, concat(substring(caption, 1, i - 1), " +
+        "substring(caption, i + 1)) as v))"
       val vs = Images.images(s, dir)
-        .select(col("image_id"), col("caption"), explode(expr(vexpr)).as("v"))
-      val pairs = vs.as("a").join(vs.as("b"),
-          col("a.v") === col("b.v") &&
+        .select(col("image_id"), col("caption"),
+          explode(expr(vexpr)).as("m"))
+        .select(col("image_id"), col("caption"),
+          col("m.i").as("i"), col("m.v").as("v"))
+      vs.as("a").join(vs.as("b"),
+          col("a.i") === col("b.i") && col("a.v") === col("b.v") &&
             col("a.image_id") < col("b.image_id"))
-        .where(levenshtein(col("a.caption"), col("b.caption")) === 1)
-        .groupBy(col("a.image_id").as("id_a"), col("b.image_id").as("id_b"),
-          col("a.caption").as("ca"), col("b.caption").as("cb"))
-        .agg(count(lit(1)).as("n_hits"))
-      pairs
-        .select(col("ca"), col("cb"),
-          explode(sequence(lit(1), length(col("ca")))).as("pos"))
-        .where(expr("substring(ca, pos, 1) <> substring(cb, pos, 1)"))
-        .groupBy("pos")
+        .where(expr("substring(a.caption, a.i, 1)") =!=
+          expr("substring(b.caption, b.i, 1)"))
+        .groupBy(col("a.i").as("pos"))
         .agg(count(lit(1)).as("n_pairs"))
     },
     Some(
       s"""$cte, vs AS (
-         |  SELECT image_id, caption, CASE WHEN i.r = 0 THEN caption
-         |    ELSE substring(caption, 1, CAST(i.r AS INTEGER) - 1)
-         |      || substring(caption, CAST(i.r AS INTEGER) + 1) END AS v
-         |  FROM images, range(0, 28) i(r)
-         |), pr AS (
-         |  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
-         |    a.caption AS ca, b.caption AS cb
-         |  FROM vs a JOIN vs b
-         |    ON b.v = a.v AND a.image_id < b.image_id
-         |  WHERE levenshtein(a.caption, b.caption) = 1
+         |  SELECT image_id, caption, CAST(i.r AS INTEGER) AS i,
+         |    substring(caption, 1, CAST(i.r AS INTEGER) - 1)
+         |      || substring(caption, CAST(i.r AS INTEGER) + 1) AS v
+         |  FROM images, range(1, 28) i(r)
          |)
-         |SELECT CAST(p.r AS INTEGER) AS pos,
-         |  CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM pr, range(1, 28) p(r)
-         |WHERE substring(ca, CAST(p.r AS INTEGER), 1)
-         |  <> substring(cb, CAST(p.r AS INTEGER), 1)
+         |SELECT a.i AS pos, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM vs a JOIN vs b
+         |  ON b.i = a.i AND b.v = a.v AND a.image_id < b.image_id
+         |WHERE substring(a.caption, a.i, 1) <> substring(b.caption, b.i, 1)
          |GROUP BY 1""".stripMargin))
 
   /** Raster ZONAL STATISTICS — the classic raster↔vector operator (zone
