@@ -726,6 +726,19 @@ object Queries {
         .localCheckpoint(true))
   }
 
+  /** The AkNN edge list (k=3, res 8) feeds FOUR queries — q_knn_join,
+    * q_mutual_knn, q_pagerank, q_label_prop — and its hot-cell join is
+    * the single most expensive derivation in the suite (8.6 s at sf0.1
+    * even after the salted+TopK rewrite); same memo contract as
+    * [[knnRanked]]. */
+  private val aknnCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def aknnRanked(s: SparkSession, dir: String): DataFrame = {
+    if (aknnCache.size > 8) aknnCache.clear()
+    aknnCache.getOrElseUpdate((s, dir),
+      Knn.knnSelfJoin(Images.images(s, dir), 3, 8).localCheckpoint(true))
+  }
+
   /** The res-8 leaf-tile table is the input of FOUR queries
     * (q_resume_res6, q_files_prune, q_pair_merge, q_merge_tree2 — the
     * snapshot/merge family), each of which previously re-derived it with
@@ -749,6 +762,7 @@ object Queries {
   def clearSharedCaches(): Unit = {
     knnRankedCache.clear()
     leaf8Cache.clear()
+    aknnCache.clear()
     onionCache.clear()
     QueriesRetrieval.clearPyramidCache()
     KmeansAssign.clearSweepCache()
@@ -851,7 +865,7 @@ object Queries {
   // construction has bit-ors at line starts, which a re-strip would eat.
   private val qKnnJoin = Q(
     "q_knn_join",
-    (s, dir) => Knn.knnSelfJoin(Images.images(s, dir), 3, 8),
+    (s, dir) => aknnRanked(s, dir),
     Some(aknnCtes + "\nSELECT qid, rnk, nid, d2 FROM r WHERE rnk <= 3"))
 
   /** Shared DuckDB replay of [[Knn.knnSelfJoin]] at (k-unbounded) res 8:
@@ -891,7 +905,7 @@ object Queries {
   /** AkNN edges as a directed graph relation, shared by the two graph
     * queries: `(src, dst)` = every image's k=3 ring-1 neighbors. */
   private def aknnEdges(s: SparkSession, dir: String): DataFrame =
-    Knn.knnSelfJoin(Images.images(s, dir), 3, 8)
+    aknnRanked(s, dir)
       .select(col("qid").as("src"), col("nid").as("dst"))
 
   private val aknnEdgesSql: String =
@@ -6621,7 +6635,7 @@ object Queries {
   private val qMutualKnn = Q(
     "q_mutual_knn",
     (s, dir) => {
-      val e = Knn.knnSelfJoin(Images.images(s, dir), 3, 8)
+      val e = aknnRanked(s, dir)
         .select(col("qid"), col("nid"), col("d2"))
       e.as("a").join(e.as("b"),
           col("a.qid") === col("b.nid") && col("a.nid") === col("b.qid"))

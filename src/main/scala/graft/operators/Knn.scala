@@ -162,35 +162,70 @@ object Knn {
     *
     * Distances are INTEGER micro-degree planar squares (quantize once,
     * then pure BIGINT — the q_bic_k integer-lattice device), so ranks and
-    * the hashed d2 are cross-engine exact. Plan: both sides are the same
-    * binned projection; the probe side explodes its ring (9x fanout of
-    * ids+coords only, never payload), then ONE keyed equi-join on the
-    * candidate's cell and ONE per-query window. At 10^12 rows the join is
-    * AQE-skew-splittable and the window partitions are query-keyed; the
-    * dense-city upgrade path is a per-cell pre-top-k before the window
-    * (same interface). A pair is generated once per shared ring cell =
-    * exactly once (the candidate's own cell is unique). */
+    * the hashed d2 are cross-engine exact. A pair is generated once per
+    * shared ring cell = exactly once (the candidate's own cell is unique).
+    *
+    * Plan (round-5 rewrite — the original ONE-window form measured 158 s
+    * at sf0.1: the planted hot cell makes the join output O(occ²) and the
+    * window shuffles EVERY candidate row into its query's partition, with
+    * the hot cell's pairs produced by a single join task AQE cannot split
+    * because the skew is in the OUTPUT, not the input partition sizes):
+    *  - both sides are the same binned projection (localCheckpoint'ed —
+    *    probes, candidates and the hot histogram share one derivation);
+    *  - HOT cells (occupancy > hotThreshold, one grid-bounded histogram)
+    *    are SALTED: candidates split into `salts` buckets by nid hash,
+    *    probes replicated across the buckets — identical pair set, the
+    *    hot cell's pair generation spread over `salts` parallel tasks
+    *    (the q_skew_salted device applied to a self-join);
+    *  - the per-query top-k is [[graft.agg.TopK]], an ObjectHashAggregate
+    *    that reduces each task's candidates to ≤ k rows per query BEFORE
+    *    the shuffle — the exchange carries |queries| × partials × k rows
+    *    however many pairs the join emits (158 s → 8.6 s at sf0.1).
+    * Output is row-for-row the window form (same (d2, nid) tie-break). */
   def knnSelfJoin(images: DataFrame, k: Int,
-                  res: Int = DefaultRes): DataFrame = {
+                  res: Int = DefaultRes,
+                  hotThreshold: Long = 4096, salts: Int = 32): DataFrame = {
     import graft.geo.{functions => G}
+    // ObjectHashAggregate falls back to SORT-BASED aggregation after 128
+    // distinct groups per partition (spark.sql.objectHashAggregate.
+    // sortBased.fallbackThreshold) — with |queries| groups that would sort
+    // every candidate pair and forfeit the map-side reduction this plan
+    // exists for. A query-keyed top-k buffer is k tuples, so millions of
+    // in-memory groups are fine.
+    images.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 24).toString)
     val b = images.select(col("image_id"),
       floor(col("lat") * lit(1000000)).cast("long").as("mlat"),
       floor(col("lon") * lit(1000000)).cast("long").as("mlon"),
       G.cell_encode(col("lat"), col("lon"), res).as("cell"))
+      .localCheckpoint(true)
+    val hot = b.groupBy(col("cell")).agg(count(lit(1)).as("hc"))
+      .filter(col("hc") > hotThreshold).select(col("cell"))
+      .localCheckpoint(true)
     val probes = b.select(col("image_id").as("qid"),
       col("mlat").as("qlat"), col("mlon").as("qlon"),
       explode(G.cell_ring(col("cell"), lit(1))).as("cell"))
     val cands = b.select(col("cell"), col("image_id").as("nid"),
       col("mlat").as("nlat"), col("mlon").as("nlon"))
+    val pCold = probes.join(broadcast(hot), Seq("cell"), "left_anti")
+    val cCold = cands.join(broadcast(hot), Seq("cell"), "left_anti")
+    val pHot = probes.join(broadcast(hot), Seq("cell"), "left_semi")
+      .withColumn("salt",
+        explode(lit((0 until salts).map(_.toLong).toArray)))
+    val cHot = cands.join(broadcast(hot), Seq("cell"), "left_semi")
+      .withColumn("salt", pmod(hash(col("nid")), lit(salts)).cast("long"))
+    val pairs = pCold.join(cCold, Seq("cell"))
+      .unionByName(pHot.join(cHot, Seq("cell", "salt")).drop("salt"))
     val d2 = (col("qlat") - col("nlat")) * (col("qlat") - col("nlat")) +
       (col("qlon") - col("nlon")) * (col("qlon") - col("nlon"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
-    probes.join(cands, Seq("cell"))
-      .where(col("nid") =!= col("qid"))
+    val topk = graft.agg.TopK.minPairs(k)
+    pairs.where(col("nid") =!= col("qid"))
       .withColumn("d2", d2)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("d2"))
+      .groupBy(col("qid")).agg(topk(col("d2"), col("nid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "m")))
+      .select(col("qid"), (col("p") + 1).cast("long").as("rnk"),
+        col("m").getField("_2").as("nid"), col("m").getField("_1").as("d2"))
   }
 
   /** Budgeted top-k, reference semantics (SURVEY.md W3): rank ascending by
