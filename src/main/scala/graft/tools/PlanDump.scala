@@ -461,7 +461,15 @@ object PlanDump {
           " broadcast self-join), classes decided by integer" +
           " cross-comparisons, cells labeled map-side by a broadcast join" +
           " — no global rank window anywhere",
-        graft.Queries.queryMap("q_abc_tiering")(spark, dir)))
+        graft.Queries.queryMap("q_abc_tiering")(spark, dir)),
+      ("AkNN self-join: salted hot cells + map-side TopK (round 5)",
+        "hot cells salt the candidate side and replicate probes (the" +
+          " output-skew the input-size AQE heuristics cannot see);" +
+          " per-query top-k is an ObjectHashAggregate typed aggregate" +
+          " that reduces to k rows per query BEFORE the exchange —" +
+          " 158s -> shared 58s at sf0.1, hash-identical output",
+        graft.operators.Knn.knnSelfJoin(
+          graft.sources.Images.images(spark, dir), 3, 8)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note\n\n```\n${fmt(df).trim}\n```\n"
