@@ -2425,29 +2425,51 @@ object Queries {
     onionCache.getOrElseUpdate((s, dir), onion6Derive(s, dir))
   }
 
+  // Round-5 perf note: the original peel chained 24 eager localCheckpoints
+  // (each round's frame checkpointed from the previous round's checkpoint).
+  // Checkpoint GENERATIONS compound a per-generation overhead (growing
+  // serialized task binaries — the bench log's "Broadcasting large task
+  // binary" warnings): measured round times were geometric at ~2.6×/round
+  // past generation ~19, 107 s for round 24 alone on an EMPTY frontier,
+  // 118 s for the query. Unpersisting prior checkpoints does not help; a
+  // log-depth chain (FlowRouting's pointer doubling, ≤ ~12 generations)
+  // stays under the knee, a 24-deep sequential chain does not. The
+  // frontier here is GRID-BOUNDED (≤ 4^6 occupied cells by construction),
+  // so each round round-trips the survivor set through the driver — the
+  // Lloyd/codebook driver-state pattern — making every round's input a
+  // fresh LocalRelation with zero plan/lineage history: 24 rounds ≈ 5 s,
+  // same result (Round5OpsSpec pins the sequential-peel replay). At a
+  // finer grid this becomes collect-per-G-rounds with a checkpoint chain
+  // of depth G kept under the knee.
   private def onion6Derive(s: SparkSession, dir: String): DataFrame = {
     import graft.geo.{functions => G}
-    val occ = Images.images(s, dir)
+    import s.implicits._
+    var aliveCells: Array[Long] = Images.images(s, dir)
       .withColumn("cell", G.cell_encode(col("lat"), col("lon"), 6))
       .groupBy("cell").agg(count(lit(1)).as("cnt"))
-      .select("cell")
-    var alive = occ.localCheckpoint(true)
-    var layers: DataFrame = null
-    for (r <- 1 to 24) {
-      val next = alive.select(col("cell").as("src"),
+      .select("cell").collect().map(_.getLong(0))
+    val layer = scala.collection.mutable.Map.empty[Long, Int]
+    aliveCells.foreach(c => layer(c) = 1)
+    var r = 0
+    while (r < 24 && aliveCells.nonEmpty) {
+      val aliveDf = s.createDataset(aliveCells.toSeq).toDF("cell")
+      val next = aliveDf.select(col("cell").as("src"),
           explode(G.cell_ring(col("cell"), lit(1))).as("dst"))
         .where(col("dst") =!= col("src"))
-        .join(alive.select(col("cell").as("dst")), Seq("dst"))
+        .join(aliveDf.select(col("cell").as("dst")), Seq("dst"))
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= 6)
         .select(col("src").as("cell"))
-        .localCheckpoint(true)
-      val peeled = alive.join(next, Seq("cell"), "left_anti")
-        .select(col("cell"), lit(r).as("layer"))
-      layers = if (layers == null) peeled else layers.unionAll(peeled)
-      alive = next
+        .collect().map(_.getLong(0))
+      // survivors accrue one layer per survived round: peeled-in-round-r
+      // cells end at layer r, 24-round survivors at 25 — identical to the
+      // per-round anti-join labeling (alive sets are nested)
+      next.foreach(c => layer(c) = layer(c) + 1)
+      aliveCells = next
+      r += 1
     }
-    layers.unionAll(alive.select(col("cell"), lit(25).as("layer")))
+    s.createDataset(layer.toSeq).toDF("cell", "layer")
+      .select(col("cell"), col("layer").cast("int").as("layer"))
       .localCheckpoint(true)
   }
 
