@@ -1554,6 +1554,51 @@ object QueriesMisc {
          |  CAST(count(*) AS BIGINT) AS n_rows
          |FROM hv GROUP BY 1""".stripMargin))
 
+  /** HLL REGISTER MERGE — the distributed contract of [[qHllRegisters]]
+    * PROVEN AT THE GATE, not just in a spec: the corpus is split into
+    * two disjoint halves (even/odd k — the q_time_travel split device),
+    * each half sketches independently, and the halves merge by
+    * per-bucket register max + count sum. The oracle is the WHOLE-CORPUS
+    * register table computed in one pass — so a hash match is the merge
+    * identity `merge(sketch(A), sketch(B)) = sketch(A ∪ B)` verified
+    * cross-engine, which is exactly the property that lets 1000
+    * executors sketch 100 TB independently and a 256-row reduce combine
+    * them (and lets a snapshot store keep per-partition sketches and
+    * serve corpus-level cardinality from metadata).
+    *
+    * Scale shape: two map-only hash projections + two 256-group
+    * aggregates + one 512-row merge — nothing here exceeds the
+    * q_hll_registers cost. */
+  private val qHllMerge = Q(
+    "q_hll_merge",
+    (s, dir) => {
+      def half(filter: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        val h = Images.images(s, dir)
+          .where(filter(col("k") % 2))
+          .select(
+            conv(substring(md5(col("image_id")), 1, 2), 16, 10)
+              .cast("long").as("b"),
+            conv(substring(md5(col("image_id")), 3, 8), 16, 10)
+              .cast("long").as("v"))
+        h.withColumn("reg", lit(33L) - length(bin(col("v"))).cast("long"))
+          .groupBy(col("b"))
+          .agg(max(col("reg")).as("max_reg"), count(lit(1)).as("n_rows"))
+      }
+      half(_ === 0).unionByName(half(_ =!= 0))
+        .groupBy(col("b"))
+        .agg(max(col("max_reg")).as("max_reg"),
+          sum(col("n_rows")).as("n_rows"))
+    },
+    Some(
+      s"""$cte, hv AS (
+         |  SELECT ('0x' || substr(md5(image_id), 1, 2))::BIGINT AS b,
+         |    ('0x' || substr(md5(image_id), 3, 8))::BIGINT AS v
+         |  FROM images
+         |)
+         |SELECT b, CAST(max(33 - length(bin(v))) AS BIGINT) AS max_reg,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM hv GROUP BY 1""".stripMargin))
+
   /** Per-level pyramid metrics (≙ log_tree_structure,
     * raptor/utils.py:222-271): cells, images, avg/max occupancy per level —
     * the skew dashboard. Plan: ONE scan + ONE shuffle for all levels via
@@ -1996,7 +2041,7 @@ object QueriesMisc {
     qTileDiversity,
     qTileLuma, qSceneCuts, qGrayWorld, qAffineWarp, qHistEqualize,
     qEventsWindow, qEventsSessions, qEventsJson, qAsofJoin, qIntervalJoin,
-    qSampleTopN, qWeightedSample, qKmvDistinct, qHllRegisters,
+    qSampleTopN, qWeightedSample, qKmvDistinct, qHllRegisters, qHllMerge,
     qLevelMetrics, qKnnOverlap,
     qGroupingSets, qOrphanCells, qSchemaInspect,
     qStratSample, qHoppingWindow)

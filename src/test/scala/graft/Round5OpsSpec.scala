@@ -724,4 +724,10 @@ class Round5OpsSpec extends SparkFunSuite {
     // only A and C occur here; all three classes appear at sf0.01 (oracle)
     assert(got.values.map(_._2).toSet.size >= 2)
   }
+
+  test("q_hll_merge: merging disjoint half-sketches equals the one-pass table") {
+    def canon(n: String) = Queries.queryMap(n)(spark, SparkSpec.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon("q_hll_merge") == canon("q_hll_registers"))
+  }
 }
